@@ -1,0 +1,102 @@
+"""Backend abstraction: the `Simulate*` trait analog.
+
+Re-design of the reference's trait stack (``compute/shared/src/lib.rs:19-58``):
+
+- ``SimulateBase::make_species``  -> :meth:`Simulation.make_species`
+- ``SimulateCreate::new``         -> ``Simulation(params, **args)``
+- ``Simulate::perform_steps``     -> :meth:`Simulation.perform_steps`
+- ``SimulateGpu::prepare_steps``  -> :meth:`Simulation.prepare_steps`
+  (JAX dispatch is asynchronous by construction, so the "one submission,
+  no host round-trip" property of the reference's GPU path
+  (compute/gpu/naive/src/lib.rs:99-128) is the default here; synchronization
+  happens only when a result is fetched.)
+- ``SimulateBase::CliArgs``       -> :meth:`Simulation.add_cli_args` /
+  ``from_args`` (clap flatten analog; every arg has a default and an env-var
+  fallback, mirroring ``#[arg(long, env)]`` in compute/block/src/args.rs:65).
+"""
+
+from __future__ import annotations
+
+import abc
+import argparse
+import os
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+from ..params import Parameters
+from ..species import Species, initial_uv
+
+
+def env_default(name: str, fallback, cast=None):
+    """CLI default with GRAYSCOTT_* env-var fallback (clap env analog)."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return fallback
+    return (cast or type(fallback))(raw)
+
+
+class Simulation(abc.ABC):
+    """One rung of the backend ladder (compute/{naive,...} crate analog)."""
+
+    #: registry name, e.g. "naive"
+    name: str = "?"
+
+    def __init__(self, params: Parameters, boundary: str = "naive", **kwargs):
+        if boundary not in ("naive", "zero"):
+            raise ValueError(f"unknown boundary semantics {boundary!r}")
+        self.params = params
+        self.boundary = boundary
+
+    # -- species ---------------------------------------------------------------
+
+    def make_species(self, shape: Tuple[int, int]) -> Species:
+        """Allocate + initialize species state in this backend's layout
+        (SimulateBase::make_species analog, compute/shared/src/lib.rs:31-34)."""
+        u, v = initial_uv(shape)
+        return Species(shape, self.build_storage(u, v), self)
+
+    @abc.abstractmethod
+    def build_storage(self, u: np.ndarray, v: np.ndarray) -> Any:
+        """Pack host (R, C) concentrations into backend storage."""
+
+    @abc.abstractmethod
+    def extract_uv(self, storage: Any, shape) -> Tuple[Any, Any]:
+        """Unpack storage into (u, v) device arrays of ``shape``."""
+
+    def extract_result(self, storage: Any, shape):
+        """V's input concentration (the simulation result)."""
+        return self.extract_uv(storage, shape)[1]
+
+    # -- stepping ----------------------------------------------------------------
+
+    @abc.abstractmethod
+    def run_steps(self, storage: Any, shape, steps: int) -> Any:
+        """Advance the storage by ``steps`` steps (asynchronously dispatched)."""
+
+    def perform_steps(self, species: Species, steps: int) -> None:
+        """Synchronous stepping (Simulate::perform_steps analog)."""
+        self.prepare_steps(species, steps)
+        self.block_until_ready(species)
+
+    def prepare_steps(self, species: Species, steps: int) -> None:
+        """Asynchronous stepping (SimulateGpu::prepare_steps analog): returns
+        as soon as the work is enqueued on the device."""
+        species.storage = self.run_steps(species.storage, species.shape, steps)
+        species.steps_performed += steps
+
+    def block_until_ready(self, species: Species) -> None:
+        import jax
+
+        jax.block_until_ready(species.storage)
+
+    # -- CLI (CliArgs analog) -----------------------------------------------------
+
+    @classmethod
+    def add_cli_args(cls, parser: argparse.ArgumentParser) -> None:
+        """Contribute backend-specific CLI arguments (clap flatten analog)."""
+
+    @classmethod
+    def args_from_namespace(cls, ns: argparse.Namespace) -> Dict[str, Any]:
+        """Extract this backend's kwargs from parsed CLI args."""
+        return {}

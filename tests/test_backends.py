@@ -1,0 +1,82 @@
+"""Cross-backend numerical parity tests against the NumPy oracle —
+the testing strategy the reference lacks (SURVEY.md section 4)."""
+
+import numpy as np
+import pytest
+
+from grayscott_tpu import oracle
+from grayscott_tpu.backends import BACKENDS, get_backend
+from grayscott_tpu.params import Parameters, STENCILS
+from grayscott_tpu.species import initial_uv
+
+from conftest import random_uv
+
+JNP_BACKENDS = ["naive", "regular", "fused"]
+
+
+def make_sim(name, params, boundary, **kw):
+    return get_backend(name)(params, boundary=boundary, **kw)
+
+
+@pytest.mark.parametrize("backend", JNP_BACKENDS)
+@pytest.mark.parametrize("boundary", ["naive", "zero"])
+def test_one_step_parity(rng, params, backend, boundary):
+    u, v = random_uv(rng, (24, 33))
+    ou, ov = oracle.step(u, v, params, boundary)
+    sim = make_sim(backend, params, boundary)
+    species = sim.make_species((24, 33))
+    species.storage = sim.build_storage(u, v)
+    sim.perform_steps(species, 1)
+    gu, gv = species.uv_host()
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=2e-7)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=2e-7)
+
+
+@pytest.mark.parametrize("stencil", list(STENCILS))
+@pytest.mark.parametrize("backend", JNP_BACKENDS)
+def test_all_stencils_one_step(rng, stencil, backend):
+    params = Parameters.with_stencil(stencil)
+    u, v = random_uv(rng, (16, 17))
+    ou, ov = oracle.step(u, v, params, "naive")
+    sim = make_sim(backend, params, "naive")
+    species = sim.make_species((16, 17))
+    species.storage = sim.build_storage(u, v)
+    sim.perform_steps(species, 1)
+    gu, gv = species.uv_host()
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=3e-7)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=3e-7)
+
+
+@pytest.mark.parametrize("backend", JNP_BACKENDS)
+def test_many_steps_from_standard_init(params, backend):
+    """100 steps from the standard init box: tolerance budget for f32
+    reassociation drift (SURVEY.md 'hard parts')."""
+    shape = (48, 64)
+    u0, v0 = initial_uv(shape)
+    ou, ov = oracle.run(u0, v0, params, 100)
+    sim = make_sim(backend, params, "naive")
+    species = sim.make_species(shape)
+    sim.perform_steps(species, 100)
+    gu, gv = species.uv_host()
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-5)
+
+
+def test_naive_backend_near_bitwise(rng, params):
+    """The naive jnp backend reproduces the oracle to 1 ulp (XLA may
+    contract multiply-adds into FMAs; term order is otherwise identical)."""
+    u, v = random_uv(rng, (20, 21))
+    ou, ov = oracle.step(u, v, params, "naive")
+    sim = make_sim("naive", params, "naive")
+    species = sim.make_species((20, 21))
+    species.storage = sim.build_storage(u, v)
+    sim.perform_steps(species, 1)
+    gu, gv = species.uv_host()
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=2.4e-7)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=2.4e-7)
+
+
+def test_registry():
+    assert set(JNP_BACKENDS) <= set(BACKENDS)
+    with pytest.raises(ValueError):
+        get_backend("bogus")
