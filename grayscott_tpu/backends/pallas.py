@@ -1,0 +1,124 @@
+"""`pallas` backend: the fused temporal-blocked TPU kernel.
+
+The TPU analog of the reference's whole optimized ladder — SIMD
+(`autovec`/`manualvec`), cache blocking (`block`) and specialized GPU
+pipelines (`gpu_specialized`) — see grayscott_tpu/ops/pallas_stencil.py.
+Tunables (`--pallas-block-rows`, `--pallas-steps-per-call`) are the
+runtime analog of the reference's SPIR-V specialization constants
+(compute/gpu/specialized/src/args.rs:8-20): they re-specialize the compiled
+kernel without touching the source. Defaults follow a VMEM budget heuristic
+(the hwloc cache-size defaults analog, compute/block/src/default.rs).
+
+On non-TPU platforms the kernel runs in Pallas interpreter mode (slow;
+used by the test suite for numerics validation).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import pallas_stencil as ps
+from ..params import Parameters
+from .base import Simulation, env_default
+
+
+class PallasSimulation(Simulation):
+    name = "pallas"
+
+    def __init__(
+        self,
+        params: Parameters,
+        boundary: str = "naive",
+        block_rows: int | None = None,
+        steps_per_call: int = ps.HALO,
+        interpret: bool | None = None,
+        **kwargs,
+    ):
+        super().__init__(params, boundary)
+        if not (1 <= steps_per_call <= ps.HALO):
+            raise ValueError(
+                f"steps_per_call must be in [1, {ps.HALO}], got {steps_per_call}"
+            )
+        self.block_rows = block_rows
+        self.steps_per_call = steps_per_call
+        if interpret is None:
+            interpret = jax.devices()[0].platform != "tpu"
+        self.interpret = interpret
+
+    # -- storage: padded double buffers ------------------------------------
+
+    def _tr(self, shape) -> int:
+        r, c = shape
+        tr = self.block_rows or ps.choose_block_rows(r, c)
+        rp = -(-r // tr) * tr
+        return tr if rp % tr == 0 else tr
+
+    def build_storage(self, u: np.ndarray, v: np.ndarray):
+        tr = self._tr(u.shape)
+        u_pad, v_pad = ps.pad_state(u, v, tr)
+        return (
+            jnp.asarray(u_pad),
+            jnp.asarray(v_pad),
+            jnp.asarray(u_pad),  # stale buffer: same zero padding
+            jnp.asarray(v_pad),
+            tr,
+        )
+
+    def extract_uv(self, storage, shape) -> Tuple[jax.Array, jax.Array]:
+        u_pad, v_pad = storage[0], storage[1]
+        r, c = shape
+        h = ps.HALO
+        return u_pad[h : h + r, :], v_pad[h : h + r, :]
+
+    # -- stepping ------------------------------------------------------------
+
+    def run_steps(self, storage, shape, steps: int):
+        u, v, us, vs, tr = storage
+        r, _ = shape
+        k = self.steps_per_call
+        n_full, rem = divmod(steps, k)
+        if n_full:
+            # one device dispatch for all full K-step blocks
+            u, v, us, vs = ps.run_blocks(
+                u, v, us, vs, -ps.HALO, r, jnp.int32(n_full),
+                steps=k, tr=tr, params=self.params,
+                boundary=self.boundary, interpret=self.interpret,
+            )
+        if rem:
+            u, v, us, vs = (
+                *ps.multistep(
+                    u, v, us, vs, -ps.HALO, r,
+                    steps=rem, tr=tr, params=self.params,
+                    boundary=self.boundary, interpret=self.interpret,
+                ),
+                u, v,
+            )
+        return (u, v, us, vs, tr)
+
+    # -- CLI ----------------------------------------------------------------
+
+    @classmethod
+    def add_cli_args(cls, parser: argparse.ArgumentParser) -> None:
+        parser.add_argument(
+            "--pallas-block-rows", type=int,
+            default=env_default("GRAYSCOTT_PALLAS_BLOCK_ROWS", None, int),
+            help="Row-tile size of the Pallas kernel (multiple of 8; "
+            "default: VMEM budget heuristic)",
+        )
+        parser.add_argument(
+            "--pallas-steps-per-call", type=int,
+            default=env_default("GRAYSCOTT_PALLAS_STEPS_PER_CALL", ps.HALO, int),
+            help=f"Temporal blocking depth (1..{ps.HALO} steps fused in VMEM)",
+        )
+
+    @classmethod
+    def args_from_namespace(cls, ns: argparse.Namespace):
+        return {
+            "block_rows": getattr(ns, "pallas_block_rows", None),
+            "steps_per_call": getattr(ns, "pallas_steps_per_call", ps.HALO),
+        }

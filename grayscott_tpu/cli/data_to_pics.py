@@ -1,0 +1,126 @@
+"""HDF5 -> PNG converter CLI.
+
+Argument-compatible with the reference's ``data-to-pics``
+(``data-to-pics/src/main.rs:16-56``): ``-i/--input`` (default ``output.h5``),
+``-o/--output-dir``, ``--input-buffer`` / ``--output-buffer`` (default 2)
+and ``--output-threads`` (default 3). Filenames are zero-padded to
+``ilog10(num_images) + 1`` digits (``main.rs:97-104``), pixels are
+``INFERNO.eval_continuous(2.0 * v)`` (``main.rs:139-142``).
+
+Same 3-stage pipeline as the reference: a reader thread streams HDF5
+images, the main thread colorizes (vectorized NumPy LUT instead of a rayon
+row-split — with an optional native C colorizer, see
+grayscott_tpu/native), and N writer threads encode PNGs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import queue
+import sys
+import threading
+
+import numpy as np
+
+from ..io.hdf5 import Reader
+from ..utils.logs import init_logging
+from ..utils.palette import colorize
+from ..utils.progress import ProgressBar
+from .shared import simulation_output_path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="data-to-pics",
+        description="Convert Gray-Scott simulation output to images",
+    )
+    parser.add_argument("-i", "--input", default=None, help="Path to the input HDF5 file")
+    parser.add_argument(
+        "--input-buffer", type=int, default=2,
+        help="Image buffer size between HDF5 I/O and conversion",
+    )
+    parser.add_argument(
+        "-o", "--output-dir", required=True,
+        help="Directory where output images will be saved",
+    )
+    parser.add_argument(
+        "--output-buffer", type=int, default=2,
+        help="Image buffer size between conversion and image I/O",
+    )
+    parser.add_argument(
+        "--output-threads", type=int, default=3, help="Number of image I/O threads"
+    )
+    return parser
+
+
+def main(argv=None) -> int:
+    logger = init_logging()
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    from PIL import Image
+
+    reader = Reader(simulation_output_path(args.input))
+    num_images = reader.num_images
+    # Leading zeros to help Unix number sort (main.rs:97)
+    width = int(math.log10(max(num_images, 1))) + 1
+    progress = ProgressBar("Generating image", num_images)
+
+    in_q: queue.Queue = queue.Queue(maxsize=max(args.input_buffer, 1))
+    out_q: queue.Queue = queue.Queue(maxsize=max(args.output_buffer, 1))
+    errors: list[BaseException] = []
+
+    def read_thread() -> None:
+        try:
+            for img in reader:
+                in_q.put(img)
+        except BaseException as e:  # pragma: no cover
+            errors.append(e)
+        finally:
+            in_q.put(None)
+
+    def write_thread() -> None:
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                idx, rgb = item
+                Image.fromarray(rgb, "RGB").save(
+                    os.path.join(args.output_dir, f"{idx:0{width}d}.png")
+                )
+                progress.inc(1)
+        except BaseException as e:  # pragma: no cover
+            errors.append(e)
+
+    threading.Thread(target=read_thread, daemon=True).start()
+    writers = [
+        threading.Thread(target=write_thread, daemon=True)
+        for _ in range(max(args.output_threads, 1))
+    ]
+    for t in writers:
+        t.start()
+
+    idx = 0
+    while True:
+        img = in_q.get()
+        if img is None or errors:
+            break
+        out_q.put((idx, colorize(img)))
+        idx += 1
+    for _ in writers:
+        out_q.put(None)
+    for t in writers:
+        t.join()
+    progress.finish()
+    reader.close()
+    if errors:
+        raise errors[0]
+    logger.info("wrote %d images to %s", idx, args.output_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

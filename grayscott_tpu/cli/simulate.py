@@ -1,0 +1,117 @@
+"""Batch simulation CLI.
+
+Argument-compatible with the reference's ``simulate`` binary
+(``simulate/src/main.rs:22-44``): shared args plus ``-n/--nbimage``
+(default 1000), ``-o/--output`` (default ``output.h5``) and
+``--output-buffer`` (default 2); ``--nbextrastep`` defaults to 32 steps per
+image (``main.rs:52``).
+
+Pipeline structure mirrors the reference (``main.rs:73-122``): the main
+thread drives the device, an I/O thread writes HDF5 snapshots through a
+bounded queue. Two levels of compute/IO overlap:
+
+1. device-side: each 32-step batch is dispatched asynchronously, and the
+   snapshot device->host copy is enqueued on the same dependency chain —
+   the analog of the reference's `async-gpu` single-submission path
+   (main.rs:99-106 + write_scalar_view_after); the host only blocks on the
+   *previous* image's transfer while the device runs the next batch.
+2. host-side: HDF5 writing happens on a separate thread behind a bounded
+   queue (the mpsc::sync_channel analog).
+"""
+
+from __future__ import annotations
+
+import argparse
+import queue
+import sys
+import threading
+
+import numpy as np
+
+from ..io.hdf5 import Writer
+from ..utils.logs import init_logging
+from ..utils.progress import ProgressBar
+from . import shared
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="simulate", description="Perform Gray-Scott simulation"
+    )
+    shared.add_shared_args(parser)
+    parser.add_argument(
+        "-n", "--nbimage", type=int, default=1000,
+        help="Number of images to be created",
+    )
+    parser.add_argument(
+        "-o", "--output", default=None, help="Path to the results output file"
+    )
+    parser.add_argument(
+        "--output-buffer", type=int, default=2,
+        help="Size of the image buffer between the compute and I/O thread",
+    )
+    return parser
+
+
+def main(argv=None) -> int:
+    logger = init_logging()
+    args = build_parser().parse_args(argv)
+    steps_per_image = args.nbextrastep if args.nbextrastep is not None else 32
+    file_name = shared.simulation_output_path(args.output)
+
+    sim = shared.make_simulation(args)
+    logger.info(
+        "backend=%s boundary=%s stencil=%s domain=%dx%d",
+        sim.name, sim.boundary, sim.params.stencil_name(), args.nbrow, args.nbcol,
+    )
+
+    species = sim.make_species(shared.domain_shape(args))
+    writer = Writer(file_name, species.shape, args.nbimage)
+    progress = ProgressBar("Running simulation step", args.nbimage)
+
+    error: list[BaseException] = []
+    q: queue.Queue = queue.Queue(maxsize=max(args.output_buffer, 1))
+
+    def io_thread() -> None:
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                writer.write(item)
+                progress.inc(1)
+        except BaseException as e:  # pragma: no cover - propagated below
+            error.append(e)
+
+    t = threading.Thread(target=io_thread, name="hdf5-writer", daemon=True)
+    t.start()
+
+    try:
+        import jax.numpy as jnp
+
+        pending = None  # device array whose transfer overlaps the next batch
+        for _ in range(args.nbimage):
+            # Enqueue the next batch + an independent snapshot copy on the
+            # device stream (prepare_steps is asynchronous).
+            sim.prepare_steps(species, steps_per_image)
+            snapshot = jnp.copy(species.result())
+            if pending is not None:
+                q.put(np.asarray(pending))  # sync point: previous image only
+            pending = snapshot
+            if error:
+                raise error[0]
+        if pending is not None:
+            q.put(np.asarray(pending))
+    finally:
+        q.put(None)
+        t.join()
+        progress.finish()
+        writer.close()
+    if error:
+        raise error[0]
+    logger.info("wrote %d images to %s", args.nbimage, file_name)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

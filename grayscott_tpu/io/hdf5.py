@@ -1,0 +1,103 @@
+"""HDF5 snapshot I/O.
+
+Layout-compatible with the reference's snapshot format
+(``data/src/hdf5.rs:36-54``): one 3-D float32 dataset named ``"matrix"``
+(``hdf5.rs:24``) of shape ``[num_images, rows, cols]`` with chunk shape
+``[1, rows, cols]``, holding V-species concentrations. A file written by
+this module is readable by the reference's ``data-to-pics`` and vice versa.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional, Tuple
+
+import h5py
+import numpy as np
+
+from ..params import Precision
+
+#: Default dataset name (reference: data/src/hdf5.rs:24)
+DEFAULT_DATASET = "matrix"
+
+
+class Writer:
+    """Streaming snapshot writer (``hdf5::Writer``, data/src/hdf5.rs:30-78)."""
+
+    def __init__(
+        self,
+        file_name: os.PathLike | str,
+        shape: Tuple[int, int],
+        num_images: int,
+        dataset_name: str = DEFAULT_DATASET,
+    ):
+        rows, cols = shape
+        self._file = h5py.File(file_name, "w")
+        self._dataset = self._file.create_dataset(
+            dataset_name,
+            shape=(num_images, rows, cols),
+            dtype=Precision,
+            chunks=(1, rows, cols),
+        )
+        self._position = 0
+
+    def write(self, result: np.ndarray) -> None:
+        """Append one V concentration snapshot (``Writer::write``)."""
+        self._dataset[self._position] = np.asarray(result, dtype=Precision)
+        self._position += 1
+
+    def close(self) -> None:
+        """Flush and close (``Writer::close``)."""
+        self._file.close()
+
+    def __enter__(self) -> "Writer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class Reader:
+    """Snapshot reader / iterator (``hdf5::Reader``, data/src/hdf5.rs:81-148)."""
+
+    def __init__(
+        self,
+        file_name: os.PathLike | str,
+        dataset_name: str = DEFAULT_DATASET,
+    ):
+        self._file = h5py.File(file_name, "r")
+        self._dataset = self._file[dataset_name]
+        if self._dataset.ndim != 3:
+            raise ValueError("Dataset should be three-dimensional")
+        self._position = 0
+
+    @property
+    def image_shape(self) -> Tuple[int, int]:
+        return tuple(self._dataset.shape[1:])
+
+    @property
+    def num_images(self) -> int:
+        return self._dataset.shape[0]
+
+    def read(self) -> Optional[np.ndarray]:
+        if self._position >= self.num_images:
+            return None
+        out = np.asarray(self._dataset[self._position], dtype=Precision)
+        self._position += 1
+        return out
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            img = self.read()
+            if img is None:
+                return
+            yield img
+
+    def close(self) -> None:
+        self._file.close()
+
+    def __enter__(self) -> "Reader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

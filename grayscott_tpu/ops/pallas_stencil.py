@@ -1,0 +1,428 @@
+"""Fused Pallas TPU stencil kernel with temporal blocking.
+
+This is the performance core of the framework — the TPU re-design of the
+reference's entire optimized-backend ladder (SIMD layout + unrolled mul_add
+ladder ``compute/autovec/src/lib.rs:52-115``, cache blocking
+``compute/block/src/lib.rs:92-111``, and the GPU one-command-buffer
+multi-dispatch pattern ``compute/gpu/naive/src/lib.rs:117-124``) collapsed
+into one kernel:
+
+- The domain is tiled into row slabs. Each grid step loads a
+  ``(TR + 2*HALO, C)`` halo window of U and V from HBM into VMEM via
+  element-indexed overlapping BlockSpecs (Mosaic pipelines these against
+  compute automatically — the double-buffering the reference does by hand
+  on GPU).
+- **Temporal blocking**: K <= HALO simulation steps run entirely in VMEM
+  per window before one ``(TR, C)`` result is written back. HBM traffic is
+  16 bytes/cell per K steps instead of per step, lifting the roofline by K
+  (the Gray-Scott step is memory-bound at ~40 flop/cell). The K-deep halo
+  absorbs the cells invalidated at window edges each step, exactly like the
+  reference's ``split_grid`` halo overlap (compute/shared/src/cpu.rs:112-154)
+  but in time as well as space.
+- State lives in HBM as ``(HALO + Rp + HALO, C)`` arrays with zero padding
+  rows (the analog of SIMDConcentration's zero-filled edges,
+  data/src/concentration/simd/mod.rs:42-47). Output windows write only
+  interior rows; ``input_output_aliases`` onto the stale double buffer
+  preserves the padding forever, so no per-step re-padding traffic exists.
+- Out-of-domain rows are re-zeroed after every in-VMEM step (the reaction
+  term would otherwise grow them), driven by global row indices derived
+  from a scalar ``origin`` operand — which also lets the *sharded* backend
+  run this same kernel on row shards with halo rows delivered by
+  ``lax.ppermute`` into the padding slots.
+
+Boundary semantics (both supported, see grayscott_tpu/oracle.py): ``zero``
+is the uniform separable form; ``naive`` additionally applies the
+reference's clamped-window weights via per-row/column sums plus exact
+strip recomputation of the top row / left column (the anchoring quirk).
+
+Alignment notes (Mosaic requirements, probed on v5e): element-indexed
+window starts and sizes must be multiples of 8 in the sublane dim, hence
+``HALO = 8`` and TR a multiple of 8; the lane dim uses full array width.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import Parameters, Precision
+
+#: Halo depth in rows. Must be a multiple of 8 (sublane alignment of
+#: element-indexed windows); also the maximum temporal-blocking depth.
+HALO = 8
+
+
+def _f32(x) -> jnp.ndarray:
+    return jnp.asarray(x, dtype=jnp.float32)
+
+
+def _shift_cols(x, d: int):
+    """Shift along lanes with zero fill: d=+1 gives x[r, c-1] (0 at c=0).
+
+    Implemented as a circular lane roll plus an iota-masked zero of the
+    wrapped column (Mosaic cannot lower lane-offset concatenations).
+    """
+    c = x.shape[1]
+    shift = d if d >= 0 else c + d
+    rolled = pltpu.roll(x, shift, axis=1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+    edge = 0 if d == 1 else c - 1
+    return jnp.where(ci == edge, jnp.float32(0.0), rolled)
+
+
+def _shift_rows(x, d: int):
+    """Circular shift along sublanes: d=+1 gives x[r-1, c].
+
+    Wrap-around only pollutes the window's garbage ring, which the K-deep
+    halo absorbs; true domain boundaries are covered by the zero padding
+    rows in HBM (kept zero by the per-step domain mask).
+    """
+    shift = d if d >= 0 else x.shape[0] + d  # pltpu.roll wants shift >= 0
+    return pltpu.roll(x, shift, axis=0)
+
+
+def _col_iota(c: int):
+    """(1, C) int32 column indices (built in-kernel: Pallas kernels cannot
+    capture array constants)."""
+    return jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+
+
+def _col_sums(c: int, h: np.ndarray):
+    """(1, C) per-column sums of in-bounds separable taps (naive semantics)."""
+    ci = _col_iota(c)
+    mid = jnp.full((1, c), np.float32(h.sum()), jnp.float32)
+    lo = jnp.where(ci == 0, np.float32(h[1] + h[2]), mid)
+    return jnp.where(ci == c - 1, np.float32(h[0] + h[1]), lo)
+
+
+def _edge_strip_1xc(row0, row1, w2: np.ndarray, c: int):
+    """Naive-semantics diffusion gradient of a (1, C) domain-edge row strip.
+
+    Same math as ops.stencil.naive_edge_strip, expressed on (1, C) window
+    slices (see that docstring for the formula and reference citations).
+    """
+    center = row0
+    full = jnp.zeros_like(row0)
+    lanes = (row0, row1)
+    ok_e = (_col_iota(c) + 1 < c).astype(jnp.float32)
+    for i in range(2):
+        xi = lanes[i]
+        taps = (_shift_cols(xi, 1), xi, _shift_cols(xi, -1))
+        for j in range(3):
+            wij = float(w2[i][j])
+            if wij == 0.0:
+                continue
+            if j == 2:
+                full = full + wij * (taps[j] - center * ok_e)
+            else:
+                full = full + wij * (taps[j] - center)
+    # c == 0: taps are lane_i[0], lane_i[1] with weights w2[i][0], w2[i][1]
+    q = jnp.zeros_like(row0[:, :1])
+    for i in range(2):
+        xi = lanes[i]
+        for j in range(2):
+            wij = float(w2[i][j])
+            if wij == 0.0:
+                continue
+            q = q + wij * (xi[:, j : j + 1] - center[:, :1])
+    return jnp.where(_col_iota(c) == 0, q, full)
+
+
+def _left_col_strip(x, w: np.ndarray, ok_s):
+    """Naive-semantics gradient of the c == 0 column (rows with g >= 1).
+
+    Per window row r (reference semantics, compute/naive/src/lib.rs:56-70
+    with the column window clamped to cols {0, 1}):
+
+        full(r) = sum_{i in 0..3, j in 0..2} w[i][j] * (x[r-1+i, j] - x[r, 0])
+
+    with the i == 2 tap masked out on the bottom domain row (ok_s).
+    Returns a (W, 1) strip. Row wrap garbage lands in the window ring.
+    """
+    cols01 = x[:, 0:2]
+    center = x[:, 0:1]
+    n01 = _shift_rows(cols01, 1)
+    s01 = _shift_rows(cols01, -1)
+    rows = (n01, cols01, s01)
+    full = jnp.zeros_like(center)
+    for i in range(3):
+        for j in range(2):
+            wij = float(w[i][j])
+            if wij == 0.0:
+                continue
+            tap = rows[i][:, j : j + 1]
+            if i == 2:
+                full = full + wij * (tap - center) * ok_s
+            else:
+                full = full + wij * (tap - center)
+    return full
+
+
+def make_window_stepper(params: Parameters, boundary: str, w_rows: int, c: int):
+    """Build ``(u, v, giota, r_total) -> (u', v')`` for one in-VMEM step on a
+    (w_rows, c) window. ``giota`` is the (W, 1) int32 global row index of
+    each window row; ``r_total`` the scalar global row count."""
+    plan = params.separable_plan()
+    w = params.weights_array()
+    is_col0 = _col_iota(c) == 0
+
+    if plan[0] == "separable":
+        _, h, alpha = plan
+        h0, h1 = float(h[0]), float(h[1])
+        cs = _col_sums(c, h) if boundary == "naive" else None
+
+        def laplacian(x, rs):
+            t = h1 * x + h0 * (_shift_cols(x, 1) + _shift_cols(x, -1))
+            s = h1 * t + h0 * (_shift_rows(t, 1) + _shift_rows(t, -1))
+            if boundary == "zero":
+                return s - float(alpha) * x
+            return s - x * (rs * cs)
+
+        def make_rowsums(giota, r_total):
+            if boundary == "zero":
+                return None
+            edge = jnp.logical_or(giota == 0, giota == r_total - 1)
+            return jnp.where(edge, np.float32(h[1] + h[2]), np.float32(h.sum()))
+
+    else:
+        wc = params.corrected_weights()
+        # per-column sums of in-bounds weights for each stencil row i
+        ci = _col_iota(c)
+        cw = []
+        for i in range(3):
+            mid = jnp.full((1, c), np.float32(w[i].sum()), jnp.float32)
+            row = jnp.where(ci == 0, np.float32(w[i][1] + w[i][2]), mid)
+            row = jnp.where(ci == c - 1, np.float32(w[i][0] + w[i][1]), row)
+            cw.append(row)
+
+        def _taps(x):
+            xw, xe = _shift_cols(x, 1), _shift_cols(x, -1)
+            out = {}
+            for i in range(3):
+                for j in range(3):
+                    src = (xw, x, xe)[j]
+                    out[(i, j)] = src if i == 1 else _shift_rows(src, 1 - i)
+            return out
+
+        def laplacian(x, rs):
+            taps = _taps(x)
+            full = jnp.zeros_like(x)
+            if boundary == "zero":
+                for i in range(3):
+                    for j in range(3):
+                        if wc[i][j] != 0.0:
+                            full = full + float(wc[i][j]) * taps[(i, j)]
+                return full
+            for i in range(3):
+                for j in range(3):
+                    if w[i][j] != 0.0:
+                        full = full + float(w[i][j]) * taps[(i, j)]
+            # rs here is the precomputed (W, C) weight-sum field
+            return full - x * rs
+
+        def make_rowsums(giota, r_total):
+            if boundary == "zero":
+                return None
+            ok_top = (giota >= 1).astype(jnp.float32)
+            ok_bot = (giota <= r_total - 2).astype(jnp.float32)
+            rok = (ok_top, jnp.ones_like(ok_top), ok_bot)
+            return rok[0] * cw[0] + rok[1] * cw[1] + rok[2] * cw[2]
+
+    du_rate = Precision(params.diffusion_rate_u)
+    dv_rate = Precision(params.diffusion_rate_v)
+    f = Precision(params.feed_rate)
+    mfk = params.min_feed_kill()
+    dt = Precision(params.time_step)
+
+    def stepper(u, v, giota, r_total):
+        dommask = jnp.logical_and(giota >= 0, giota < r_total)
+        rs = make_rowsums(giota, r_total)
+        full_u = laplacian(u, rs)
+        full_v = laplacian(v, rs)
+        if boundary == "naive":
+            ok_s = (giota <= r_total - 2).astype(jnp.float32)
+            in_dom = jnp.logical_and(giota >= 1, giota < r_total)
+            for x, full in ((u, full_u), (v, full_v)):
+                strip = _left_col_strip(x, w, ok_s)
+                fixed = jnp.where(jnp.logical_and(is_col0, in_dom), strip, full)
+                # top-row quirk: global row 0 sits at static window row HALO
+                # whenever this window contains it (see module docstring)
+                top = _edge_strip_1xc(
+                    x[HALO : HALO + 1, :], x[HALO + 1 : HALO + 2, :], w[0:2, :], c
+                )
+                fixed = jnp.where(giota == 0, top, fixed)
+                if x is u:
+                    full_u = fixed
+                else:
+                    full_v = fixed
+        uv_square = u * v * v
+        du = du_rate * full_u - uv_square + f * (Precision(1.0) - u)
+        dv = dv_rate * full_v + uv_square + mfk * v
+        un = u + du * dt
+        vn = v + dv * dt
+        un = jnp.where(dommask, un, Precision(0.0))
+        vn = jnp.where(dommask, vn, Precision(0.0))
+        return un, vn
+
+    return stepper
+
+
+def _kernel(scal_ref, u_ref, v_ref, us_ref, vs_ref, uo_ref, vo_ref, *,
+            steps: int, tr: int, c: int, params, boundary: str):
+    w_rows = tr + 2 * HALO
+    stepper = make_window_stepper(params, boundary, w_rows, c)
+    origin = scal_ref[0, 0]
+    r_total = scal_ref[0, 1]
+    g0 = origin + pl.program_id(0) * tr
+    giota = g0 + jax.lax.broadcasted_iota(jnp.int32, (w_rows, 1), 0)
+    u, v = u_ref[:], v_ref[:]
+    for _ in range(steps):
+        u, v = stepper(u, v, giota, r_total)
+    uo_ref[:] = u[HALO : HALO + tr, :]
+    vo_ref[:] = v[HALO : HALO + tr, :]
+
+
+def multistep_impl(
+    u_pad, v_pad, u_stale, v_stale, origin, r_total,
+    *, steps: int, tr: int, params: Parameters, boundary: str,
+    interpret: bool = False,
+):
+    """Advance padded state by ``steps`` (<= HALO) simulation steps.
+
+    ``u_pad``/``v_pad``: (HALO + Rp + HALO, C) current state with zero (or
+    halo-exchanged) padding rows. ``u_stale``/``v_stale``: the other double
+    buffer, aliased to the outputs so its padding rows survive.
+    ``origin``: global row index of padded row 0 (-HALO single-chip).
+    Returns the new (u_pad, v_pad). Not jitted: call through
+    :func:`multistep` / :func:`run_blocks` (one device dispatch each — the
+    tunneled TPU has ~100 ms per-dispatch latency, so the driver loop lives
+    on device, mirroring the reference's single-command-buffer pattern).
+    """
+    if not (1 <= steps <= HALO):
+        raise ValueError(f"steps must be in [1, {HALO}], got {steps}")
+    rp_full, c = u_pad.shape
+    rp = rp_full - 2 * HALO
+    if rp % tr != 0 or tr % 8 != 0:
+        raise ValueError(f"interior rows {rp} must be a multiple of tr={tr} (tr % 8 == 0)")
+    w_rows = tr + 2 * HALO
+    grid = (rp // tr,)
+    scalars = jnp.concatenate(
+        [jnp.asarray(origin, jnp.int32).reshape(1, 1),
+         jnp.asarray(r_total, jnp.int32).reshape(1, 1)], axis=1
+    )
+    kernel = functools.partial(
+        _kernel, steps=steps, tr=tr, c=c, params=params, boundary=boundary
+    )
+    out_u, out_v = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (pl.Element(w_rows), pl.Element(c)),
+                lambda i: (pl.multiple_of(i * tr, 8), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (pl.Element(w_rows), pl.Element(c)),
+                lambda i: (pl.multiple_of(i * tr, 8), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (pl.Element(tr), pl.Element(c)),
+                lambda i: (pl.multiple_of(HALO + i * tr, 8), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (pl.Element(tr), pl.Element(c)),
+                lambda i: (pl.multiple_of(HALO + i * tr, 8), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(u_pad.shape, u_pad.dtype),
+            jax.ShapeDtypeStruct(v_pad.shape, v_pad.dtype),
+        ],
+        input_output_aliases={3: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(scalars, u_pad, v_pad, u_stale, v_stale)
+    return out_u, out_v
+
+
+multistep = jax.jit(
+    multistep_impl,
+    static_argnames=("steps", "tr", "params", "boundary", "interpret"),
+    donate_argnames=("u_stale", "v_stale"),
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("steps", "tr", "params", "boundary", "interpret"),
+    donate_argnames=("u_pad", "v_pad", "u_stale", "v_stale"),
+)
+def run_blocks(
+    u_pad, v_pad, u_stale, v_stale, origin, r_total, n_blocks,
+    *, steps: int, tr: int, params: Parameters, boundary: str,
+    interpret: bool = False,
+):
+    """Run ``n_blocks`` successive K-step kernel calls in ONE executable.
+
+    ``n_blocks`` is a traced operand (changing it does not recompile). The
+    double-buffer flip is the loop carry rotation; XLA keeps all four HBM
+    buffers in place. This is the analog of the reference recording every
+    step into one command buffer and submitting once
+    (compute/gpu/naive/src/lib.rs:117-128).
+    """
+
+    def body(_, carry):
+        a, b, sa, sb = carry
+        na, nb = multistep_impl(
+            a, b, sa, sb, origin, r_total,
+            steps=steps, tr=tr, params=params, boundary=boundary,
+            interpret=interpret,
+        )
+        return (na, nb, a, b)
+
+    return jax.lax.fori_loop(
+        0, n_blocks, body, (u_pad, v_pad, u_stale, v_stale)
+    )
+
+
+def pad_state(u: np.ndarray, v: np.ndarray, tr: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack (R, C) concentrations into the padded kernel layout."""
+    r, c = u.shape
+    rp = -(-r // tr) * tr
+    out = []
+    for x in (u, v):
+        buf = np.zeros((HALO + rp + HALO, c), dtype=Precision)
+        buf[HALO : HALO + r, :] = x
+        out.append(buf)
+    return out[0], out[1]
+
+
+def choose_block_rows(r: int, c: int, vmem_budget_bytes: int = 3 << 20) -> int:
+    """Default row-tile size: fit one (TR + 2*HALO, C) f32 window pair in the
+    VMEM budget (the analog of the reference's hwloc cache-budget defaults,
+    compute/block/src/default.rs:6-57), clamped to [8, 256] and to the
+    domain size."""
+    bytes_per_row = c * 4 * 2  # two species
+    tr = (vmem_budget_bytes // bytes_per_row - 2 * HALO) // 8 * 8
+    tr = max(8, min(256, tr))
+    rp = -(-r // 8) * 8
+    while tr > rp:
+        tr -= 8
+    return max(tr, 8)

@@ -1,0 +1,50 @@
+"""Color palette for visualization.
+
+Analog of the reference's colorous INFERNO gradient with amplitude scaling
+(``ui/src/lib.rs:115-123``: ``GRADIENT = INFERNO``, ``MAX_AMPLITUDE = 0.5``,
+``AMPLITUDE_SCALE = 1/MAX_AMPLITUDE = 2.0``) and the per-pixel
+``eval_continuous(2.0 * v)`` colorization of ``data-to-pics``
+(data-to-pics/src/main.rs:139-142). Both colorous and matplotlib derive
+"inferno" from the same matplotlib colormap data, so a 256-entry LUT sampled
+from matplotlib with linear interpolation reproduces eval_continuous.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+#: Reference: ui/src/lib.rs:119-123
+MAX_AMPLITUDE = 0.5
+AMPLITUDE_SCALE = 1.0 / MAX_AMPLITUDE
+
+_LUT: np.ndarray | None = None
+
+
+def inferno_lut() -> np.ndarray:
+    """(256, 3) uint8 INFERNO lookup table."""
+    global _LUT
+    if _LUT is None:
+        from matplotlib import colormaps
+
+        cmap = colormaps["inferno"]
+        _LUT = (np.asarray(cmap(np.linspace(0.0, 1.0, 256)))[:, :3] * 255.0).round().astype(
+            np.uint8
+        )
+    return _LUT
+
+
+def colorize(values: np.ndarray, scale: float = AMPLITUDE_SCALE) -> np.ndarray:
+    """Map float concentrations to RGB8 via the INFERNO gradient.
+
+    Equivalent to colorous ``Gradient::eval_continuous(scale * v)``: the
+    input is clamped to [0, 1] and linearly interpolated in the 256-color
+    table. Returns an (..., 3) uint8 array.
+    """
+    lut = inferno_lut().astype(np.float32)
+    t = np.clip(values * np.float32(scale), 0.0, 1.0).astype(np.float32)
+    x = t * 255.0
+    lo = np.floor(x).astype(np.int32)
+    hi = np.minimum(lo + 1, 255)
+    frac = (x - lo)[..., None]
+    rgb = lut[lo] * (1.0 - frac) + lut[hi] * frac
+    return (rgb + 0.5).astype(np.uint8)

@@ -1,0 +1,102 @@
+"""End-to-end CLI tests: the analog of the reference's CI smoke tests
+(.github/workflows/ci.yml:179-229: run `simulate -n 10` then `data-to-pics`
+for each backend) — plus numerical output validation the reference lacks."""
+
+import os
+
+import numpy as np
+import pytest
+
+from grayscott_tpu import oracle
+from grayscott_tpu.cli import data_to_pics, simulate
+from grayscott_tpu.io.hdf5 import Reader
+from grayscott_tpu.species import initial_uv
+
+
+@pytest.mark.parametrize("backend", ["naive", "fused"])
+def test_simulate_then_pics(tmp_path, backend):
+    out = tmp_path / "output.h5"
+    rc = simulate.main(
+        [
+            "-n", "4", "-r", "24", "-c", "32", "-e", "8",
+            "--backend", backend, "-o", str(out),
+        ]
+    )
+    assert rc == 0
+    with Reader(out) as r:
+        assert r.num_images == 4
+        assert r.image_shape == (24, 32)
+        frames = list(r)
+    # image i holds V after (i+1)*8 steps; check against the oracle
+    from grayscott_tpu.params import Parameters
+
+    u, v = initial_uv((24, 32))
+    for frame in frames:
+        u, v = oracle.run(u, v, Parameters(), 8)
+        np.testing.assert_allclose(frame, v, rtol=0, atol=1e-5)
+
+    picdir = tmp_path / "pics"
+    rc = data_to_pics.main(["-i", str(out), "-o", str(picdir)])
+    assert rc == 0
+    names = sorted(os.listdir(picdir))
+    assert names == ["0.png", "1.png", "2.png", "3.png"]
+    from PIL import Image
+
+    img = np.asarray(Image.open(picdir / "0.png"))
+    assert img.shape == (24, 32, 3)
+
+
+def test_simulate_parameter_overrides(tmp_path):
+    out = tmp_path / "o.h5"
+    rc = simulate.main(
+        [
+            "-n", "1", "-r", "16", "-c", "16", "-e", "2",
+            "-k", "0.06", "-f", "0.02", "-t", "0.5",
+            "--backend", "fused", "-o", str(out),
+        ]
+    )
+    assert rc == 0
+    from grayscott_tpu.params import Parameters
+
+    u, v = initial_uv((16, 16))
+    u, v = oracle.run(
+        u, v, Parameters(kill_rate=0.06, feed_rate=0.02, time_step=0.5), 2
+    )
+    with Reader(out) as r:
+        np.testing.assert_allclose(r.read(), v, rtol=0, atol=1e-6)
+
+
+def test_zero_boundary_cli(tmp_path):
+    out = tmp_path / "o.h5"
+    rc = simulate.main(
+        ["-n", "1", "-r", "16", "-c", "16", "-e", "3",
+         "--boundary", "zero", "--backend", "regular", "-o", str(out)]
+    )
+    assert rc == 0
+    from grayscott_tpu.params import Parameters
+
+    u, v = initial_uv((16, 16))
+    u, v = oracle.run(u, v, Parameters(), 3, boundary="zero")
+    with Reader(out) as r:
+        np.testing.assert_allclose(r.read(), v, rtol=0, atol=1e-6)
+
+
+def test_default_output_name():
+    from grayscott_tpu.cli.shared import simulation_output_path
+
+    assert simulation_output_path(None) == "output.h5"
+    assert simulation_output_path("x.h5") == "x.h5"
+
+
+def test_pics_zero_padding(tmp_path):
+    """Width = ilog10(n) + 1 (data-to-pics/src/main.rs:97-104)."""
+    from grayscott_tpu.io.hdf5 import Writer
+
+    out = tmp_path / "many.h5"
+    with Writer(out, (4, 4), 11) as w:
+        for _ in range(11):
+            w.write(np.zeros((4, 4), np.float32))
+    picdir = tmp_path / "pics"
+    data_to_pics.main(["-i", str(out), "-o", str(picdir), "--output-threads", "2"])
+    names = sorted(os.listdir(picdir))
+    assert names[0] == "00.png" and names[-1] == "10.png"

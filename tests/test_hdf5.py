@@ -1,0 +1,43 @@
+import numpy as np
+import h5py
+
+from grayscott_tpu.io.hdf5 import Reader, Writer
+
+
+def test_roundtrip(tmp_path, rng):
+    path = tmp_path / "out.h5"
+    imgs = [rng.rand(12, 17).astype(np.float32) for _ in range(5)]
+    with Writer(path, (12, 17), 5) as w:
+        for img in imgs:
+            w.write(img)
+    with Reader(path) as r:
+        assert r.num_images == 5
+        assert r.image_shape == (12, 17)
+        got = list(r)
+    assert len(got) == 5
+    for a, b in zip(got, imgs):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_layout_matches_reference(tmp_path):
+    """Dataset 'matrix', shape [n, rows, cols] f32, chunks [1, rows, cols]
+    (reference: data/src/hdf5.rs:36-54, :24)."""
+    path = tmp_path / "out.h5"
+    with Writer(path, (8, 9), 3) as w:
+        for _ in range(3):
+            w.write(np.zeros((8, 9), np.float32))
+    with h5py.File(path, "r") as f:
+        ds = f["matrix"]
+        assert ds.shape == (3, 8, 9)
+        assert ds.dtype == np.float32
+        assert ds.chunks == (1, 8, 9)
+
+
+def test_reader_rejects_wrong_rank(tmp_path):
+    path = tmp_path / "bad.h5"
+    with h5py.File(path, "w") as f:
+        f.create_dataset("matrix", data=np.zeros((4, 5), np.float32))
+    import pytest
+
+    with pytest.raises(ValueError):
+        Reader(path)

@@ -1,0 +1,75 @@
+"""Pallas kernel numerics validation (interpreter mode on CPU) against the
+NumPy oracle — covering temporal blocking depths, both boundary semantics,
+tile/domain edge interactions and all stencils."""
+
+import numpy as np
+import pytest
+
+from grayscott_tpu import oracle
+from grayscott_tpu.backends.pallas import PallasSimulation
+from grayscott_tpu.params import Parameters, STENCILS
+from grayscott_tpu.species import initial_uv
+
+from conftest import random_uv
+
+
+def run_pallas(u, v, params, boundary, steps, **kw):
+    sim = PallasSimulation(params, boundary=boundary, interpret=True, **kw)
+    species = sim.make_species(u.shape)
+    species.storage = sim.build_storage(u, v)
+    sim.perform_steps(species, steps)
+    return species.uv_host()
+
+
+@pytest.mark.parametrize("boundary", ["naive", "zero"])
+@pytest.mark.parametrize("steps", [1, 3, 8])
+def test_multistep_parity(rng, params, boundary, steps):
+    """K steps fused in VMEM == K oracle steps (24 rows => 3 tiles of 8)."""
+    u, v = random_uv(rng, (24, 16))
+    ou, ov = oracle.run(u, v, params, steps, boundary)
+    gu, gv = run_pallas(u, v, params, boundary, steps, block_rows=8)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("stencil", list(STENCILS))
+def test_all_stencils(rng, stencil):
+    params = Parameters.with_stencil(stencil)
+    u, v = random_uv(rng, (16, 16))
+    ou, ov = oracle.run(u, v, params, 4, "naive")
+    gu, gv = run_pallas(u, v, params, "naive", 4, block_rows=8)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_unaligned_rows(rng, params):
+    """R not a multiple of the tile => internal padding rows stay inert."""
+    u, v = random_uv(rng, (19, 16))
+    ou, ov = oracle.run(u, v, params, 5, "naive")
+    gu, gv = run_pallas(u, v, params, "naive", 5, block_rows=8)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_steps_not_multiple_of_k(rng, params):
+    """steps=11 with K=4 => 2 full calls + remainder-3 call."""
+    u, v = random_uv(rng, (16, 16))
+    ou, ov = oracle.run(u, v, params, 11, "naive")
+    gu, gv = run_pallas(u, v, params, "naive", 11, block_rows=8,
+                        steps_per_call=4)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_standard_init_long(params):
+    """16 steps from the standard init box (two fused K=8 batches)."""
+    u0, v0 = initial_uv((32, 48))
+    ou, ov = oracle.run(u0, v0, params, 16)
+    gu, gv = run_pallas(u0, v0, params, "naive", 16, block_rows=16)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=2e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=2e-6)
+
+
+def test_bad_steps_per_call(params):
+    with pytest.raises(ValueError):
+        PallasSimulation(params, steps_per_call=9)
