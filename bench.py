@@ -1,0 +1,76 @@
+"""Headline benchmark: Gray-Scott throughput at 4096^2, 1000 steps.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "Gcell/s", "vs_baseline": N}
+
+``value`` is cell-updates per second (the reference's criterion throughput
+unit, compute/shared/src/benchmark.rs:59) on the best available backend.
+``vs_baseline`` is the fraction of the single-chip HBM-bandwidth roofline
+(~51.2 Gcell/s on a ~819 GB/s v5e at 16 B/cell/step; see BASELINE.md) —
+1.0 means the memory-bound speed of light for a non-temporal-blocked
+solver; temporal blocking can exceed it.
+
+Timing methodology: the whole 1000-step run is a handful of device
+dispatches (the steps loop lives on device); synchronization is a tiny
+data-dependent readback, because full-frame transfers through the tunneled
+TPU are slow and block_until_ready is unreliable there.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+ROOFLINE_GCELLS = 51.2  # 819 GB/s / 16 B per cell-update (BASELINE.md)
+
+
+def measure(r=4096, c=4096, steps=1000, backend=None, boundary="naive"):
+    import jax
+    import jax.numpy as jnp
+
+    from grayscott_tpu.backends import best_backend_name, get_backend
+    from grayscott_tpu.params import Parameters
+
+    name = backend or best_backend_name()
+    if name == "sharded" and len(jax.devices()) == 1:
+        name = "pallas"
+    sim = get_backend(name)(Parameters(), boundary=boundary)
+    species = sim.make_species((r, c))
+
+    def sync():
+        return float(np.asarray(jnp.sum(species.result()[:8, :128])))
+
+    sim.prepare_steps(species, 2 * getattr(sim, "steps_per_call", 8))  # compile
+    sync()
+    t0 = time.time()
+    sim.prepare_steps(species, steps)
+    sync()
+    dt = time.time() - t0
+    return name, r * c * steps / dt / 1e9, dt
+
+
+def main() -> int:
+    try:
+        name, gcells, dt = measure()
+    except Exception:
+        # robust fallback: the pure-XLA backend runs everywhere
+        name, gcells, dt = measure(backend="fused")
+    print(
+        json.dumps(
+            {
+                "metric": f"Gcell-updates/s, 4096^2 x 1000 steps, backend={name}",
+                "value": round(gcells, 3),
+                "unit": "Gcell/s",
+                "vs_baseline": round(gcells / ROOFLINE_GCELLS, 4),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

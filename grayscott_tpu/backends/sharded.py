@@ -1,0 +1,104 @@
+"""`sharded` backend: multi-chip row decomposition over a device mesh.
+
+The TPU replacement for the reference's `parallel` backend (rayon fork-join
+over halo-overlapped grid splits, compute/parallel/src/lib.rs:29-121) — see
+grayscott_tpu/parallel/halo.py. Like the reference's
+``ParallelSimulation<BlockWiseSimulation<...>>`` composition, this wraps the
+single-chip Pallas kernel per shard and adds the distribution layer on top.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import pallas_stencil as ps
+from ..parallel import halo
+from ..params import Parameters
+from .base import Simulation, env_default
+
+
+class ShardedSimulation(Simulation):
+    name = "sharded"
+
+    def __init__(
+        self,
+        params: Parameters,
+        boundary: str = "naive",
+        n_devices: int | None = None,
+        block_rows: int | None = None,
+        steps_per_call: int = ps.HALO,
+        interpret: bool | None = None,
+        **kwargs,
+    ):
+        super().__init__(params, boundary)
+        self.mesh = halo.make_mesh(n_devices)
+        if not (1 <= steps_per_call <= ps.HALO):
+            raise ValueError(
+                f"steps_per_call must be in [1, {ps.HALO}], got {steps_per_call}"
+            )
+        self.block_rows = block_rows
+        self.steps_per_call = steps_per_call
+        if interpret is None:
+            interpret = jax.devices()[0].platform != "tpu"
+        self.interpret = interpret
+
+    def _tr(self, shape) -> int:
+        r, c = shape
+        n = self.mesh.devices.size
+        r_loc = r // max(n, 1)
+        tr = self.block_rows or ps.choose_block_rows(r_loc, c)
+        while tr > 8 and r_loc % tr != 0:
+            tr -= 8
+        return tr
+
+    def build_storage(self, u: np.ndarray, v: np.ndarray):
+        tr = self._tr(u.shape)
+        ub, vb, _ = halo.shard_state(u, v, self.mesh, tr)
+        us, vs, _ = halo.shard_state(u, v, self.mesh, tr)
+        return (ub, vb, us, vs, tr)
+
+    def extract_uv(self, storage, shape) -> Tuple[jax.Array, jax.Array]:
+        return (
+            halo.unshard_result(storage[0], shape),
+            halo.unshard_result(storage[1], shape),
+        )
+
+    def run_steps(self, storage, shape, steps: int):
+        u, v, us, vs, tr = storage
+        r, _ = shape
+        k = self.steps_per_call
+        n_full, rem = divmod(steps, k)
+        common = dict(
+            mesh=self.mesh, r_total=r, tr=tr, params=self.params,
+            boundary=self.boundary, interpret=self.interpret,
+        )
+        if n_full:
+            u, v, us, vs = halo.sharded_run_blocks(
+                u, v, us, vs, jnp.int32(n_full), steps=k, **common
+            )
+        if rem:
+            u, v, us, vs = halo.sharded_run_blocks(
+                u, v, us, vs, jnp.int32(1), steps=rem, **common
+            )
+        return (u, v, us, vs, tr)
+
+    @classmethod
+    def add_cli_args(cls, parser: argparse.ArgumentParser) -> None:
+        parser.add_argument(
+            "--sharded-devices", type=int,
+            default=env_default("GRAYSCOTT_SHARDED_DEVICES", None, int),
+            help="Number of devices in the row mesh (default: all)",
+        )
+
+    @classmethod
+    def args_from_namespace(cls, ns: argparse.Namespace):
+        return {
+            "n_devices": getattr(ns, "sharded_devices", None),
+            "block_rows": getattr(ns, "pallas_block_rows", None),
+            "steps_per_call": getattr(ns, "pallas_steps_per_call", ps.HALO),
+        }

@@ -1,0 +1,165 @@
+"""Benchmark harness: the criterion-suite analog.
+
+Reproduces the reference's measurement methodology
+(``compute/shared/src/benchmark.rs``):
+
+- sweep of domain sizes ``[2^s, 2^{s+1}]`` for s in 3..11 and step batches
+  ``2^0..2^8`` (``benchmark.rs:50-56``), both configurable;
+- throughput in cell-updates/sec (``Throughput::Elements(cells * steps)``,
+  ``benchmark.rs:59``);
+- three workloads (``benchmark.rs:77-113``):
+  * ``compute``    — simulation steps only (sync via a tiny readback);
+  * ``full_sync``  — steps + full V readback to the host each iteration;
+  * ``full_future``— steps + readback scheduled as one async chain (the
+    GPU single-submission analog: device-side snapshot copy enqueued with
+    the steps, host touches it once).
+
+Denormals: TPUs flush denormals by default, matching the reference's
+DenormalsFlusher-wrapped measurements (compute/shared/src/lib.rs:123-213).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Iterable, List, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Result:
+    backend: str
+    workload: str
+    shape: tuple
+    steps: int
+    seconds: float
+    gcells_per_sec: float
+
+    def to_json(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def default_domains(smin: int = 3, smax: int = 11) -> List[tuple]:
+    """[2^s, 2^{s+1}] for s in smin..smax (benchmark.rs:50-56)."""
+    return [(1 << s, 1 << (s + 1)) for s in range(smin, smax + 1)]
+
+
+def default_step_counts() -> List[int]:
+    return [1 << n for n in range(9)]  # 2^0 .. 2^8
+
+
+def _sync_tiny(species):
+    import jax.numpy as jnp
+
+    return float(np.asarray(jnp.sum(species.result()[:1, :128])))
+
+
+def run_one(
+    sim, shape, steps: int, workload: str = "compute", reps: int = 3
+) -> Result:
+    import jax.numpy as jnp
+
+    species = sim.make_species(shape)
+    sim.prepare_steps(species, steps)  # compile + warmup
+    _sync_tiny(species)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        sim.prepare_steps(species, steps)
+        if workload == "compute":
+            _sync_tiny(species)
+        elif workload == "full_sync":
+            np.asarray(species.result())
+        elif workload == "full_future":
+            snap = jnp.copy(species.result())
+            np.asarray(snap)
+        else:
+            raise ValueError(f"unknown workload {workload!r}")
+        best = min(best, time.time() - t0)
+    cells = shape[0] * shape[1] * steps
+    return Result(
+        backend=sim.name, workload=workload, shape=tuple(shape), steps=steps,
+        seconds=best, gcells_per_sec=cells / best / 1e9,
+    )
+
+
+def sweep(
+    backend_names: Sequence[str],
+    domains: Iterable[tuple] | None = None,
+    step_counts: Iterable[int] | None = None,
+    workloads: Sequence[str] = ("compute",),
+    boundary: str = "naive",
+    reps: int = 3,
+    out_path: str | None = None,
+    verbose: bool = True,
+) -> List[Result]:
+    from ..backends import get_backend
+    from ..params import Parameters
+
+    domains = list(domains or default_domains())
+    step_counts = list(step_counts or default_step_counts())
+    results = []
+    for name in backend_names:
+        sim = get_backend(name)(Parameters(), boundary=boundary)
+        for shape in domains:
+            for steps in step_counts:
+                for workload in workloads:
+                    res = run_one(sim, shape, steps, workload, reps)
+                    results.append(res)
+                    if verbose:
+                        print(
+                            f"{name:8s} {workload:11s} {shape[0]:5d}x{shape[1]:<5d} "
+                            f"steps={steps:3d}  {res.gcells_per_sec:8.2f} Gcell/s",
+                            flush=True,
+                        )
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump([r.to_json() for r in results], f, indent=1)
+    return results
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="grayscott-bench",
+        description="Throughput sweep (criterion benchmark analog)",
+    )
+    parser.add_argument("--backends", default="auto",
+                        help="comma-separated backend names, or 'auto'")
+    parser.add_argument("--smin", type=int, default=3)
+    parser.add_argument("--smax", type=int, default=11)
+    parser.add_argument("--steps", default=None,
+                        help="comma-separated step counts (default 1..256 pow2)")
+    parser.add_argument("--workloads", default="compute",
+                        help="comma-separated: compute,full_sync,full_future")
+    parser.add_argument("--boundary", default="naive", choices=["naive", "zero"])
+    parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("-o", "--output", default=None, help="JSON output path")
+    args = parser.parse_args(argv)
+
+    if args.backends == "auto":
+        from ..backends import best_backend_name
+
+        names = [best_backend_name()]
+    else:
+        names = args.backends.split(",")
+    steps = [int(s) for s in args.steps.split(",")] if args.steps else None
+    sweep(
+        names,
+        domains=default_domains(args.smin, args.smax),
+        step_counts=steps,
+        workloads=args.workloads.split(","),
+        boundary=args.boundary,
+        reps=args.reps,
+        out_path=args.output,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -1,0 +1,58 @@
+import http.client
+import os
+import threading
+import time
+
+import numpy as np
+
+from grayscott_tpu.cli import livesim
+
+
+def test_headless_frames(tmp_path):
+    rc = livesim.main(
+        ["-r", "24", "-c", "32", "--backend", "fused",
+         "--frames", "3", "--output-dir", str(tmp_path / "frames")]
+    )
+    assert rc == 0
+    names = sorted(os.listdir(tmp_path / "frames"))
+    assert names == ["0.png", "1.png", "2.png"]
+    from PIL import Image
+
+    img = np.asarray(Image.open(tmp_path / "frames" / "2.png"))
+    assert img.shape == (24, 32, 3)
+    assert img.max() > 0  # the V=1 box maps to bright INFERNO colors
+
+
+def test_web_stream_smoke():
+    args = livesim.build_parser().parse_args(
+        ["-r", "16", "-c", "16", "--backend", "fused", "--port", "18472"]
+    )
+    src = livesim.FrameSource(args)
+    from grayscott_tpu.utils.logs import init_logging
+
+    t = threading.Thread(
+        target=livesim.run_web,
+        args=(src, 18472, 60.0, init_logging(prefer_syslog=False)),
+        daemon=True,
+    )
+    t.start()
+    deadline = time.time() + 10
+    data = b""
+    while time.time() < deadline:
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", 18472, timeout=5)
+            conn.request("GET", "/stream")
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert "multipart/x-mixed-replace" in resp.getheader("Content-Type")
+            data = resp.read(4096)
+            conn.close()
+            break
+        except (ConnectionRefusedError, OSError):
+            time.sleep(0.2)
+    assert b"image/jpeg" in data
+
+
+def test_steps_per_frame_default_is_one():
+    args = livesim.build_parser().parse_args(["--backend", "fused"])
+    assert args.nbextrastep is None  # -> 1 in FrameSource (main.rs:77 analog)

@@ -1,0 +1,57 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh — the fake
+backend the reference's CI explicitly lacks (.github/workflows/ci.yml FIXME,
+SURVEY.md section 4)."""
+
+import jax
+import numpy as np
+import pytest
+
+from grayscott_tpu import oracle
+from grayscott_tpu.backends.sharded import ShardedSimulation
+from grayscott_tpu.params import Parameters
+from grayscott_tpu.species import initial_uv
+
+from conftest import random_uv
+
+
+def run_sharded(u, v, params, boundary, steps, n_devices, **kw):
+    sim = ShardedSimulation(
+        params, boundary=boundary, n_devices=n_devices, interpret=True, **kw
+    )
+    species = sim.make_species(u.shape)
+    species.storage = sim.build_storage(u, v)
+    sim.perform_steps(species, steps)
+    return species.uv_host()
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("n,boundary", [(2, "naive"), (8, "naive"), (4, "zero")])
+def test_sharded_parity(rng, params, boundary, n):
+    """Halo exchange + per-shard kernel == global oracle, incl. the naive
+    edge quirk at the true domain boundary."""
+    u, v = random_uv(rng, (64, 16))
+    ou, ov = oracle.run(u, v, params, 4, boundary)
+    gu, gv = run_sharded(u, v, params, boundary, 4, n, block_rows=8,
+                         steps_per_call=4)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_multiple_blocks_cross_shard(rng, params):
+    """9 steps = 2 full K=4 blocks + remainder; halo refills between blocks,
+    and the pattern crosses shard boundaries (standard init box)."""
+    u0, v0 = initial_uv((32, 16))
+    ou, ov = oracle.run(u0, v0, params, 9, "naive")
+    gu, gv = run_sharded(u0, v0, params, "naive", 9, 4, block_rows=8,
+                         steps_per_call=4)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_indivisible_rows_rejected(params):
+    sim = ShardedSimulation(params, n_devices=8, interpret=True, block_rows=8)
+    with pytest.raises(ValueError):
+        sim.make_species((60, 16))
