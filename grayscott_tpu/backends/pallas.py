@@ -30,6 +30,8 @@ from .base import Simulation, env_default
 class PallasSimulation(Simulation):
     name = "pallas"
 
+    MAX_STEPS_PER_CALL = 32
+
     def __init__(
         self,
         params: Parameters,
@@ -37,15 +39,23 @@ class PallasSimulation(Simulation):
         block_rows: int | None = None,
         steps_per_call: int = ps.HALO,
         interpret: bool | None = None,
+        vmem_limit_bytes: int | None = None,
         **kwargs,
     ):
         super().__init__(params, boundary)
-        if not (1 <= steps_per_call <= ps.HALO):
+        if not (1 <= steps_per_call <= self.MAX_STEPS_PER_CALL):
             raise ValueError(
-                f"steps_per_call must be in [1, {ps.HALO}], got {steps_per_call}"
+                f"steps_per_call must be in [1, {self.MAX_STEPS_PER_CALL}], "
+                f"got {steps_per_call}"
             )
         self.block_rows = block_rows
         self.steps_per_call = steps_per_call
+        # halo depth = steps rounded up to the 8-row alignment quantum
+        self.halo = max(-(-steps_per_call // 8) * 8, ps.HALO)
+        if vmem_limit_bytes is None:
+            # measured safe on v5e; large tiles OOM under the 16M default
+            vmem_limit_bytes = 64 << 20
+        self.vmem_limit_bytes = vmem_limit_bytes
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
         self.interpret = interpret
@@ -54,13 +64,24 @@ class PallasSimulation(Simulation):
 
     def _tr(self, shape) -> int:
         r, c = shape
-        tr = self.block_rows or ps.choose_block_rows(r, c)
-        rp = -(-r // tr) * tr
-        return tr if rp % tr == 0 else tr
+        tr = self.block_rows
+        if tr is None:
+            # persisted autotune result for this (platform, domain, ...)
+            from ..bench import autotune
+
+            tuned = autotune.lookup(self.params, shape, self.boundary)
+            if tuned:
+                tr = tuned["block_rows"]
+        if tr is None:
+            tr = ps.choose_block_rows(r, c)
+        rp = -(-r // 8) * 8
+        while tr > 8 and tr > rp:
+            tr -= 8
+        return tr
 
     def build_storage(self, u: np.ndarray, v: np.ndarray):
         tr = self._tr(u.shape)
-        u_pad, v_pad = ps.pad_state(u, v, tr)
+        u_pad, v_pad = ps.pad_state(u, v, tr, self.halo)
         return (
             jnp.asarray(u_pad),
             jnp.asarray(v_pad),
@@ -72,7 +93,7 @@ class PallasSimulation(Simulation):
     def extract_uv(self, storage, shape) -> Tuple[jax.Array, jax.Array]:
         u_pad, v_pad = storage[0], storage[1]
         r, c = shape
-        h = ps.HALO
+        h = self.halo
         return u_pad[h : h + r, :], v_pad[h : h + r, :]
 
     # -- stepping ------------------------------------------------------------
@@ -82,19 +103,21 @@ class PallasSimulation(Simulation):
         r, _ = shape
         k = self.steps_per_call
         n_full, rem = divmod(steps, k)
+        common = dict(
+            tr=tr, params=self.params, boundary=self.boundary,
+            halo=self.halo, interpret=self.interpret,
+            vmem_limit_bytes=self.vmem_limit_bytes,
+        )
         if n_full:
             # one device dispatch for all full K-step blocks
             u, v, us, vs = ps.run_blocks(
-                u, v, us, vs, -ps.HALO, r, jnp.int32(n_full),
-                steps=k, tr=tr, params=self.params,
-                boundary=self.boundary, interpret=self.interpret,
+                u, v, us, vs, -self.halo, r, jnp.int32(n_full),
+                steps=k, **common,
             )
         if rem:
             u, v, us, vs = (
                 *ps.multistep(
-                    u, v, us, vs, -ps.HALO, r,
-                    steps=rem, tr=tr, params=self.params,
-                    boundary=self.boundary, interpret=self.interpret,
+                    u, v, us, vs, -self.halo, r, steps=rem, **common,
                 ),
                 u, v,
             )

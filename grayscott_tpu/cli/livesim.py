@@ -185,6 +185,9 @@ def run_window(src: FrameSource, fps_cap: float) -> int:
 
 def main(argv=None) -> int:
     logger = init_logging()
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     src = FrameSource(args)
     logger.info(

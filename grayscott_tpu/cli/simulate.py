@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     logger = init_logging()
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     steps_per_image = args.nbextrastep if args.nbextrastep is not None else 32
     file_name = shared.simulation_output_path(args.output)

@@ -164,10 +164,20 @@ def _left_col_strip(x, w: np.ndarray, ok_s):
     return full
 
 
-def make_window_stepper(params: Parameters, boundary: str, w_rows: int, c: int):
-    """Build ``(u, v, giota, r_total) -> (u', v')`` for one in-VMEM step on a
-    (w_rows, c) window. ``giota`` is the (W, 1) int32 global row index of
-    each window row; ``r_total`` the scalar global row count."""
+def make_window_stepper(
+    params: Parameters, boundary: str, w_rows: int, c: int, halo: int = HALO
+):
+    """Build the per-window step for one in-VMEM iteration.
+
+    Returns ``(precompute, step)``: ``precompute(giota, r_total)`` builds the
+    loop-invariant context (domain mask, boundary weight-sum field, strip
+    masks) ONCE per window, and ``step(u, v, ctx)`` advances one simulation
+    step. Hoisting the invariants out of the K-step loop matters: they cost
+    several full-window VPU ops each.
+
+    ``giota`` is the (W, 1) int32 global row index of each window row;
+    ``r_total`` the scalar global row count.
+    """
     plan = params.separable_plan()
     w = params.weights_array()
     is_col0 = _col_iota(c) == 0
@@ -177,18 +187,19 @@ def make_window_stepper(params: Parameters, boundary: str, w_rows: int, c: int):
         h0, h1 = float(h[0]), float(h[1])
         cs = _col_sums(c, h) if boundary == "naive" else None
 
-        def laplacian(x, rs):
+        def laplacian(x, b_field):
             t = h1 * x + h0 * (_shift_cols(x, 1) + _shift_cols(x, -1))
             s = h1 * t + h0 * (_shift_rows(t, 1) + _shift_rows(t, -1))
             if boundary == "zero":
                 return s - float(alpha) * x
-            return s - x * (rs * cs)
+            return s - x * b_field
 
-        def make_rowsums(giota, r_total):
+        def make_b_field(giota, r_total):
             if boundary == "zero":
                 return None
             edge = jnp.logical_or(giota == 0, giota == r_total - 1)
-            return jnp.where(edge, np.float32(h[1] + h[2]), np.float32(h.sum()))
+            rs = jnp.where(edge, np.float32(h[1] + h[2]), np.float32(h.sum()))
+            return rs * cs  # (W, C), materialized once per window
 
     else:
         wc = params.corrected_weights()
@@ -210,7 +221,7 @@ def make_window_stepper(params: Parameters, boundary: str, w_rows: int, c: int):
                     out[(i, j)] = src if i == 1 else _shift_rows(src, 1 - i)
             return out
 
-        def laplacian(x, rs):
+        def laplacian(x, b_field):
             taps = _taps(x)
             full = jnp.zeros_like(x)
             if boundary == "zero":
@@ -223,10 +234,9 @@ def make_window_stepper(params: Parameters, boundary: str, w_rows: int, c: int):
                 for j in range(3):
                     if w[i][j] != 0.0:
                         full = full + float(w[i][j]) * taps[(i, j)]
-            # rs here is the precomputed (W, C) weight-sum field
-            return full - x * rs
+            return full - x * b_field
 
-        def make_rowsums(giota, r_total):
+        def make_b_field(giota, r_total):
             if boundary == "zero":
                 return None
             ok_top = (giota >= 1).astype(jnp.float32)
@@ -240,23 +250,32 @@ def make_window_stepper(params: Parameters, boundary: str, w_rows: int, c: int):
     mfk = params.min_feed_kill()
     dt = Precision(params.time_step)
 
-    def stepper(u, v, giota, r_total):
-        dommask = jnp.logical_and(giota >= 0, giota < r_total)
-        rs = make_rowsums(giota, r_total)
-        full_u = laplacian(u, rs)
-        full_v = laplacian(v, rs)
+    def precompute(giota, r_total):
+        ctx = {
+            "dommask": jnp.logical_and(giota >= 0, giota < r_total),
+            "b_field": make_b_field(giota, r_total),
+        }
         if boundary == "naive":
-            ok_s = (giota <= r_total - 2).astype(jnp.float32)
+            ctx["ok_s"] = (giota <= r_total - 2).astype(jnp.float32)
             in_dom = jnp.logical_and(giota >= 1, giota < r_total)
+            ctx["col0_mask"] = jnp.logical_and(is_col0, in_dom)
+            ctx["top_mask"] = giota == 0
+        return ctx
+
+    def step(u, v, ctx):
+        full_u = laplacian(u, ctx["b_field"])
+        full_v = laplacian(v, ctx["b_field"])
+        if boundary == "naive":
             for x, full in ((u, full_u), (v, full_v)):
-                strip = _left_col_strip(x, w, ok_s)
-                fixed = jnp.where(jnp.logical_and(is_col0, in_dom), strip, full)
-                # top-row quirk: global row 0 sits at static window row HALO
-                # whenever this window contains it (see module docstring)
+                strip = _left_col_strip(x, w, ctx["ok_s"])
+                fixed = jnp.where(ctx["col0_mask"], strip, full)
+                # top-row quirk: global row 0 sits at static window row
+                # `halo` whenever this window contains it (module docstring)
                 top = _edge_strip_1xc(
-                    x[HALO : HALO + 1, :], x[HALO + 1 : HALO + 2, :], w[0:2, :], c
+                    x[halo : halo + 1, :], x[halo + 1 : halo + 2, :],
+                    w[0:2, :], c,
                 )
-                fixed = jnp.where(giota == 0, top, fixed)
+                fixed = jnp.where(ctx["top_mask"], top, fixed)
                 if x is u:
                     full_u = fixed
                 else:
@@ -266,58 +285,66 @@ def make_window_stepper(params: Parameters, boundary: str, w_rows: int, c: int):
         dv = dv_rate * full_v + uv_square + mfk * v
         un = u + du * dt
         vn = v + dv * dt
-        un = jnp.where(dommask, un, Precision(0.0))
-        vn = jnp.where(dommask, vn, Precision(0.0))
+        un = jnp.where(ctx["dommask"], un, Precision(0.0))
+        vn = jnp.where(ctx["dommask"], vn, Precision(0.0))
         return un, vn
 
-    return stepper
+    return precompute, step
 
 
 def _kernel(scal_ref, u_ref, v_ref, us_ref, vs_ref, uo_ref, vo_ref, *,
-            steps: int, tr: int, c: int, params, boundary: str):
-    w_rows = tr + 2 * HALO
-    stepper = make_window_stepper(params, boundary, w_rows, c)
+            steps: int, tr: int, c: int, halo: int, params, boundary: str):
+    w_rows = tr + 2 * halo
+    precompute, step = make_window_stepper(params, boundary, w_rows, c, halo)
     origin = scal_ref[0, 0]
     r_total = scal_ref[0, 1]
     g0 = origin + pl.program_id(0) * tr
     giota = g0 + jax.lax.broadcasted_iota(jnp.int32, (w_rows, 1), 0)
+    ctx = precompute(giota, r_total)
     u, v = u_ref[:], v_ref[:]
     for _ in range(steps):
-        u, v = stepper(u, v, giota, r_total)
-    uo_ref[:] = u[HALO : HALO + tr, :]
-    vo_ref[:] = v[HALO : HALO + tr, :]
+        u, v = step(u, v, ctx)
+    uo_ref[:] = u[halo : halo + tr, :]
+    vo_ref[:] = v[halo : halo + tr, :]
 
 
 def multistep_impl(
     u_pad, v_pad, u_stale, v_stale, origin, r_total,
     *, steps: int, tr: int, params: Parameters, boundary: str,
-    interpret: bool = False,
+    halo: int = HALO, interpret: bool = False,
+    vmem_limit_bytes: int | None = None,
 ):
-    """Advance padded state by ``steps`` (<= HALO) simulation steps.
+    """Advance padded state by ``steps`` (<= halo) simulation steps.
 
-    ``u_pad``/``v_pad``: (HALO + Rp + HALO, C) current state with zero (or
+    ``u_pad``/``v_pad``: (halo + Rp + halo, C) current state with zero (or
     halo-exchanged) padding rows. ``u_stale``/``v_stale``: the other double
     buffer, aliased to the outputs so its padding rows survive.
-    ``origin``: global row index of padded row 0 (-HALO single-chip).
-    Returns the new (u_pad, v_pad). Not jitted: call through
-    :func:`multistep` / :func:`run_blocks` (one device dispatch each — the
-    tunneled TPU has ~100 ms per-dispatch latency, so the driver loop lives
-    on device, mirroring the reference's single-command-buffer pattern).
+    ``origin``: global row index of padded row 0 (-halo single-chip).
+    ``halo`` must be a multiple of 8 (element-indexing alignment); deeper
+    halos permit deeper temporal blocking (steps <= halo) at the price of
+    more redundant window compute. Returns the new (u_pad, v_pad).
+    Not jitted: call through :func:`multistep` / :func:`run_blocks` (one
+    device dispatch each — the tunneled TPU has ~100 ms per-dispatch
+    latency, so the driver loop lives on device, mirroring the reference's
+    single-command-buffer pattern).
     """
-    if not (1 <= steps <= HALO):
-        raise ValueError(f"steps must be in [1, {HALO}], got {steps}")
+    if halo % 8 != 0 or halo < 8:
+        raise ValueError(f"halo must be a positive multiple of 8, got {halo}")
+    if not (1 <= steps <= halo):
+        raise ValueError(f"steps must be in [1, {halo}], got {steps}")
     rp_full, c = u_pad.shape
-    rp = rp_full - 2 * HALO
+    rp = rp_full - 2 * halo
     if rp % tr != 0 or tr % 8 != 0:
         raise ValueError(f"interior rows {rp} must be a multiple of tr={tr} (tr % 8 == 0)")
-    w_rows = tr + 2 * HALO
+    w_rows = tr + 2 * halo
     grid = (rp // tr,)
     scalars = jnp.concatenate(
         [jnp.asarray(origin, jnp.int32).reshape(1, 1),
          jnp.asarray(r_total, jnp.int32).reshape(1, 1)], axis=1
     )
     kernel = functools.partial(
-        _kernel, steps=steps, tr=tr, c=c, params=params, boundary=boundary
+        _kernel, steps=steps, tr=tr, c=c, halo=halo, params=params,
+        boundary=boundary,
     )
     out_u, out_v = pl.pallas_call(
         kernel,
@@ -340,12 +367,12 @@ def multistep_impl(
         out_specs=[
             pl.BlockSpec(
                 (pl.Element(tr), pl.Element(c)),
-                lambda i: (pl.multiple_of(HALO + i * tr, 8), 0),
+                lambda i: (pl.multiple_of(halo + i * tr, 8), 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (pl.Element(tr), pl.Element(c)),
-                lambda i: (pl.multiple_of(HALO + i * tr, 8), 0),
+                lambda i: (pl.multiple_of(halo + i * tr, 8), 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -355,29 +382,35 @@ def multistep_impl(
         ],
         input_output_aliases={3: 0, 4: 1},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            # tiles are independent (outputs disjoint, inputs read-only)
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=vmem_limit_bytes,
         ),
         interpret=interpret,
     )(scalars, u_pad, v_pad, u_stale, v_stale)
     return out_u, out_v
 
 
+_STATIC = ("steps", "tr", "params", "boundary", "halo", "interpret",
+           "vmem_limit_bytes")
+
 multistep = jax.jit(
     multistep_impl,
-    static_argnames=("steps", "tr", "params", "boundary", "interpret"),
+    static_argnames=_STATIC,
     donate_argnames=("u_stale", "v_stale"),
 )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("steps", "tr", "params", "boundary", "interpret"),
+    static_argnames=_STATIC,
     donate_argnames=("u_pad", "v_pad", "u_stale", "v_stale"),
 )
 def run_blocks(
     u_pad, v_pad, u_stale, v_stale, origin, r_total, n_blocks,
     *, steps: int, tr: int, params: Parameters, boundary: str,
-    interpret: bool = False,
+    halo: int = HALO, interpret: bool = False,
+    vmem_limit_bytes: int | None = None,
 ):
     """Run ``n_blocks`` successive K-step kernel calls in ONE executable.
 
@@ -393,7 +426,8 @@ def run_blocks(
         na, nb = multistep_impl(
             a, b, sa, sb, origin, r_total,
             steps=steps, tr=tr, params=params, boundary=boundary,
-            interpret=interpret,
+            halo=halo, interpret=interpret,
+            vmem_limit_bytes=vmem_limit_bytes,
         )
         return (na, nb, a, b)
 
@@ -402,14 +436,16 @@ def run_blocks(
     )
 
 
-def pad_state(u: np.ndarray, v: np.ndarray, tr: int) -> Tuple[np.ndarray, np.ndarray]:
+def pad_state(
+    u: np.ndarray, v: np.ndarray, tr: int, halo: int = HALO
+) -> Tuple[np.ndarray, np.ndarray]:
     """Pack (R, C) concentrations into the padded kernel layout."""
     r, c = u.shape
     rp = -(-r // tr) * tr
     out = []
     for x in (u, v):
-        buf = np.zeros((HALO + rp + HALO, c), dtype=Precision)
-        buf[HALO : HALO + r, :] = x
+        buf = np.zeros((halo + rp + halo, c), dtype=Precision)
+        buf[halo : halo + r, :] = x
         out.append(buf)
     return out[0], out[1]
 
@@ -417,11 +453,12 @@ def pad_state(u: np.ndarray, v: np.ndarray, tr: int) -> Tuple[np.ndarray, np.nda
 def choose_block_rows(r: int, c: int, vmem_budget_bytes: int = 3 << 20) -> int:
     """Default row-tile size: fit one (TR + 2*HALO, C) f32 window pair in the
     VMEM budget (the analog of the reference's hwloc cache-budget defaults,
-    compute/block/src/default.rs:6-57), clamped to [8, 256] and to the
-    domain size."""
+    compute/block/src/default.rs:6-57), clamped to [8, 96] — 96 measured
+    optimal on v5e at 4096^2 (throughput saturates then declines; the
+    autotuner refines this per domain) — and to the domain size."""
     bytes_per_row = c * 4 * 2  # two species
     tr = (vmem_budget_bytes // bytes_per_row - 2 * HALO) // 8 * 8
-    tr = max(8, min(256, tr))
+    tr = max(8, min(96, tr))
     rp = -(-r // 8) * 8
     while tr > rp:
         tr -= 8

@@ -38,8 +38,14 @@ def colorize(values: np.ndarray, scale: float = AMPLITUDE_SCALE) -> np.ndarray:
 
     Equivalent to colorous ``Gradient::eval_continuous(scale * v)``: the
     input is clamped to [0, 1] and linearly interpolated in the 256-color
-    table. Returns an (..., 3) uint8 array.
+    table. Returns an (..., 3) uint8 array. Uses the multithreaded native
+    C++ kernel (grayscott_tpu/native) when available, NumPy otherwise.
     """
+    from .. import native
+
+    out = native.colorize(np.asarray(values), inferno_lut(), scale)
+    if out is not None:
+        return out
     lut = inferno_lut().astype(np.float32)
     t = np.clip(values * np.float32(scale), 0.0, 1.0).astype(np.float32)
     x = t * 255.0

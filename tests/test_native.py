@@ -1,0 +1,42 @@
+import numpy as np
+import pytest
+
+from grayscott_tpu import native
+from grayscott_tpu.utils.palette import AMPLITUDE_SCALE, colorize, inferno_lut
+
+
+def numpy_colorize(values, scale=AMPLITUDE_SCALE):
+    lut = inferno_lut().astype(np.float32)
+    t = np.clip(values * np.float32(scale), 0.0, 1.0).astype(np.float32)
+    x = t * 255.0
+    lo = np.floor(x).astype(np.int32)
+    hi = np.minimum(lo + 1, 255)
+    frac = (x - lo)[..., None]
+    rgb = lut[lo] * (1.0 - frac) + lut[hi] * frac
+    return (rgb + 0.5).astype(np.uint8)
+
+
+def test_native_builds_and_matches_numpy(rng):
+    lib = native.load()
+    if lib is None:
+        pytest.skip("no C++ toolchain available")
+    v = rng.uniform(-0.2, 1.2, (250, 333)).astype(np.float32)
+    got = native.colorize(v, inferno_lut(), AMPLITUDE_SCALE)
+    expected = numpy_colorize(v)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_native_multithreaded_consistency(rng):
+    lib = native.load()
+    if lib is None:
+        pytest.skip("no C++ toolchain available")
+    v = rng.uniform(0, 1, (600, 700)).astype(np.float32)  # > threshold
+    a = native.colorize(v, inferno_lut(), 2.0, num_threads=1)
+    b = native.colorize(v, inferno_lut(), 2.0, num_threads=8)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_colorize_dispatch(rng):
+    """Public colorize() output matches the NumPy reference either way."""
+    v = rng.uniform(0, 0.6, (40, 50)).astype(np.float32)
+    np.testing.assert_array_equal(colorize(v), numpy_colorize(v))

@@ -72,4 +72,18 @@ def test_standard_init_long(params):
 
 def test_bad_steps_per_call(params):
     with pytest.raises(ValueError):
-        PallasSimulation(params, steps_per_call=9)
+        PallasSimulation(params, steps_per_call=33)
+    with pytest.raises(ValueError):
+        PallasSimulation(params, steps_per_call=0)
+
+
+def test_deep_halo_k16(rng, params):
+    """steps_per_call=9 -> halo rounds up to 16: the deep-halo path stays
+    exact. (9 not 16 unrolled steps: interpret-mode XLA compile time blows
+    up with the unroll count.)"""
+    u, v = random_uv(rng, (16, 16))
+    ou, ov = oracle.run(u, v, params, 9, "naive")
+    gu, gv = run_pallas(u, v, params, "naive", 9, block_rows=8,
+                        steps_per_call=9)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=2e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=2e-6)
