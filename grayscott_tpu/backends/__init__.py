@@ -22,6 +22,7 @@ from .base import Simulation
 from .naive import NaiveSimulation
 from .regular import RegularSimulation
 from .fused import FusedSimulation
+from .conv import ConvSimulation
 
 BACKENDS: Dict[str, Type[Simulation]] = {}
 
@@ -33,6 +34,7 @@ def register(cls: Type[Simulation]) -> None:
 register(NaiveSimulation)
 register(RegularSimulation)
 register(FusedSimulation)
+register(ConvSimulation)
 
 # Pallas / sharded backends import jax.experimental; register lazily but
 # eagerly enough to appear in --help.

@@ -50,6 +50,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--output-buffer", type=int, default=2,
         help="Size of the image buffer between the compute and I/O thread",
     )
+    parser.add_argument(
+        "--checkpoint", default=None,
+        help="Write full simulation state (U and V) here when done, "
+        "for later --resume (capability the reference lacks)",
+    )
+    parser.add_argument(
+        "--resume", default=None,
+        help="Initialize state from a checkpoint instead of the standard box",
+    )
     return parser
 
 
@@ -68,7 +77,21 @@ def main(argv=None) -> int:
         sim.name, sim.boundary, sim.params.stencil_name(), args.nbrow, args.nbcol,
     )
 
-    species = sim.make_species(shared.domain_shape(args))
+    if args.resume:
+        from ..io.checkpoint import load_state
+        from ..species import Species
+
+        u0, v0, ck_params, ck_steps = load_state(args.resume)
+        if ck_params != sim.params:
+            logger.warning(
+                "checkpoint parameters differ from CLI parameters; "
+                "using CLI parameters"
+            )
+        species = Species(u0.shape, sim.build_storage(u0, v0), sim)
+        species.steps_performed = ck_steps
+        logger.info("resumed from %s at step %d", args.resume, ck_steps)
+    else:
+        species = sim.make_species(shared.domain_shape(args))
     writer = Writer(file_name, species.shape, args.nbimage)
     progress = ProgressBar("Running simulation step", args.nbimage)
 
@@ -112,6 +135,12 @@ def main(argv=None) -> int:
         writer.close()
     if error:
         raise error[0]
+    if args.checkpoint:
+        from ..io.checkpoint import save_state
+
+        u, v = species.uv_host()
+        save_state(args.checkpoint, u, v, sim.params, species.steps_performed)
+        logger.info("checkpoint written to %s", args.checkpoint)
     logger.info("wrote %d images to %s", args.nbimage, file_name)
     return 0
 

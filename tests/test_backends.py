@@ -11,7 +11,7 @@ from grayscott_tpu.species import initial_uv
 
 from conftest import random_uv
 
-JNP_BACKENDS = ["naive", "regular", "fused"]
+JNP_BACKENDS = ["naive", "regular", "fused", "conv"]
 
 
 def make_sim(name, params, boundary, **kw):
