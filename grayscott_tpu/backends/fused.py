@@ -24,15 +24,37 @@ from .base import Simulation
 class FusedSimulation(Simulation):
     name = "fused"
 
-    def __init__(self, params: Parameters, boundary: str = "naive", **kwargs):
+    def __init__(
+        self,
+        params: Parameters,
+        boundary: str = "naive",
+        runtime_weights: bool = False,
+        **kwargs,
+    ):
         super().__init__(params, boundary)
+        self.runtime_weights = runtime_weights
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def _run(u, v, steps):
-            def body(_, uv):
-                return stencil.step(uv[0], uv[1], params, boundary)
+        if runtime_weights:
+            # weights-runtime feature analog (data/src/parameters.rs:40-53):
+            # weights and rates are traced operands, so changing parameters
+            # (via `sim.params = ...`) never recompiles.
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def _run(u, v, steps, weights, rates):
+                def body(_, uv):
+                    return stencil.step_runtime(
+                        uv[0], uv[1], weights, rates, boundary
+                    )
 
-            return jax.lax.fori_loop(0, steps, body, (u, v))
+                return jax.lax.fori_loop(0, steps, body, (u, v))
+
+        else:
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def _run(u, v, steps):
+                def body(_, uv):
+                    return stencil.step(uv[0], uv[1], params, boundary)
+
+                return jax.lax.fori_loop(0, steps, body, (u, v))
 
         self._run = _run
 
@@ -45,4 +67,10 @@ class FusedSimulation(Simulation):
     def run_steps(self, storage, shape, steps: int):
         u, v = storage
         # steps is a traced operand: changing it does not recompile
+        if self.runtime_weights:
+            return self._run(
+                u, v, jnp.int32(steps),
+                jnp.asarray(self.params.weights_array()),
+                stencil.rates_array(self.params),
+            )
         return self._run(u, v, jnp.int32(steps))

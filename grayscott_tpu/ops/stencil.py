@@ -175,9 +175,7 @@ def laplacian_fast(x: Array, params: Parameters, boundary: str) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def naive_edge_strip(
-    lane0: Array, lane1: Array, w2: np.ndarray
-) -> Array:
+def naive_edge_strip(lane0: Array, lane1: Array, w2) -> Array:
     """Exact naive-semantics diffusion gradient for a domain-edge strip.
 
     ``lane0`` is the edge row (or column) itself and ``lane1`` its inward
@@ -192,6 +190,7 @@ def naive_edge_strip(
     c' <= min(c+1, n-1) and j' = j (the anchoring quirk at c == 0).
     Pure jnp on 1-D values so the Pallas kernel can reuse it on VMEM slices.
     """
+    static = isinstance(w2, np.ndarray)
     n = lane0.shape[-1]
     center = lane0
     full = jnp.zeros_like(lane0)
@@ -202,8 +201,8 @@ def naive_edge_strip(
         xi = lanes[i]
         xpi = jnp.pad(xi, ((1, 1),))
         for j in range(3):
-            wij = Precision(w2[i][j])
-            if wij == 0.0:
+            wij = Precision(w2[i][j]) if static else w2[i][j]
+            if static and wij == 0.0:
                 continue
             tap = jax.lax.slice(xpi, (j,), (j + n,))
             if j == 2:
@@ -220,8 +219,8 @@ def naive_edge_strip(
     for i in range(2):
         xi = lanes[i]
         for j in range(2):
-            wij = Precision(w2[i][j])
-            if wij == 0.0:
+            wij = Precision(w2[i][j]) if static else w2[i][j]
+            if static and wij == 0.0:
                 continue
             q = q + wij * (xi[..., j : j + 1] - center[..., :1])
     full = jnp.concatenate([q, full[..., 1:]], axis=-1)
@@ -285,3 +284,62 @@ def step(
     full_u = laplacian(u, params, boundary, exact=exact)
     full_v = laplacian(v, params, boundary, exact=exact)
     return reaction(u, v, full_u, full_v, params)
+
+
+# ---------------------------------------------------------------------------
+# Runtime-parameter step (the `weights-runtime` feature analog)
+# ---------------------------------------------------------------------------
+
+
+def step_runtime(u: Array, v: Array, weights: Array, rates: Array,
+                 boundary: str = "naive") -> Tuple[Array, Array]:
+    """One step with *traced* weights and rates.
+
+    Analog of the reference's ``weights-runtime`` Cargo feature
+    (data/src/parameters.rs:40-53, data/Cargo.toml:28-34), which forces a
+    runtime weight lookup instead of compile-time constant folding. Here the
+    motivation is practical rather than pedagogical: with ``weights`` (3, 3)
+    and ``rates = [Du, Dv, f, k, dt]`` as traced operands, changing any
+    parameter — including the stencil — does NOT recompile the executable.
+    Used by ``FusedSimulation(runtime_weights=True)``.
+    """
+    r, c = u.shape
+    _, rok = _index_maps_np(r)
+    _, cok = _index_maps_np(c)
+
+    def lap(x):
+        xp = jnp.pad(x, 1)
+        full = jnp.zeros_like(x)
+        for i in range(3):
+            for j in range(3):
+                tap = _shift2d(xp, i, j, r, c)
+                if boundary == "zero":
+                    full = full + weights[i, j] * (tap - x)
+                else:
+                    mask = jnp.asarray(
+                        np.logical_and.outer(rok[i], cok[j]).astype(Precision)
+                    )
+                    full = full + weights[i, j] * (tap - x * mask)
+        if boundary == "naive":
+            top = naive_edge_strip(x[0, :], x[1, :], weights[0:2, :])
+            left = naive_edge_strip(x[:, 0], x[:, 1], weights[:, 0:2].T)
+            full = full.at[0, :].set(top)
+            full = full.at[1:, 0].set(left[1:])
+        return full
+
+    full_u = lap(u)
+    full_v = lap(v)
+    du_rate, dv_rate, f, k, dt = (rates[i] for i in range(5))
+    uv_square = u * v * v
+    du = du_rate * full_u - uv_square + f * (Precision(1.0) - u)
+    dv = dv_rate * full_v + uv_square - (f + k) * v
+    return u + du * dt, v + dv * dt
+
+
+def rates_array(params: Parameters) -> Array:
+    """Pack the scalar parameters for :func:`step_runtime`."""
+    return jnp.asarray(
+        [params.diffusion_rate_u, params.diffusion_rate_v,
+         params.feed_rate, params.kill_rate, params.time_step],
+        dtype=Precision,
+    )

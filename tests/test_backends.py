@@ -80,3 +80,26 @@ def test_registry():
     assert set(JNP_BACKENDS) <= set(BACKENDS)
     with pytest.raises(ValueError):
         get_backend("bogus")
+
+
+@pytest.mark.parametrize("stencil", ["oono-puri", "5points"])
+@pytest.mark.parametrize("boundary", ["naive", "zero"])
+def test_runtime_weights(rng, stencil, boundary):
+    """weights-runtime analog: traced weights/rates, no recompile on change."""
+    params = Parameters.with_stencil(stencil, feed_rate=0.02)
+    u, v = random_uv(rng, (14, 19))
+    ou, ov = oracle.run(u, v, params, 3, boundary)
+    sim = make_sim("fused", params, boundary, runtime_weights=True)
+    species = sim.make_species((14, 19))
+    species.storage = sim.build_storage(u, v)
+    sim.perform_steps(species, 3)
+    gu, gv = species.uv_host()
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+    # swap parameters on the live simulation: same executable, new behavior
+    sim.params = Parameters.with_stencil("pretty", kill_rate=0.06)
+    ou2, ov2 = oracle.step(gu, gv, sim.params, boundary)
+    sim.perform_steps(species, 1)
+    gu2, gv2 = species.uv_host()
+    np.testing.assert_allclose(gu2, ou2, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv2, ov2, rtol=0, atol=1e-6)
