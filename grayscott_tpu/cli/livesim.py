@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--fps-cap", type=float, default=60.0, help="Maximum frames per second"
     )
+    parser.add_argument(
+        "--color-palette-resolution", type=int, default=256,
+        help="Number of palette entries (livesim/src/main.rs:50-57 analog)",
+    )
     return parser
 
 
@@ -68,16 +72,17 @@ class FrameSource:
         self.steps_per_frame = (
             args.nbextrastep if args.nbextrastep is not None else 1
         )
-        self.lut = inferno_lut()
+        self.lut = inferno_lut(getattr(args, "color_palette_resolution", 256))
 
     def next_rgb(self) -> np.ndarray:
         jnp = self._jnp
         self.sim.prepare_steps(self.species, self.steps_per_frame)
         v = self.species.result()
-        # palette index on device: clamp(2 * v, 0, 1) * 255
-        idx = jnp.clip(v * np.float32(AMPLITUDE_SCALE), 0.0, 1.0) * 255.0
-        idx8 = np.asarray(idx.astype(jnp.uint8))
-        return self.lut[idx8]
+        # palette index on device: clamp(scale * v, 0, 1) * (n - 1)
+        n = len(self.lut)
+        idx = jnp.clip(v * np.float32(AMPLITUDE_SCALE), 0.0, 1.0) * float(n - 1)
+        idx_host = np.asarray(idx.astype(jnp.int32 if n > 256 else jnp.uint8))
+        return self.lut[idx_host]
 
 
 def run_headless(src: FrameSource, frames: int, outdir: str) -> int:

@@ -17,20 +17,20 @@ import numpy as np
 MAX_AMPLITUDE = 0.5
 AMPLITUDE_SCALE = 1.0 / MAX_AMPLITUDE
 
-_LUT: np.ndarray | None = None
+_LUTS: dict[int, np.ndarray] = {}
 
 
-def inferno_lut() -> np.ndarray:
-    """(256, 3) uint8 INFERNO lookup table."""
-    global _LUT
-    if _LUT is None:
+def inferno_lut(resolution: int = 256) -> np.ndarray:
+    """(resolution, 3) uint8 INFERNO lookup table (the livesim
+    --color-palette-resolution analog, livesim/src/palette.rs:42-121)."""
+    if resolution not in _LUTS:
         from matplotlib import colormaps
 
         cmap = colormaps["inferno"]
-        _LUT = (np.asarray(cmap(np.linspace(0.0, 1.0, 256)))[:, :3] * 255.0).round().astype(
-            np.uint8
-        )
-    return _LUT
+        _LUTS[resolution] = (
+            np.asarray(cmap(np.linspace(0.0, 1.0, resolution)))[:, :3] * 255.0
+        ).round().astype(np.uint8)
+    return _LUTS[resolution]
 
 
 def colorize(values: np.ndarray, scale: float = AMPLITUDE_SCALE) -> np.ndarray:
@@ -47,10 +47,11 @@ def colorize(values: np.ndarray, scale: float = AMPLITUDE_SCALE) -> np.ndarray:
     if out is not None:
         return out
     lut = inferno_lut().astype(np.float32)
+    n = len(lut)
     t = np.clip(values * np.float32(scale), 0.0, 1.0).astype(np.float32)
-    x = t * 255.0
+    x = t * np.float32(n - 1)
     lo = np.floor(x).astype(np.int32)
-    hi = np.minimum(lo + 1, 255)
+    hi = np.minimum(lo + 1, n - 1)
     frac = (x - lo)[..., None]
     rgb = lut[lo] * (1.0 - frac) + lut[hi] * frac
     return (rgb + 0.5).astype(np.uint8)
