@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     logger = init_logging()
+    from ..utils.runtime import apply_env_config
+
+    apply_env_config()
     args = build_parser().parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
 

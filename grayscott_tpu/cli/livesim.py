@@ -190,6 +190,9 @@ def run_window(src: FrameSource, fps_cap: float) -> int:
 
 def main(argv=None) -> int:
     logger = init_logging()
+    from ..utils.runtime import apply_env_config
+
+    apply_env_config()
     from ..utils.cache import enable_compilation_cache
 
     enable_compilation_cache()

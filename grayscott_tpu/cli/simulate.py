@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     logger = init_logging()
+    from ..utils.runtime import apply_env_config
+
+    apply_env_config()
     from ..utils.cache import enable_compilation_cache
 
     enable_compilation_cache()

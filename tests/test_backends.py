@@ -103,3 +103,13 @@ def test_runtime_weights(rng, stencil, boundary):
     gu2, gv2 = species.uv_host()
     np.testing.assert_allclose(gu2, ou2, rtol=0, atol=1e-6)
     np.testing.assert_allclose(gv2, ov2, rtol=0, atol=1e-6)
+
+
+def test_selector_env_override(monkeypatch):
+    import grayscott_tpu.backends as B
+
+    monkeypatch.setenv("GRAYSCOTT_BACKEND", "regular")
+    assert B.best_backend_name() == "regular"
+    monkeypatch.delenv("GRAYSCOTT_BACKEND")
+    # on the 8-virtual-CPU-device test platform, multi-device => sharded
+    assert B.best_backend_name() == "sharded"
