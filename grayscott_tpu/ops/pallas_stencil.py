@@ -474,7 +474,7 @@ def pad_state(
     return out[0], out[1]
 
 
-def choose_block_rows(r: int, c: int, vmem_budget_bytes: int = 3 << 20) -> int:
+def choose_block_rows(r: int, c: int, vmem_budget_bytes: int = 4 << 20) -> int:
     """Default row-tile size: fit one (TR + 2*HALO, C) f32 window pair in the
     VMEM budget (the analog of the reference's hwloc cache-budget defaults,
     compute/block/src/default.rs:6-57), clamped to [8, 96] — 96 measured

@@ -71,7 +71,9 @@ def laplacian_naive_gather(x: Array, params: Parameters) -> Array:
             if w[i, j] == 0.0:
                 continue
             tap = x[jnp.asarray(ridx[i])][:, jnp.asarray(cidx[j])]
-            mask = jnp.asarray(np.logical_and.outer(rok[i], cok[j]))
+            mask = jnp.logical_and(
+                jnp.asarray(rok[i])[:, None], jnp.asarray(cok[j])[None, :]
+            )
             full = full + jnp.where(mask, w[i, j] * (tap - x), Precision(0.0))
     return full
 
@@ -146,7 +148,10 @@ def laplacian_fast(x: Array, params: Parameters, boundary: str) -> Array:
             return s - alpha * x
         rs = _edge_sums(r, h)
         cs = _edge_sums(c, h)
-        b = jnp.asarray(np.outer(rs, cs).astype(Precision))
+        # rank-1 on-device outer product: embedding the full (R, C) product
+        # as a constant made executables O(R*C) bytes (compile blowup at
+        # 8192^2); the two 1-D constants are tiny and XLA fuses the product.
+        b = jnp.outer(jnp.asarray(rs), jnp.asarray(cs))
         return s - x * b
     # direct path
     if boundary == "zero":
@@ -161,8 +166,9 @@ def laplacian_fast(x: Array, params: Parameters, boundary: str) -> Array:
         for j in range(3):
             if w[i, j] == 0.0:
                 continue
-            mask = jnp.asarray(
-                np.logical_and.outer(rok[i], cok[j]).astype(Precision)
+            mask = jnp.outer(
+                jnp.asarray(rok[i].astype(Precision)),
+                jnp.asarray(cok[j].astype(Precision)),
             )
             full = full + w[i, j] * (
                 _shift2d(xp, i, j, r, c) - x * mask
@@ -316,8 +322,9 @@ def step_runtime(u: Array, v: Array, weights: Array, rates: Array,
                 if boundary == "zero":
                     full = full + weights[i, j] * (tap - x)
                 else:
-                    mask = jnp.asarray(
-                        np.logical_and.outer(rok[i], cok[j]).astype(Precision)
+                    mask = jnp.outer(
+                        jnp.asarray(rok[i].astype(Precision)),
+                        jnp.asarray(cok[j].astype(Precision)),
                     )
                     full = full + weights[i, j] * (tap - x * mask)
         if boundary == "naive":
