@@ -100,3 +100,20 @@ def test_pics_zero_padding(tmp_path):
     data_to_pics.main(["-i", str(out), "-o", str(picdir), "--output-threads", "2"])
     names = sorted(os.listdir(picdir))
     assert names[0] == "00.png" and names[-1] == "10.png"
+
+
+def test_simulate_sharded_backend(tmp_path):
+    """The multi-chip backend through the real CLI on the virtual mesh."""
+    out = tmp_path / "s.h5"
+    rc = simulate.main(
+        ["-n", "1", "-r", "16", "-c", "16", "-e", "2",
+         "--backend", "sharded", "--sharded-devices", "2",
+         "--pallas-block-rows", "8", "-o", str(out)]
+    )
+    assert rc == 0
+    from grayscott_tpu.params import Parameters
+
+    u, v = initial_uv((16, 16))
+    u, v = oracle.run(u, v, Parameters(), 2)
+    with Reader(out) as r:
+        np.testing.assert_allclose(r.read(), v, rtol=0, atol=1e-6)

@@ -1,0 +1,59 @@
+import io
+import logging
+
+import numpy as np
+
+from grayscott_tpu.utils.palette import (
+    AMPLITUDE_SCALE,
+    MAX_AMPLITUDE,
+    colorize,
+    inferno_lut,
+)
+from grayscott_tpu.utils.progress import ProgressBar, _fmt_duration
+
+
+def test_amplitude_constants():
+    # reference: ui/src/lib.rs:115-123
+    assert MAX_AMPLITUDE == 0.5
+    assert AMPLITUDE_SCALE == 2.0
+
+
+def test_inferno_lut_shape_and_ends():
+    lut = inferno_lut()
+    assert lut.shape == (256, 3) and lut.dtype == np.uint8
+    assert (lut[0] < 10).all()           # near-black at 0
+    assert lut[-1][0] > 200              # bright yellow at 1
+    assert inferno_lut(64).shape == (64, 3)
+
+
+def test_colorize_clamps():
+    v = np.asarray([[-1.0, 0.0, 0.5, 10.0]], dtype=np.float32)
+    rgb = colorize(v)
+    np.testing.assert_array_equal(rgb[0, 0], rgb[0, 1])  # clamped below
+    np.testing.assert_array_equal(rgb[0, 2], rgb[0, 3])  # 0.5*2=1 clamped
+
+
+def test_progress_bar_renders():
+    buf = io.StringIO()
+    bar = ProgressBar("msg", 10, stream=buf, enabled=True)
+    for _ in range(10):
+        bar.inc()
+    bar.finish()
+    out = buf.getvalue()
+    assert "msg 10/10" in out and "#" in out
+
+
+def test_fmt_duration():
+    assert _fmt_duration(5) == "5s"
+    assert _fmt_duration(65) == "1m05s"
+    assert _fmt_duration(3661) == "1h01m01s"
+
+
+def test_logging_fallback_to_stderr(monkeypatch):
+    import grayscott_tpu.utils.logs as logs
+
+    logger = logging.getLogger("grayscott_tpu")
+    for h in list(logger.handlers):
+        logger.removeHandler(h)
+    lg = logs.init_logging(prefer_syslog=False)
+    assert lg.handlers
