@@ -30,13 +30,17 @@ class ShardedSimulation(Simulation):
         params: Parameters,
         boundary: str = "naive",
         n_devices: int | None = None,
+        mesh_cols: int = 1,
         block_rows: int | None = None,
         steps_per_call: int = ps.HALO,
         interpret: bool | None = None,
         **kwargs,
     ):
         super().__init__(params, boundary)
-        self.mesh = halo.make_mesh(n_devices)
+        self.mesh = halo.make_mesh(n_devices, mesh_cols)
+        # column halos only needed (and paid for) on 2-D meshes; 8 is the
+        # lane-roll ring depth matching K <= 8 temporal blocking
+        self.chalo = 8 if mesh_cols > 1 else 0
         if not (1 <= steps_per_call <= ps.HALO):
             raise ValueError(
                 f"steps_per_call must be in [1, {ps.HALO}], got {steps_per_call}"
@@ -49,8 +53,8 @@ class ShardedSimulation(Simulation):
 
     def _tr(self, shape) -> int:
         r, c = shape
-        n = self.mesh.devices.size
-        r_loc = r // max(n, 1)
+        nr = self.mesh.devices.shape[0]
+        r_loc = r // max(nr, 1)
         tr = self.block_rows or ps.choose_block_rows(r_loc, c)
         while tr > 8 and r_loc % tr != 0:
             tr -= 8
@@ -58,23 +62,24 @@ class ShardedSimulation(Simulation):
 
     def build_storage(self, u: np.ndarray, v: np.ndarray):
         tr = self._tr(u.shape)
-        ub, vb, _ = halo.shard_state(u, v, self.mesh, tr)
-        us, vs, _ = halo.shard_state(u, v, self.mesh, tr)
+        ub, vb, _ = halo.shard_state(u, v, self.mesh, tr, self.chalo)
+        us, vs, _ = halo.shard_state(u, v, self.mesh, tr, self.chalo)
         return (ub, vb, us, vs, tr)
 
     def extract_uv(self, storage, shape) -> Tuple[jax.Array, jax.Array]:
         return (
-            halo.unshard_result(storage[0], shape),
-            halo.unshard_result(storage[1], shape),
+            halo.unshard_result(storage[0], shape, self.chalo),
+            halo.unshard_result(storage[1], shape, self.chalo),
         )
 
     def run_steps(self, storage, shape, steps: int):
         u, v, us, vs, tr = storage
-        r, _ = shape
+        r, c = shape
         k = self.steps_per_call
         n_full, rem = divmod(steps, k)
         common = dict(
-            mesh=self.mesh, r_total=r, tr=tr, params=self.params,
+            mesh=self.mesh, r_total=r, c_total=c, chalo=self.chalo,
+            tr=tr, params=self.params,
             boundary=self.boundary, interpret=self.interpret,
         )
         if n_full:
@@ -92,13 +97,20 @@ class ShardedSimulation(Simulation):
         parser.add_argument(
             "--sharded-devices", type=int,
             default=env_default("GRAYSCOTT_SHARDED_DEVICES", None, int),
-            help="Number of devices in the row mesh (default: all)",
+            help="Number of devices in the mesh (default: all)",
+        )
+        parser.add_argument(
+            "--sharded-mesh-cols", type=int,
+            default=env_default("GRAYSCOTT_SHARDED_MESH_COLS", 1, int),
+            help="Mesh columns for 2-D spatial decomposition (default 1 = "
+            "row sharding only)",
         )
 
     @classmethod
     def args_from_namespace(cls, ns: argparse.Namespace):
         return {
             "n_devices": getattr(ns, "sharded_devices", None),
+            "mesh_cols": getattr(ns, "sharded_mesh_cols", 1),
             "block_rows": getattr(ns, "pallas_block_rows", None),
             "steps_per_call": getattr(ns, "pallas_steps_per_call", ps.HALO),
         }

@@ -93,27 +93,35 @@ def _col_iota(c: int):
     return jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
 
 
-def _col_sums(c: int, h: np.ndarray):
-    """(1, C) per-column sums of in-bounds separable taps (naive semantics)."""
-    ci = _col_iota(c)
+def _col_sums(gcol, c_total, h: np.ndarray):
+    """(1, W_c) per-column sums of in-bounds separable taps (naive
+    semantics), in global column coordinates (``gcol`` = (1, W_c) int32
+    global index of each local column; out-of-domain values are irrelevant
+    because those columns are masked to zero each step)."""
+    c = gcol.shape[1]
     mid = jnp.full((1, c), np.float32(h.sum()), jnp.float32)
-    lo = jnp.where(ci == 0, np.float32(h[1] + h[2]), mid)
-    return jnp.where(ci == c - 1, np.float32(h[0] + h[1]), lo)
+    lo = jnp.where(gcol == 0, np.float32(h[1] + h[2]), mid)
+    return jnp.where(gcol == c_total - 1, np.float32(h[0] + h[1]), lo)
 
 
-def _edge_strip_1xc(row0, row1, w2: np.ndarray, c: int):
-    """Naive-semantics diffusion gradient of a (1, C) domain-edge row strip.
+def _edge_strip_1xc(row0, row1, w2: np.ndarray, gcol, c_total, chalo: int,
+                    shift_cols):
+    """Naive-semantics diffusion gradient of a (1, W_c) domain-edge row
+    strip, in global column coordinates.
 
-    Same math as ops.stencil.naive_edge_strip, expressed on (1, C) window
+    Same math as ops.stencil.naive_edge_strip, expressed on (1, W_c) window
     slices (see that docstring for the formula and reference citations).
+    Global column 0 sits at static local column ``chalo`` whenever this
+    window contains it (the westmost shard; see the row analog in the
+    module docstring).
     """
     center = row0
     full = jnp.zeros_like(row0)
     lanes = (row0, row1)
-    ok_e = (_col_iota(c) + 1 < c).astype(jnp.float32)
+    ok_e = (gcol + 1 <= c_total - 1).astype(jnp.float32)
     for i in range(2):
         xi = lanes[i]
-        taps = (_shift_cols(xi, 1), xi, _shift_cols(xi, -1))
+        taps = (shift_cols(xi, 1), xi, shift_cols(xi, -1))
         for j in range(3):
             wij = float(w2[i][j])
             if wij == 0.0:
@@ -122,20 +130,23 @@ def _edge_strip_1xc(row0, row1, w2: np.ndarray, c: int):
                 full = full + wij * (taps[j] - center * ok_e)
             else:
                 full = full + wij * (taps[j] - center)
-    # c == 0: taps are lane_i[0], lane_i[1] with weights w2[i][0], w2[i][1]
+    # global c == 0: taps are lane_i[c0], lane_i[c0+1] with weights
+    # w2[i][0], w2[i][1], where c0 = chalo is the local position of col 0
     q = jnp.zeros_like(row0[:, :1])
+    c0 = chalo
     for i in range(2):
         xi = lanes[i]
         for j in range(2):
             wij = float(w2[i][j])
             if wij == 0.0:
                 continue
-            q = q + wij * (xi[:, j : j + 1] - center[:, :1])
-    return jnp.where(_col_iota(c) == 0, q, full)
+            q = q + wij * (xi[:, c0 + j : c0 + j + 1] - center[:, c0 : c0 + 1])
+    return jnp.where(gcol == 0, q, full)
 
 
-def _left_col_strip(x, w: np.ndarray, ok_s):
-    """Naive-semantics gradient of the c == 0 column (rows with g >= 1).
+def _left_col_strip(x, w: np.ndarray, ok_s, chalo: int = 0):
+    """Naive-semantics gradient of the global c == 0 column (rows g >= 1),
+    which sits at static local column ``chalo`` when present.
 
     Per window row r (reference semantics, compute/naive/src/lib.rs:56-70
     with the column window clamped to cols {0, 1}):
@@ -145,8 +156,8 @@ def _left_col_strip(x, w: np.ndarray, ok_s):
     with the i == 2 tap masked out on the bottom domain row (ok_s).
     Returns a (W, 1) strip. Row wrap garbage lands in the window ring.
     """
-    cols01 = x[:, 0:2]
-    center = x[:, 0:1]
+    cols01 = x[:, chalo : chalo + 2]
+    center = x[:, chalo : chalo + 1]
     n01 = _shift_rows(cols01, 1)
     s01 = _shift_rows(cols01, -1)
     rows = (n01, cols01, s01)
@@ -165,7 +176,8 @@ def _left_col_strip(x, w: np.ndarray, ok_s):
 
 
 def make_window_stepper(
-    params: Parameters, boundary: str, w_rows: int, c: int, halo: int = HALO
+    params: Parameters, boundary: str, w_rows: int, c: int, halo: int = HALO,
+    chalo: int = 0,
 ):
     """Build the per-window step for one in-VMEM iteration.
 
@@ -176,44 +188,48 @@ def make_window_stepper(
     several full-window VPU ops each.
 
     ``giota`` is the (W, 1) int32 global row index of each window row;
-    ``r_total`` the scalar global row count.
+    ``gcol`` the (1, W_c) global column index of each local column (plain
+    ``0..c`` single-chip); ``r_total``/``c_total`` the global extents.
+    ``chalo > 0`` enables column halos (2-D sharding): column shifts become
+    raw lane rolls whose wrap garbage lands in the column halo ring, and
+    out-of-domain columns are re-zeroed each step by the domain mask,
+    mirroring the row machinery exactly.
     """
     plan = params.separable_plan()
     w = params.weights_array()
-    is_col0 = _col_iota(c) == 0
+
+    if chalo == 0:
+        shift_cols = _shift_cols  # zero-fill at the (true global) lane edges
+    else:
+
+        def shift_cols(x, d):
+            s = d if d >= 0 else x.shape[1] + d
+            return pltpu.roll(x, s, axis=1)
 
     if plan[0] == "separable":
         _, h, alpha = plan
         h0, h1 = float(h[0]), float(h[1])
-        cs = _col_sums(c, h) if boundary == "naive" else None
 
         def laplacian(x, b_field):
-            t = h1 * x + h0 * (_shift_cols(x, 1) + _shift_cols(x, -1))
+            t = h1 * x + h0 * (shift_cols(x, 1) + shift_cols(x, -1))
             s = h1 * t + h0 * (_shift_rows(t, 1) + _shift_rows(t, -1))
             if boundary == "zero":
                 return s - float(alpha) * x
             return s - x * b_field
 
-        def make_b_field(giota, r_total):
+        def make_b_field(giota, r_total, gcol, c_total):
             if boundary == "zero":
                 return None
+            cs = _col_sums(gcol, c_total, h)
             edge = jnp.logical_or(giota == 0, giota == r_total - 1)
             rs = jnp.where(edge, np.float32(h[1] + h[2]), np.float32(h.sum()))
-            return rs * cs  # (W, C), materialized once per window
+            return rs * cs  # (W, W_c), materialized once per window
 
     else:
         wc = params.corrected_weights()
-        # per-column sums of in-bounds weights for each stencil row i
-        ci = _col_iota(c)
-        cw = []
-        for i in range(3):
-            mid = jnp.full((1, c), np.float32(w[i].sum()), jnp.float32)
-            row = jnp.where(ci == 0, np.float32(w[i][1] + w[i][2]), mid)
-            row = jnp.where(ci == c - 1, np.float32(w[i][0] + w[i][1]), row)
-            cw.append(row)
 
         def _taps(x):
-            xw, xe = _shift_cols(x, 1), _shift_cols(x, -1)
+            xw, xe = shift_cols(x, 1), shift_cols(x, -1)
             out = {}
             for i in range(3):
                 for j in range(3):
@@ -236,9 +252,18 @@ def make_window_stepper(
                         full = full + float(w[i][j]) * taps[(i, j)]
             return full - x * b_field
 
-        def make_b_field(giota, r_total):
+        def make_b_field(giota, r_total, gcol, c_total):
             if boundary == "zero":
                 return None
+            # per-column sums of in-bounds weights for each stencil row i
+            cw = []
+            for i in range(3):
+                mid = jnp.full(gcol.shape, np.float32(w[i].sum()), jnp.float32)
+                row = jnp.where(gcol == 0, np.float32(w[i][1] + w[i][2]), mid)
+                row = jnp.where(
+                    gcol == c_total - 1, np.float32(w[i][0] + w[i][1]), row
+                )
+                cw.append(row)
             ok_top = (giota >= 1).astype(jnp.float32)
             ok_bot = (giota <= r_total - 2).astype(jnp.float32)
             rok = (ok_top, jnp.ones_like(ok_top), ok_bot)
@@ -250,32 +275,25 @@ def make_window_stepper(
     mfk = params.min_feed_kill()
     dt = Precision(params.time_step)
 
-    def precompute(giota, r_total, interior: bool):
-        """Loop-invariant context. ``interior=True`` builds the fast-path
-        variant for windows whose rows all lie strictly inside the domain:
-        no out-of-domain masking, no top-row quirk, constant row sums."""
-        ctx = {"interior": interior}
-        if interior:
-            if boundary == "naive":
-                # all window rows interior: rowsum is the constant h-sum /
-                # full weight-row sums; only the column edges vary
-                ones = jnp.ones_like(giota, jnp.float32)
-                ctx["b_field"] = make_b_field(ones, 3)  # rows 1..: interior
-            else:
-                ctx["b_field"] = None
+    def precompute(giota, r_total, gcol, c_total):
+        """Loop-invariant context: domain mask, boundary weight-sum field,
+        strip masks — several full-window VPU ops, paid once per window."""
+        ctx = {
+            "b_field": make_b_field(giota, r_total, gcol, c_total),
+        }
+        rows_in = jnp.logical_and(giota >= 0, giota < r_total)
+        if chalo == 0:
+            ctx["dommask"] = rows_in
         else:
-            ctx["dommask"] = jnp.logical_and(giota >= 0, giota < r_total)
-            ctx["b_field"] = make_b_field(giota, r_total)
-            if boundary == "naive":
-                in_dom = jnp.logical_and(giota >= 1, giota < r_total)
-                ctx["col0_mask"] = jnp.logical_and(is_col0, in_dom)
-                ctx["top_mask"] = giota == 0
+            cols_in = jnp.logical_and(gcol >= 0, gcol < c_total)
+            ctx["dommask"] = jnp.logical_and(rows_in, cols_in)
         if boundary == "naive":
-            ctx["ok_s"] = (
-                jnp.ones_like(giota, jnp.float32)
-                if interior
-                else (giota <= r_total - 2).astype(jnp.float32)
-            )
+            in_dom = jnp.logical_and(giota >= 1, giota < r_total)
+            ctx["col0_mask"] = jnp.logical_and(gcol == 0, in_dom)
+            ctx["top_mask"] = giota == 0
+            ctx["ok_s"] = (giota <= r_total - 2).astype(jnp.float32)
+            ctx["gcol"] = gcol
+            ctx["c_total"] = c_total
         return ctx
 
     def step(u, v, ctx):
@@ -283,18 +301,15 @@ def make_window_stepper(
         full_v = laplacian(v, ctx["b_field"])
         if boundary == "naive":
             for x, full in ((u, full_u), (v, full_v)):
-                strip = _left_col_strip(x, w, ctx["ok_s"])
-                if ctx["interior"]:
-                    fixed = jnp.where(is_col0, strip, full)
-                else:
-                    fixed = jnp.where(ctx["col0_mask"], strip, full)
-                    # top-row quirk: global row 0 sits at static window row
-                    # `halo` whenever this window contains it (module doc)
-                    top = _edge_strip_1xc(
-                        x[halo : halo + 1, :], x[halo + 1 : halo + 2, :],
-                        w[0:2, :], c,
-                    )
-                    fixed = jnp.where(ctx["top_mask"], top, fixed)
+                strip = _left_col_strip(x, w, ctx["ok_s"], chalo)
+                fixed = jnp.where(ctx["col0_mask"], strip, full)
+                # top-row quirk: global row 0 sits at static window row
+                # `halo` whenever this window contains it (module doc)
+                top = _edge_strip_1xc(
+                    x[halo : halo + 1, :], x[halo + 1 : halo + 2, :],
+                    w[0:2, :], ctx["gcol"], ctx["c_total"], chalo, shift_cols,
+                )
+                fixed = jnp.where(ctx["top_mask"], top, fixed)
                 if x is u:
                     full_u = fixed
                 else:
@@ -304,28 +319,33 @@ def make_window_stepper(
         dv = dv_rate * full_v + uv_square + mfk * v
         un = u + du * dt
         vn = v + dv * dt
-        if not ctx["interior"]:
-            un = jnp.where(ctx["dommask"], un, Precision(0.0))
-            vn = jnp.where(ctx["dommask"], vn, Precision(0.0))
+        un = jnp.where(ctx["dommask"], un, Precision(0.0))
+        vn = jnp.where(ctx["dommask"], vn, Precision(0.0))
         return un, vn
 
     return precompute, step
 
 
 def _kernel(scal_ref, u_ref, v_ref, us_ref, vs_ref, uo_ref, vo_ref, *,
-            steps: int, tr: int, c: int, halo: int, params, boundary: str):
+            steps: int, tr: int, c: int, halo: int, chalo: int, params,
+            boundary: str):
     w_rows = tr + 2 * halo
-    precompute, step = make_window_stepper(params, boundary, w_rows, c, halo)
+    precompute, step = make_window_stepper(
+        params, boundary, w_rows, c, halo, chalo
+    )
     origin = scal_ref[0, 0]
     r_total = scal_ref[0, 1]
+    origin_c = scal_ref[0, 2]
+    c_total = scal_ref[0, 3]
     g0 = origin + pl.program_id(0) * tr
     giota = g0 + jax.lax.broadcasted_iota(jnp.int32, (w_rows, 1), 0)
+    gcol = origin_c + _col_iota(c)
     u, v = u_ref[:], v_ref[:]
     # NOTE: an interior-tile fast path via lax.cond (skipping the boundary
     # fix-ups for tiles strictly inside the domain) was measured SLOWER on
     # v5e (33 vs 40 Gcell/s at 4096^2): both branches inflate VMEM pressure
     # and break the Mosaic pipeline. The uniform masked path wins.
-    ctx = precompute(giota, r_total, interior=False)
+    ctx = precompute(giota, r_total, gcol, c_total)
     for _ in range(steps):
         u, v = step(u, v, ctx)
     uo_ref[:] = u[halo : halo + tr, :]
@@ -334,8 +354,9 @@ def _kernel(scal_ref, u_ref, v_ref, us_ref, vs_ref, uo_ref, vo_ref, *,
 
 def multistep_impl(
     u_pad, v_pad, u_stale, v_stale, origin, r_total,
+    origin_c=0, c_total=None,
     *, steps: int, tr: int, params: Parameters, boundary: str,
-    halo: int = HALO, interpret: bool = False,
+    halo: int = HALO, chalo: int = 0, interpret: bool = False,
     vmem_limit_bytes: int | None = None,
 ):
     """Advance padded state by ``steps`` (<= halo) simulation steps.
@@ -360,21 +381,23 @@ def multistep_impl(
     rp = rp_full - 2 * halo
     if rp % tr != 0 or tr % 8 != 0:
         raise ValueError(f"interior rows {rp} must be a multiple of tr={tr} (tr % 8 == 0)")
+    if c_total is None:
+        c_total = c  # single-chip, no column halos
     w_rows = tr + 2 * halo
     grid = (rp // tr,)
     scalars = jnp.concatenate(
-        [jnp.asarray(origin, jnp.int32).reshape(1, 1),
-         jnp.asarray(r_total, jnp.int32).reshape(1, 1)], axis=1
+        [jnp.asarray(x, jnp.int32).reshape(1, 1)
+         for x in (origin, r_total, origin_c, c_total)], axis=1
     )
     kernel = functools.partial(
-        _kernel, steps=steps, tr=tr, c=c, halo=halo, params=params,
-        boundary=boundary,
+        _kernel, steps=steps, tr=tr, c=c, halo=halo, chalo=chalo,
+        params=params, boundary=boundary,
     )
     out_u, out_v = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (pl.Element(w_rows), pl.Element(c)),
                 lambda i: (pl.multiple_of(i * tr, 8), 0),
@@ -415,8 +438,8 @@ def multistep_impl(
     return out_u, out_v
 
 
-_STATIC = ("steps", "tr", "params", "boundary", "halo", "interpret",
-           "vmem_limit_bytes")
+_STATIC = ("steps", "tr", "params", "boundary", "halo", "chalo",
+           "interpret", "vmem_limit_bytes")
 
 multistep = jax.jit(
     multistep_impl,
@@ -432,8 +455,9 @@ multistep = jax.jit(
 )
 def run_blocks(
     u_pad, v_pad, u_stale, v_stale, origin, r_total, n_blocks,
+    origin_c=0, c_total=None,
     *, steps: int, tr: int, params: Parameters, boundary: str,
-    halo: int = HALO, interpret: bool = False,
+    halo: int = HALO, chalo: int = 0, interpret: bool = False,
     vmem_limit_bytes: int | None = None,
 ):
     """Run ``n_blocks`` successive K-step kernel calls in ONE executable.
@@ -448,9 +472,9 @@ def run_blocks(
     def body(_, carry):
         a, b, sa, sb = carry
         na, nb = multistep_impl(
-            a, b, sa, sb, origin, r_total,
+            a, b, sa, sb, origin, r_total, origin_c, c_total,
             steps=steps, tr=tr, params=params, boundary=boundary,
-            halo=halo, interpret=interpret,
+            halo=halo, chalo=chalo, interpret=interpret,
             vmem_limit_bytes=vmem_limit_bytes,
         )
         return (na, nb, a, b)
@@ -461,15 +485,15 @@ def run_blocks(
 
 
 def pad_state(
-    u: np.ndarray, v: np.ndarray, tr: int, halo: int = HALO
+    u: np.ndarray, v: np.ndarray, tr: int, halo: int = HALO, chalo: int = 0
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Pack (R, C) concentrations into the padded kernel layout."""
     r, c = u.shape
     rp = -(-r // tr) * tr
     out = []
     for x in (u, v):
-        buf = np.zeros((halo + rp + halo, c), dtype=Precision)
-        buf[halo : halo + r, :] = x
+        buf = np.zeros((halo + rp + halo, chalo + c + chalo), dtype=Precision)
+        buf[halo : halo + r, chalo : chalo + c] = x
         out.append(buf)
     return out[0], out[1]
 

@@ -5,20 +5,27 @@ parallelism (``compute/parallel/src/lib.rs:29-121``). The reference splits
 the grid across rayon worker threads with halo-overlapped input views
 (``SimulateCpu::split_grid``, compute/shared/src/cpu.rs:112-154) — because
 memory is shared, halos are implicit overlapping reads. Across TPU chips
-the halo must be explicit: each device owns a contiguous row slab and, once
-per K-step block, exchanges its HALO boundary rows with both neighbors via
-``lax.ppermute`` over ICI, writing them into the padding rows of the local
-kernel buffer. Devices at the ends of the (non-wrapped) permutation receive
-zeros — exactly the zero-border condition of the global domain.
+the halo must be explicit: each device owns a contiguous tile of the domain
+and, once per K-step block, exchanges its HALO boundary rows (and, on 2-D
+meshes, columns) with its neighbors via ``lax.ppermute`` over ICI, writing
+them into the padding slots of the local kernel buffer. Devices at the ends
+of the (non-wrapped) permutation receive zeros — exactly the zero-border
+condition of the global domain.
+
+2-D meshes use the classic two-phase exchange: rows first (full local
+width, stale column halos included), then columns including the
+freshly-received row-halo rows — which delivers the diagonal-neighbor
+corner blocks without explicit corner messages.
 
 K-deep halos amortize exchange latency over K fused steps (the tuning knob
 anticipated in SURVEY.md section 5 "long-context analog"), and the whole
 ``n_blocks`` loop runs in ONE executable per device (no host round-trips).
 
-Each shard's state layout is identical to the single-chip Pallas layout
-(``(HALO + R_loc + HALO, C)`` with padding rows), so the same kernel runs
-unchanged — only its ``origin`` scalar differs per shard, which also makes
-the reference-naive edge semantics exact across shard boundaries.
+Each shard's state layout is the single-chip Pallas layout extended with
+column padding (``(HALO + R_loc + HALO, CHALO + C_loc + CHALO)``), so the
+same kernel runs unchanged — only its origin scalars differ per shard,
+which also keeps the reference-naive edge semantics exact across shard
+boundaries.
 """
 
 from __future__ import annotations
@@ -34,70 +41,93 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import pallas_stencil as ps
 from ..params import Parameters
 
-AXIS = "rows"
+ROWS = "rows"
+COLS = "cols"
 
 
-def make_mesh(n_devices: int | None = None) -> Mesh:
+def make_mesh(n_devices: int | None = None, n_cols: int = 1) -> Mesh:
+    """1-D row mesh by default; (n_rows, n_cols) grid when n_cols > 1."""
     devices = jax.devices()
     n = n_devices or len(devices)
-    return Mesh(np.asarray(devices[:n]), (AXIS,))
+    if n % n_cols != 0:
+        raise ValueError(f"{n} devices not divisible by {n_cols} mesh columns")
+    grid = np.asarray(devices[:n]).reshape(n // n_cols, n_cols)
+    return Mesh(grid, (ROWS, COLS))
 
 
-def _exchange(x, r_loc: int):
-    """Fill the HALO padding rows of a local (Hp, C) block from neighbors.
-
-    ppermute semantics: a device with no inbound edge receives zeros, which
-    implements the global zero border at the top and bottom shards.
-    """
+def _exchange_rows(x, r_loc: int, chalo: int):
+    """Fill the HALO padding rows of a local block from row neighbors."""
     h = ps.HALO
-    n = jax.lax.axis_size(AXIS)
+    n = jax.lax.axis_size(ROWS)
     down = [(i, i + 1) for i in range(n - 1)]  # my bottom rows -> next shard
     up = [(i + 1, i) for i in range(n - 1)]    # my top rows -> previous shard
-    top_halo = jax.lax.ppermute(x[h + r_loc - h : h + r_loc], AXIS, down)
-    bot_halo = jax.lax.ppermute(x[h : h + h], AXIS, up)
+    top_halo = jax.lax.ppermute(x[h + r_loc - h : h + r_loc], ROWS, down)
+    bot_halo = jax.lax.ppermute(x[h : h + h], ROWS, up)
     return jax.lax.concatenate([top_halo, x[h : h + r_loc], bot_halo], 0)
+
+
+def _exchange_cols(x, c_loc: int, chalo: int):
+    """Fill the CHALO padding columns (incl. the row-halo rows, so corners
+    arrive from diagonal neighbors)."""
+    ch = chalo
+    n = jax.lax.axis_size(COLS)
+    right = [(i, i + 1) for i in range(n - 1)]
+    left = [(i + 1, i) for i in range(n - 1)]
+    west_halo = jax.lax.ppermute(x[:, ch + c_loc - ch : ch + c_loc], COLS, right)
+    east_halo = jax.lax.ppermute(x[:, ch : ch + ch], COLS, left)
+    return jax.lax.concatenate([west_halo, x[:, ch : ch + c_loc], east_halo], 1)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "r_total", "steps", "tr", "params", "boundary",
-                     "interpret"),
+    static_argnames=("mesh", "r_total", "c_total", "steps", "tr", "params",
+                     "boundary", "chalo", "interpret"),
     donate_argnames=("u", "v", "us", "vs"),
 )
 def sharded_run_blocks(
     u, v, us, vs, n_blocks, *,
     mesh: Mesh, r_total: int, steps: int, tr: int,
-    params: Parameters, boundary: str, interpret: bool = False,
+    params: Parameters, boundary: str, c_total: int | None = None,
+    chalo: int = 0, interpret: bool = False,
 ):
-    """Run ``n_blocks`` K-step kernel blocks on row-sharded state.
+    """Run ``n_blocks`` K-step kernel blocks on mesh-sharded state.
 
-    State arrays have shape (n_shards, HALO + R_loc + HALO, C), sharded on
-    axis 0. Between blocks, HALO rows are exchanged over ICI.
+    State arrays have shape (n_row_shards, n_col_shards, HALO + R_loc +
+    HALO, CHALO + C_loc + CHALO), sharded on the first two axes. Between
+    blocks, halo rows (and columns on 2-D meshes) are exchanged over ICI.
     """
-    n_shards = mesh.devices.size
-    hp = u.shape[1]
+    hp = u.shape[2]
+    wp = u.shape[3]
     r_loc = hp - 2 * ps.HALO
+    c_loc = wp - 2 * chalo
+    if c_total is None:
+        c_total = c_loc
 
     def local(u, v, us, vs, n_blocks):
-        u, v, us, vs = u[0], v[0], us[0], vs[0]
-        row_start = jax.lax.axis_index(AXIS).astype(jnp.int32) * r_loc
+        u, v, us, vs = u[0, 0], v[0, 0], us[0, 0], vs[0, 0]
+        row_start = jax.lax.axis_index(ROWS).astype(jnp.int32) * r_loc
         origin = row_start - ps.HALO
+        col_start = jax.lax.axis_index(COLS).astype(jnp.int32) * c_loc
+        origin_c = col_start - chalo
 
         def body(_, carry):
             a, b, sa, sb = carry
-            a = _exchange(a, r_loc)
-            b = _exchange(b, r_loc)
+            a = _exchange_rows(a, r_loc, chalo)
+            b = _exchange_rows(b, r_loc, chalo)
+            if chalo:
+                a = _exchange_cols(a, c_loc, chalo)
+                b = _exchange_cols(b, c_loc, chalo)
             na, nb = ps.multistep_impl(
-                a, b, sa, sb, origin, r_total,
+                a, b, sa, sb, origin, r_total, origin_c, c_total,
                 steps=steps, tr=tr, params=params, boundary=boundary,
-                interpret=interpret,
+                chalo=chalo, interpret=interpret,
             )
             return (na, nb, a, b)
 
         out = jax.lax.fori_loop(0, n_blocks, body, (u, v, us, vs))
-        return tuple(x[None] for x in out)
+        return tuple(x[None, None] for x in out)
 
-    spec = P(AXIS, None, None)
+    spec = P(ROWS, COLS, None, None)
     return jax.shard_map(
         local,
         mesh=mesh,
@@ -110,30 +140,43 @@ def sharded_run_blocks(
 
 
 def shard_state(
-    u: np.ndarray, v: np.ndarray, mesh: Mesh, tr: int
+    u: np.ndarray, v: np.ndarray, mesh: Mesh, tr: int, chalo: int = 0
 ) -> Tuple[jax.Array, jax.Array, int]:
     """Pack (R, C) host state into per-shard padded blocks on the mesh."""
     r, c = u.shape
-    n = mesh.devices.size
-    if r % n != 0:
-        raise ValueError(f"rows {r} not divisible by {n} shards")
-    r_loc = r // n
+    nr, nc = mesh.devices.shape
+    if r % nr != 0:
+        raise ValueError(f"rows {r} not divisible by {nr} row shards")
+    if c % nc != 0:
+        raise ValueError(f"cols {c} not divisible by {nc} col shards")
+    if nc > 1 and chalo == 0:
+        raise ValueError("2-D meshes require column halos (chalo > 0)")
+    r_loc, c_loc = r // nr, c // nc
     if r_loc % tr != 0:
         raise ValueError(f"local rows {r_loc} not divisible by tile {tr}")
-    h = ps.HALO
+    h, ch = ps.HALO, chalo
     out = []
+    tiled = lambda x: (  # noqa: E731
+        x.reshape(nr, r_loc, nc, c_loc).transpose(0, 2, 1, 3)
+    )
     for x in (u, v):
-        blocks = np.zeros((n, h + r_loc + h, c), dtype=np.float32)
-        blocks[:, h : h + r_loc, :] = x.reshape(n, r_loc, c)
+        blocks = np.zeros(
+            (nr, nc, h + r_loc + h, ch + c_loc + ch), dtype=np.float32
+        )
+        blocks[:, :, h : h + r_loc, ch : ch + c_loc] = tiled(x)
         out.append(
-            jax.device_put(blocks, NamedSharding(mesh, P(AXIS, None, None)))
+            jax.device_put(
+                blocks, NamedSharding(mesh, P(ROWS, COLS, None, None))
+            )
         )
     return out[0], out[1], r_loc
 
 
-def unshard_result(blocks, shape) -> jax.Array:
-    """Interior rows of all shards, reassembled to (R, C)."""
+def unshard_result(blocks, shape, chalo: int = 0) -> jax.Array:
+    """Interior cells of all shards, reassembled to (R, C)."""
     r, c = shape
-    h = ps.HALO
-    n = blocks.shape[0]
-    return blocks[:, h : h + r // n, :].reshape(r, c)
+    nr, nc = blocks.shape[0], blocks.shape[1]
+    h, ch = ps.HALO, chalo
+    r_loc, c_loc = r // nr, c // nc
+    interior = blocks[:, :, h : h + r_loc, ch : ch + c_loc]
+    return interior.transpose(0, 2, 1, 3).reshape(r, c)

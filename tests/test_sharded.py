@@ -55,3 +55,40 @@ def test_indivisible_rows_rejected(params):
     sim = ShardedSimulation(params, n_devices=8, interpret=True, block_rows=8)
     with pytest.raises(ValueError):
         sim.make_species((60, 16))
+
+
+@pytest.mark.parametrize("mesh,boundary", [((2, 2), "naive"), ((2, 2), "zero"),
+                                           ((2, 4), "naive")])
+def test_2d_mesh_parity(rng, params, mesh, boundary):
+    """2-D spatial decomposition: row AND column halos (with corner blocks
+    via the two-phase exchange) match the global oracle."""
+    nr, nc = mesh
+    u, v = random_uv(rng, (16 * nr, 16 * nc))
+    ou, ov = oracle.run(u, v, params, 4, boundary)
+    sim = ShardedSimulation(
+        params, boundary=boundary, n_devices=nr * nc, mesh_cols=nc,
+        interpret=True, block_rows=8, steps_per_call=4,
+    )
+    species = sim.make_species(u.shape)
+    species.storage = sim.build_storage(u, v)
+    sim.perform_steps(species, 4)
+    gu, gv = species.uv_host()
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_2d_mesh_multiblock(rng, params):
+    """Two K-blocks on a 2-D mesh: corner data crosses diagonal shards."""
+    from grayscott_tpu.species import initial_uv
+
+    u0, v0 = initial_uv((32, 32))
+    ou, ov = oracle.run(u0, v0, params, 8, "naive")
+    sim = ShardedSimulation(
+        params, boundary="naive", n_devices=4, mesh_cols=2,
+        interpret=True, block_rows=8, steps_per_call=4,
+    )
+    species = sim.make_species((32, 32))
+    sim.perform_steps(species, 8)
+    gu, gv = species.uv_host()
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
