@@ -54,9 +54,9 @@ class ShardedSimulation(Simulation):
     def _tr(self, shape) -> int:
         r, c = shape
         nr = self.mesh.devices.shape[0]
-        r_loc = r // max(nr, 1)
+        r_loc = -(-r // max(nr, 1))
         tr = self.block_rows or ps.choose_block_rows(r_loc, c)
-        while tr > 8 and r_loc % tr != 0:
+        while tr > 8 and tr > -(-r_loc // 8) * 8:
             tr -= 8
         return tr
 

@@ -139,31 +139,39 @@ def sharded_run_blocks(
     )(u, v, us, vs, n_blocks)
 
 
+def shard_extents(shape, mesh: Mesh, tr: int) -> Tuple[int, int]:
+    """(r_loc, c_loc): per-shard interior extents, padded up so that every
+    shard is tile-aligned. Arbitrary domain sizes work: the appended rows/
+    columns live past the true domain extent and the kernel's global-index
+    masking keeps them at zero (the reference's GPU backend instead errors
+    on non-multiple domains — PartialWorkGroupError,
+    data/src/concentration/gpu/shape.rs:141-164)."""
+    r, c = shape
+    nr, nc = mesh.devices.shape
+    r_loc = -(-(-(-r // nr)) // tr) * tr  # ceil(ceil(r/nr)/tr)*tr
+    c_loc = -(-c // nc)
+    return r_loc, c_loc
+
+
 def shard_state(
     u: np.ndarray, v: np.ndarray, mesh: Mesh, tr: int, chalo: int = 0
 ) -> Tuple[jax.Array, jax.Array, int]:
     """Pack (R, C) host state into per-shard padded blocks on the mesh."""
     r, c = u.shape
     nr, nc = mesh.devices.shape
-    if r % nr != 0:
-        raise ValueError(f"rows {r} not divisible by {nr} row shards")
-    if c % nc != 0:
-        raise ValueError(f"cols {c} not divisible by {nc} col shards")
     if nc > 1 and chalo == 0:
         raise ValueError("2-D meshes require column halos (chalo > 0)")
-    r_loc, c_loc = r // nr, c // nc
-    if r_loc % tr != 0:
-        raise ValueError(f"local rows {r_loc} not divisible by tile {tr}")
+    r_loc, c_loc = shard_extents((r, c), mesh, tr)
     h, ch = ps.HALO, chalo
     out = []
-    tiled = lambda x: (  # noqa: E731
-        x.reshape(nr, r_loc, nc, c_loc).transpose(0, 2, 1, 3)
-    )
     for x in (u, v):
+        xp = np.zeros((nr * r_loc, nc * c_loc), dtype=np.float32)
+        xp[:r, :c] = x
+        tiled = xp.reshape(nr, r_loc, nc, c_loc).transpose(0, 2, 1, 3)
         blocks = np.zeros(
             (nr, nc, h + r_loc + h, ch + c_loc + ch), dtype=np.float32
         )
-        blocks[:, :, h : h + r_loc, ch : ch + c_loc] = tiled(x)
+        blocks[:, :, h : h + r_loc, ch : ch + c_loc] = tiled
         out.append(
             jax.device_put(
                 blocks, NamedSharding(mesh, P(ROWS, COLS, None, None))
@@ -173,10 +181,12 @@ def shard_state(
 
 
 def unshard_result(blocks, shape, chalo: int = 0) -> jax.Array:
-    """Interior cells of all shards, reassembled to (R, C)."""
+    """Interior cells of all shards, reassembled and cropped to (R, C)."""
     r, c = shape
     nr, nc = blocks.shape[0], blocks.shape[1]
     h, ch = ps.HALO, chalo
-    r_loc, c_loc = r // nr, c // nc
+    r_loc = blocks.shape[2] - 2 * h
+    c_loc = blocks.shape[3] - 2 * ch
     interior = blocks[:, :, h : h + r_loc, ch : ch + c_loc]
-    return interior.transpose(0, 2, 1, 3).reshape(r, c)
+    full = interior.transpose(0, 2, 1, 3).reshape(nr * r_loc, nc * c_loc)
+    return full[:r, :c]

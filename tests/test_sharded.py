@@ -51,10 +51,32 @@ def test_multiple_blocks_cross_shard(rng, params):
     np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
 
 
-def test_indivisible_rows_rejected(params):
-    sim = ShardedSimulation(params, n_devices=8, interpret=True, block_rows=8)
-    with pytest.raises(ValueError):
-        sim.make_species((60, 16))
+def test_indivisible_rows_padded_internally(rng, params):
+    """Domains that don't divide evenly across shards pad internally and
+    stay exact (the reference GPU backend errors instead,
+    data/src/concentration/gpu/shape.rs:141-164)."""
+    u, v = random_uv(rng, (60, 16))
+    ou, ov = oracle.run(u, v, params, 4, "naive")
+    gu, gv = run_sharded(u, v, params, "naive", 4, 8, block_rows=8,
+                         steps_per_call=4)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_odd_2d_domain(rng, params):
+    """Odd rows AND cols on a 2-D mesh (29x21 over 2x2)."""
+    u, v = random_uv(rng, (29, 21))
+    ou, ov = oracle.run(u, v, params, 3, "naive")
+    sim = ShardedSimulation(
+        params, boundary="naive", n_devices=4, mesh_cols=2,
+        interpret=True, block_rows=8, steps_per_call=4,
+    )
+    species = sim.make_species((29, 21))
+    species.storage = sim.build_storage(u, v)
+    sim.perform_steps(species, 3)
+    gu, gv = species.uv_host()
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
 
 
 @pytest.mark.parametrize("mesh,boundary", [((2, 2), "naive"), ((2, 2), "zero"),
