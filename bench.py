@@ -34,6 +34,9 @@ def measure(r=4096, c=4096, steps=1000, backend=None, boundary="zero"):
     compute/gpu/naive/src/main.comp) — the apples-to-apples headline; the
     reference-CPU `naive` semantics measures ~10% lower (edge strip work)
     and is what the parity tests use."""
+    from grayscott_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 
@@ -49,7 +52,11 @@ def measure(r=4096, c=4096, steps=1000, backend=None, boundary="zero"):
     def sync():
         return float(np.asarray(jnp.sum(species.result()[:8, :128])))
 
-    sim.prepare_steps(species, 2 * getattr(sim, "steps_per_call", 8))  # compile
+    # warm up BOTH executables the measured run will use: the K-step block
+    # loop and (if steps % K != 0) the remainder kernel — a cold remainder
+    # compile inside the timed region once cost 3 orders of magnitude
+    k = getattr(sim, "steps_per_call", 8)
+    sim.prepare_steps(species, 2 * k + steps % k)
     sync()
     t0 = time.time()
     sim.prepare_steps(species, steps)

@@ -32,16 +32,24 @@ class PallasSimulation(Simulation):
 
     MAX_STEPS_PER_CALL = 32
 
+    #: measured optimum on v5e: 16 steps fused in VMEM per HBM round-trip
+    DEFAULT_STEPS_PER_CALL = 16
+
     def __init__(
         self,
         params: Parameters,
         boundary: str = "naive",
         block_rows: int | None = None,
-        steps_per_call: int = ps.HALO,
+        steps_per_call: int | None = None,
         interpret: bool | None = None,
         vmem_limit_bytes: int | None = None,
         **kwargs,
     ):
+        if steps_per_call is None:
+            # deep blocking pays on hardware; in interpreter mode (tests)
+            # the 16-step unrolled graph blows up XLA-CPU compile times
+            on_tpu = jax.devices()[0].platform == "tpu"
+            steps_per_call = self.DEFAULT_STEPS_PER_CALL if on_tpu else ps.HALO
         super().__init__(params, boundary)
         if not (1 <= steps_per_call <= self.MAX_STEPS_PER_CALL):
             raise ValueError(
@@ -73,7 +81,7 @@ class PallasSimulation(Simulation):
             if tuned:
                 tr = tuned["block_rows"]
         if tr is None:
-            tr = ps.choose_block_rows(r, c)
+            tr = ps.choose_block_rows(r, c, halo=self.halo)
         rp = -(-r // 8) * 8
         while tr > 8 and tr > rp:
             tr -= 8
@@ -135,13 +143,17 @@ class PallasSimulation(Simulation):
         )
         parser.add_argument(
             "--pallas-steps-per-call", type=int,
-            default=env_default("GRAYSCOTT_PALLAS_STEPS_PER_CALL", ps.HALO, int),
-            help=f"Temporal blocking depth (1..{ps.HALO} steps fused in VMEM)",
+            default=env_default(
+                "GRAYSCOTT_PALLAS_STEPS_PER_CALL",
+                cls.DEFAULT_STEPS_PER_CALL, int,
+            ),
+            help=f"Temporal blocking depth (1..{cls.MAX_STEPS_PER_CALL} "
+            "steps fused in VMEM)",
         )
 
     @classmethod
     def args_from_namespace(cls, ns: argparse.Namespace):
         return {
             "block_rows": getattr(ns, "pallas_block_rows", None),
-            "steps_per_call": getattr(ns, "pallas_steps_per_call", ps.HALO),
+            "steps_per_call": getattr(ns, "pallas_steps_per_call", None),
         }

@@ -32,10 +32,12 @@ class ShardedSimulation(Simulation):
         n_devices: int | None = None,
         mesh_cols: int = 1,
         block_rows: int | None = None,
-        steps_per_call: int = ps.HALO,
+        steps_per_call: int | None = None,
         interpret: bool | None = None,
         **kwargs,
     ):
+        if steps_per_call is None:
+            steps_per_call = ps.HALO  # halo exchange depth is fixed at HALO
         super().__init__(params, boundary)
         self.mesh = halo.make_mesh(n_devices, mesh_cols)
         # column halos only needed (and paid for) on 2-D meshes; 8 is the
@@ -108,9 +110,15 @@ class ShardedSimulation(Simulation):
 
     @classmethod
     def args_from_namespace(cls, ns: argparse.Namespace):
+        # the sharded halo exchange depth is fixed at HALO rows, so deeper
+        # temporal blocking than HALO steps (the single-chip pallas default)
+        # is clamped here rather than erroring
+        k = getattr(ns, "pallas_steps_per_call", None)
+        if k is not None:
+            k = min(k, ps.HALO)
         return {
             "n_devices": getattr(ns, "sharded_devices", None),
             "mesh_cols": getattr(ns, "sharded_mesh_cols", 1),
             "block_rows": getattr(ns, "pallas_block_rows", None),
-            "steps_per_call": getattr(ns, "pallas_steps_per_call", ps.HALO),
+            "steps_per_call": k,
         }

@@ -20,12 +20,14 @@ from ..params import Parameters
 from ..utils import cache
 
 DEFAULT_CANDIDATES: Tuple[Tuple[int, int], ...] = (
-    # (block_rows, steps_per_call); measured on v5e at 4096^2: compute-bound
-    # at K=8, best at tr=96 (44.3 Gcell/s zero / 40.0 naive), declining by
-    # tr=128
+    # (block_rows, steps_per_call); measured on v5e at 4096^2: per-kernel
+    # fixed cost (~1.75 ms/block at tr=96) dominates, so deep temporal
+    # blocking at large tiles wins: (192, 16) -> 51.2 Gcell/s zero-border
+    # (1.0x the single-step HBM roofline)
+    (192, 16),
+    (144, 24),
+    (96, 16),
     (96, 8),
-    (48, 8),
-    (128, 8),
 )
 
 

@@ -498,15 +498,18 @@ def pad_state(
     return out[0], out[1]
 
 
-def choose_block_rows(r: int, c: int, vmem_budget_bytes: int = 4 << 20) -> int:
-    """Default row-tile size: fit one (TR + 2*HALO, C) f32 window pair in the
-    VMEM budget (the analog of the reference's hwloc cache-budget defaults,
-    compute/block/src/default.rs:6-57), clamped to [8, 96] — 96 measured
-    optimal on v5e at 4096^2 (throughput saturates then declines; the
-    autotuner refines this per domain) — and to the domain size."""
+def choose_block_rows(
+    r: int, c: int, vmem_budget_bytes: int = 8 << 20, halo: int = 16
+) -> int:
+    """Default row-tile size: fit one (TR + 2*halo, C) f32 window pair in
+    the VMEM budget (the analog of the reference's hwloc cache-budget
+    defaults, compute/block/src/default.rs:6-57), clamped to [8, 192] —
+    K=16 temporal blocking at tr=192 measured best on v5e at 4096^2
+    (51.2 Gcell/s; the autotuner refines per domain) — and to the domain
+    size."""
     bytes_per_row = c * 4 * 2  # two species
-    tr = (vmem_budget_bytes // bytes_per_row - 2 * HALO) // 8 * 8
-    tr = max(8, min(96, tr))
+    tr = (vmem_budget_bytes // bytes_per_row - 2 * halo) // 8 * 8
+    tr = max(8, min(192, tr))
     rp = -(-r // 8) * 8
     while tr > rp:
         tr -= 8
