@@ -37,18 +37,20 @@ class ShardedSimulation(Simulation):
         **kwargs,
     ):
         if steps_per_call is None:
-            steps_per_call = ps.HALO  # halo exchange depth is fixed at HALO
+            on_tpu = jax.devices()[0].platform == "tpu"
+            steps_per_call = 16 if on_tpu else ps.HALO
         super().__init__(params, boundary)
         self.mesh = halo.make_mesh(n_devices, mesh_cols)
-        # column halos only needed (and paid for) on 2-D meshes; 8 is the
-        # lane-roll ring depth matching K <= 8 temporal blocking
-        self.chalo = 8 if mesh_cols > 1 else 0
-        if not (1 <= steps_per_call <= ps.HALO):
+        if not (1 <= steps_per_call <= 32):
             raise ValueError(
-                f"steps_per_call must be in [1, {ps.HALO}], got {steps_per_call}"
+                f"steps_per_call must be in [1, 32], got {steps_per_call}"
             )
         self.block_rows = block_rows
         self.steps_per_call = steps_per_call
+        # exchange depth = blocking depth rounded to the 8-row alignment
+        # quantum; column halos only needed (and paid for) on 2-D meshes
+        self.halo = max(-(-steps_per_call // 8) * 8, ps.HALO)
+        self.chalo = self.halo if mesh_cols > 1 else 0
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
         self.interpret = interpret
@@ -64,14 +66,14 @@ class ShardedSimulation(Simulation):
 
     def build_storage(self, u: np.ndarray, v: np.ndarray):
         tr = self._tr(u.shape)
-        ub, vb, _ = halo.shard_state(u, v, self.mesh, tr, self.chalo)
-        us, vs, _ = halo.shard_state(u, v, self.mesh, tr, self.chalo)
+        ub, vb, _ = halo.shard_state(u, v, self.mesh, tr, self.chalo, self.halo)
+        us, vs, _ = halo.shard_state(u, v, self.mesh, tr, self.chalo, self.halo)
         return (ub, vb, us, vs, tr)
 
     def extract_uv(self, storage, shape) -> Tuple[jax.Array, jax.Array]:
         return (
-            halo.unshard_result(storage[0], shape, self.chalo),
-            halo.unshard_result(storage[1], shape, self.chalo),
+            halo.unshard_result(storage[0], shape, self.chalo, self.halo),
+            halo.unshard_result(storage[1], shape, self.chalo, self.halo),
         )
 
     def run_steps(self, storage, shape, steps: int):
@@ -80,7 +82,8 @@ class ShardedSimulation(Simulation):
         k = self.steps_per_call
         n_full, rem = divmod(steps, k)
         common = dict(
-            mesh=self.mesh, r_total=r, c_total=c, chalo=self.chalo,
+            mesh=self.mesh, r_total=r, c_total=c,
+            halo=self.halo, chalo=self.chalo,
             tr=tr, params=self.params,
             boundary=self.boundary, interpret=self.interpret,
         )
@@ -110,12 +113,7 @@ class ShardedSimulation(Simulation):
 
     @classmethod
     def args_from_namespace(cls, ns: argparse.Namespace):
-        # the sharded halo exchange depth is fixed at HALO rows, so deeper
-        # temporal blocking than HALO steps (the single-chip pallas default)
-        # is clamped here rather than erroring
         k = getattr(ns, "pallas_steps_per_call", None)
-        if k is not None:
-            k = min(k, ps.HALO)
         return {
             "n_devices": getattr(ns, "sharded_devices", None),
             "mesh_cols": getattr(ns, "sharded_mesh_cols", 1),

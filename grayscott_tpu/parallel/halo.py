@@ -55,9 +55,9 @@ def make_mesh(n_devices: int | None = None, n_cols: int = 1) -> Mesh:
     return Mesh(grid, (ROWS, COLS))
 
 
-def _exchange_rows(x, r_loc: int, chalo: int):
-    """Fill the HALO padding rows of a local block from row neighbors."""
-    h = ps.HALO
+def _exchange_rows(x, r_loc: int, halo: int):
+    """Fill the halo padding rows of a local block from row neighbors."""
+    h = halo
     n = jax.lax.axis_size(ROWS)
     down = [(i, i + 1) for i in range(n - 1)]  # my bottom rows -> next shard
     up = [(i + 1, i) for i in range(n - 1)]    # my top rows -> previous shard
@@ -81,14 +81,14 @@ def _exchange_cols(x, c_loc: int, chalo: int):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "r_total", "c_total", "steps", "tr", "params",
-                     "boundary", "chalo", "interpret"),
+                     "boundary", "halo", "chalo", "interpret"),
     donate_argnames=("u", "v", "us", "vs"),
 )
 def sharded_run_blocks(
     u, v, us, vs, n_blocks, *,
     mesh: Mesh, r_total: int, steps: int, tr: int,
     params: Parameters, boundary: str, c_total: int | None = None,
-    chalo: int = 0, interpret: bool = False,
+    halo: int = ps.HALO, chalo: int = 0, interpret: bool = False,
 ):
     """Run ``n_blocks`` K-step kernel blocks on mesh-sharded state.
 
@@ -98,7 +98,7 @@ def sharded_run_blocks(
     """
     hp = u.shape[2]
     wp = u.shape[3]
-    r_loc = hp - 2 * ps.HALO
+    r_loc = hp - 2 * halo
     c_loc = wp - 2 * chalo
     if c_total is None:
         c_total = c_loc
@@ -106,21 +106,21 @@ def sharded_run_blocks(
     def local(u, v, us, vs, n_blocks):
         u, v, us, vs = u[0, 0], v[0, 0], us[0, 0], vs[0, 0]
         row_start = jax.lax.axis_index(ROWS).astype(jnp.int32) * r_loc
-        origin = row_start - ps.HALO
+        origin = row_start - halo
         col_start = jax.lax.axis_index(COLS).astype(jnp.int32) * c_loc
         origin_c = col_start - chalo
 
         def body(_, carry):
             a, b, sa, sb = carry
-            a = _exchange_rows(a, r_loc, chalo)
-            b = _exchange_rows(b, r_loc, chalo)
+            a = _exchange_rows(a, r_loc, halo)
+            b = _exchange_rows(b, r_loc, halo)
             if chalo:
                 a = _exchange_cols(a, c_loc, chalo)
                 b = _exchange_cols(b, c_loc, chalo)
             na, nb = ps.multistep_impl(
                 a, b, sa, sb, origin, r_total, origin_c, c_total,
                 steps=steps, tr=tr, params=params, boundary=boundary,
-                chalo=chalo, interpret=interpret,
+                halo=halo, chalo=chalo, interpret=interpret,
             )
             return (na, nb, a, b)
 
@@ -154,7 +154,8 @@ def shard_extents(shape, mesh: Mesh, tr: int) -> Tuple[int, int]:
 
 
 def shard_state(
-    u: np.ndarray, v: np.ndarray, mesh: Mesh, tr: int, chalo: int = 0
+    u: np.ndarray, v: np.ndarray, mesh: Mesh, tr: int, chalo: int = 0,
+    halo: int = ps.HALO,
 ) -> Tuple[jax.Array, jax.Array, int]:
     """Pack (R, C) host state into per-shard padded blocks on the mesh."""
     r, c = u.shape
@@ -162,7 +163,7 @@ def shard_state(
     if nc > 1 and chalo == 0:
         raise ValueError("2-D meshes require column halos (chalo > 0)")
     r_loc, c_loc = shard_extents((r, c), mesh, tr)
-    h, ch = ps.HALO, chalo
+    h, ch = halo, chalo
     out = []
     for x in (u, v):
         xp = np.zeros((nr * r_loc, nc * c_loc), dtype=np.float32)
@@ -180,11 +181,12 @@ def shard_state(
     return out[0], out[1], r_loc
 
 
-def unshard_result(blocks, shape, chalo: int = 0) -> jax.Array:
+def unshard_result(blocks, shape, chalo: int = 0,
+                   halo: int = ps.HALO) -> jax.Array:
     """Interior cells of all shards, reassembled and cropped to (R, C)."""
     r, c = shape
     nr, nc = blocks.shape[0], blocks.shape[1]
-    h, ch = ps.HALO, chalo
+    h, ch = halo, chalo
     r_loc = blocks.shape[2] - 2 * h
     c_loc = blocks.shape[3] - 2 * ch
     interior = blocks[:, :, h : h + r_loc, ch : ch + c_loc]

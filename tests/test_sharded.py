@@ -114,3 +114,13 @@ def test_2d_mesh_multiblock(rng, params):
     gu, gv = species.uv_host()
     np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
     np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_deep_k_sharded(rng, params):
+    """Deep temporal blocking across shards: K=9 -> exchange depth 16."""
+    u, v = random_uv(rng, (32, 16))
+    ou, ov = oracle.run(u, v, params, 9, "naive")
+    gu, gv = run_sharded(u, v, params, "naive", 9, 2, block_rows=16,
+                         steps_per_call=9)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
