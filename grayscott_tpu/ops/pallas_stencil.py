@@ -37,7 +37,14 @@ strip recomputation of the top row / left column (the anchoring quirk).
 
 Alignment notes (Mosaic requirements, probed on v5e): element-indexed
 window starts and sizes must be multiples of 8 in the sublane dim, hence
-``HALO = 8`` and TR a multiple of 8; the lane dim uses full array width.
+halo depths are multiples of 8 (``HALO = 8`` is the minimum; deep temporal
+blocking uses 16-32) and TR a multiple of 8; the lane dim uses the full
+local array width.
+
+Measured on one v5e chip at 4096^2 (see BENCHMARKS.md): the fixed per-tile
+cost dominates, so deep blocking at large tiles wins — (tr=192, K=16)
+reaches 51.2 Gcell/s = 1.00x the single-step HBM roofline and
+(tr=144, K=24) 53.2 = 1.04x.
 """
 
 from __future__ import annotations
@@ -56,10 +63,6 @@ from ..params import Parameters, Precision
 #: Halo depth in rows. Must be a multiple of 8 (sublane alignment of
 #: element-indexed windows); also the maximum temporal-blocking depth.
 HALO = 8
-
-
-def _f32(x) -> jnp.ndarray:
-    return jnp.asarray(x, dtype=jnp.float32)
 
 
 def _shift_cols(x, d: int):
