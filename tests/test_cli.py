@@ -117,3 +117,17 @@ def test_simulate_sharded_backend(tmp_path):
     u, v = oracle.run(u, v, Parameters(), 2)
     with Reader(out) as r:
         np.testing.assert_allclose(r.read(), v, rtol=0, atol=1e-6)
+
+
+def test_simulate_deterministic(tmp_path):
+    """Two identical runs produce bit-identical HDF5 output."""
+    outs = []
+    for name in ("a.h5", "b.h5"):
+        out = tmp_path / name
+        assert simulate.main(
+            ["-n", "3", "-r", "24", "-c", "32", "-e", "4",
+             "--backend", "fused", "-o", str(out)]
+        ) == 0
+        with Reader(out) as r:
+            outs.append(np.stack(list(r)))
+    np.testing.assert_array_equal(outs[0], outs[1])
