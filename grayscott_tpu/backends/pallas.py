@@ -40,6 +40,7 @@ class PallasSimulation(Simulation):
         params: Parameters,
         boundary: str = "naive",
         block_rows: int | None = None,
+        block_cols: int | None = None,
         steps_per_call: int | None = None,
         interpret: bool | None = None,
         vmem_limit_bytes: int | None = None,
@@ -57,6 +58,7 @@ class PallasSimulation(Simulation):
                 f"got {steps_per_call}"
             )
         self.block_rows = block_rows
+        self.block_cols = block_cols
         self.steps_per_call = steps_per_call
         # halo depth = steps rounded up to the 8-row alignment quantum
         self.halo = max(-(-steps_per_call // 8) * 8, ps.HALO)
@@ -70,7 +72,7 @@ class PallasSimulation(Simulation):
 
     # -- storage: padded double buffers ------------------------------------
 
-    def _tr(self, shape) -> int:
+    def _tr(self, shape, eff_c: int | None = None) -> int:
         r, c = shape
         tr = self.block_rows
         if tr is None:
@@ -81,55 +83,64 @@ class PallasSimulation(Simulation):
             if tuned:
                 tr = tuned["block_rows"]
         if tr is None:
-            tr = ps.choose_block_rows(r, c, halo=self.halo)
+            tr = ps.choose_block_rows(r, eff_c or c, halo=self.halo)
         rp = -(-r // 8) * 8
         while tr > 8 and tr > rp:
             tr -= 8
         return tr
 
+    def _tiles(self, shape) -> Tuple[int, int | None, int]:
+        """(tr, tc, chalo): row tile, optional column tile for very wide
+        domains (see ops.pallas_stencil.choose_block_cols), column halo."""
+        r, c = shape
+        tc = self.block_cols
+        if tc is None:
+            tc = ps.choose_block_cols(c, halo=self.halo)
+        if tc is not None and tc >= c:
+            tc = None
+        chalo = ps.COL_HALO if tc is not None else 0
+        tr = self._tr(shape, eff_c=None if tc is None else tc + 2 * chalo)
+        return tr, tc, chalo
+
     def build_storage(self, u: np.ndarray, v: np.ndarray):
-        tr = self._tr(u.shape)
-        u_pad, v_pad = ps.pad_state(u, v, tr, self.halo)
-        return (
-            jnp.asarray(u_pad),
-            jnp.asarray(v_pad),
-            jnp.asarray(u_pad),  # stale buffer: same zero padding
-            jnp.asarray(v_pad),
-            tr,
-        )
+        tr, tc, chalo = self._tiles(u.shape)
+        u_pad, v_pad = ps.pad_state(u, v, tr, self.halo, chalo, tc)
+        return (jnp.asarray(u_pad), jnp.asarray(v_pad), tr, tc, chalo)
 
     def extract_uv(self, storage, shape) -> Tuple[jax.Array, jax.Array]:
-        u_pad, v_pad = storage[0], storage[1]
+        u_pad, v_pad, _, _, chalo = storage
         r, c = shape
         h = self.halo
-        return u_pad[h : h + r, :], v_pad[h : h + r, :]
+        return (
+            u_pad[h : h + r, chalo : chalo + c],
+            v_pad[h : h + r, chalo : chalo + c],
+        )
 
     # -- stepping ------------------------------------------------------------
 
     def run_steps(self, storage, shape, steps: int):
-        u, v, us, vs, tr = storage
-        r, _ = shape
+        u, v, tr, tc, chalo = storage
+        r, c = shape
         k = self.steps_per_call
         n_full, rem = divmod(steps, k)
         common = dict(
-            tr=tr, params=self.params, boundary=self.boundary,
-            halo=self.halo, interpret=self.interpret,
+            tr=tr, tc=tc, chalo=chalo, params=self.params,
+            boundary=self.boundary, halo=self.halo,
+            interpret=self.interpret,
             vmem_limit_bytes=self.vmem_limit_bytes,
         )
+        # column-tiled storage carries real column padding; tell the kernel
+        # where global column 0 sits and how wide the true domain is
+        pos = (-self.halo, r) if chalo == 0 else (-self.halo, r, -chalo, c)
         if n_full:
             # one device dispatch for all full K-step blocks
-            u, v, us, vs = ps.run_blocks(
-                u, v, us, vs, -self.halo, r, jnp.int32(n_full),
+            u, v = ps.run_blocks(
+                u, v, *pos[:2], jnp.int32(n_full), *pos[2:],
                 steps=k, **common,
             )
         if rem:
-            u, v, us, vs = (
-                *ps.multistep(
-                    u, v, us, vs, -self.halo, r, steps=rem, **common,
-                ),
-                u, v,
-            )
-        return (u, v, us, vs, tr)
+            u, v = ps.multistep(u, v, *pos, steps=rem, **common)
+        return (u, v, tr, tc, chalo)
 
     # -- CLI ----------------------------------------------------------------
 
@@ -140,6 +151,12 @@ class PallasSimulation(Simulation):
             default=env_default("GRAYSCOTT_PALLAS_BLOCK_ROWS", None, int),
             help="Row-tile size of the Pallas kernel (multiple of 8; "
             "default: VMEM budget heuristic)",
+        )
+        parser.add_argument(
+            "--pallas-block-cols", type=int,
+            default=env_default("GRAYSCOTT_PALLAS_BLOCK_COLS", None, int),
+            help="Column-tile size (multiple of 128) for very wide domains; "
+            "default: full width unless the window would exceed VMEM",
         )
         parser.add_argument(
             "--pallas-steps-per-call", type=int,
@@ -155,5 +172,6 @@ class PallasSimulation(Simulation):
     def args_from_namespace(cls, ns: argparse.Namespace):
         return {
             "block_rows": getattr(ns, "pallas_block_rows", None),
+            "block_cols": getattr(ns, "pallas_block_cols", None),
             "steps_per_call": getattr(ns, "pallas_steps_per_call", None),
         }

@@ -67,8 +67,7 @@ class ShardedSimulation(Simulation):
     def build_storage(self, u: np.ndarray, v: np.ndarray):
         tr = self._tr(u.shape)
         ub, vb, _ = halo.shard_state(u, v, self.mesh, tr, self.chalo, self.halo)
-        us, vs, _ = halo.shard_state(u, v, self.mesh, tr, self.chalo, self.halo)
-        return (ub, vb, us, vs, tr)
+        return (ub, vb, tr)
 
     def extract_uv(self, storage, shape) -> Tuple[jax.Array, jax.Array]:
         return (
@@ -77,7 +76,7 @@ class ShardedSimulation(Simulation):
         )
 
     def run_steps(self, storage, shape, steps: int):
-        u, v, us, vs, tr = storage
+        u, v, tr = storage
         r, c = shape
         k = self.steps_per_call
         n_full, rem = divmod(steps, k)
@@ -88,14 +87,14 @@ class ShardedSimulation(Simulation):
             boundary=self.boundary, interpret=self.interpret,
         )
         if n_full:
-            u, v, us, vs = halo.sharded_run_blocks(
-                u, v, us, vs, jnp.int32(n_full), steps=k, **common
+            u, v = halo.sharded_run_blocks(
+                u, v, jnp.int32(n_full), steps=k, **common
             )
         if rem:
-            u, v, us, vs = halo.sharded_run_blocks(
-                u, v, us, vs, jnp.int32(1), steps=rem, **common
+            u, v = halo.sharded_run_blocks(
+                u, v, jnp.int32(1), steps=rem, **common
             )
-        return (u, v, us, vs, tr)
+        return (u, v, tr)
 
     @classmethod
     def add_cli_args(cls, parser: argparse.ArgumentParser) -> None:

@@ -329,9 +329,9 @@ def make_window_stepper(
     return precompute, step
 
 
-def _kernel(scal_ref, u_ref, v_ref, us_ref, vs_ref, uo_ref, vo_ref, *,
+def _kernel(scal_ref, u_ref, v_ref, uo_ref, vo_ref, *,
             steps: int, tr: int, c: int, halo: int, chalo: int, params,
-            boundary: str):
+            boundary: str, tc: int | None = None):
     w_rows = tr + 2 * halo
     precompute, step = make_window_stepper(
         params, boundary, w_rows, c, halo, chalo
@@ -342,6 +342,8 @@ def _kernel(scal_ref, u_ref, v_ref, us_ref, vs_ref, uo_ref, vo_ref, *,
     c_total = scal_ref[0, 3]
     g0 = origin + pl.program_id(0) * tr
     giota = g0 + jax.lax.broadcasted_iota(jnp.int32, (w_rows, 1), 0)
+    if tc is not None:  # column-tiled 2-D grid: per-tile column origin
+        origin_c = origin_c + pl.program_id(1) * tc
     gcol = origin_c + _col_iota(c)
     u, v = u_ref[:], v_ref[:]
     # NOTE: an interior-tile fast path via lax.cond (skipping the boundary
@@ -351,26 +353,44 @@ def _kernel(scal_ref, u_ref, v_ref, us_ref, vs_ref, uo_ref, vo_ref, *,
     ctx = precompute(giota, r_total, gcol, c_total)
     for _ in range(steps):
         u, v = step(u, v, ctx)
-    uo_ref[:] = u[halo : halo + tr, :]
-    vo_ref[:] = v[halo : halo + tr, :]
+    if tc is None:
+        uo_ref[:] = u[halo : halo + tr, :]
+        vo_ref[:] = v[halo : halo + tr, :]
+    else:
+        uo_ref[:] = u[halo : halo + tr, chalo : chalo + tc]
+        vo_ref[:] = v[halo : halo + tr, chalo : chalo + tc]
 
 
 def multistep_impl(
-    u_pad, v_pad, u_stale, v_stale, origin, r_total,
+    u_pad, v_pad, origin, r_total,
     origin_c=0, c_total=None,
     *, steps: int, tr: int, params: Parameters, boundary: str,
     halo: int = HALO, chalo: int = 0, interpret: bool = False,
-    vmem_limit_bytes: int | None = None,
+    vmem_limit_bytes: int | None = None, zero_padding: bool = True,
+    tc: int | None = None,
 ):
     """Advance padded state by ``steps`` (<= halo) simulation steps.
 
     ``u_pad``/``v_pad``: (halo + Rp + halo, C) current state with zero (or
-    halo-exchanged) padding rows. ``u_stale``/``v_stale``: the other double
-    buffer, aliased to the outputs so its padding rows survive.
+    halo-exchanged) padding rows. The kernel writes fresh output buffers
+    whose padding is then re-zeroed with two cheap row updates (skippable
+    via ``zero_padding=False`` when a halo exchange will overwrite it
+    anyway). NOTE: aliasing the outputs onto a stale double buffer to
+    preserve the padding — the original design — serialized Mosaic's DMA
+    pipeline against compute and cost ~20% of peak; fresh outputs let the
+    window fetches overlap the VMEM step loop.
     ``origin``: global row index of padded row 0 (-halo single-chip).
     ``halo`` must be a multiple of 8 (element-indexing alignment); deeper
     halos permit deeper temporal blocking (steps <= halo) at the price of
     more redundant window compute. Returns the new (u_pad, v_pad).
+
+    ``tc``: optional column tile width — tiles the grid along columns too
+    (2-D Pallas grid), for domains so wide that a full-width
+    ``(tr + 2*halo, C)`` window pair exceeds VMEM at a useful ``tr``. Each
+    tile reads a ``(tr + 2*halo, tc + 2*chalo)`` window; the column halo
+    (``chalo >= steps``, a multiple of 128 for lane-dim element alignment
+    on hardware) absorbs lateral invalidation exactly as the row halo does
+    vertical. Requires column-padded state (``pad_state(..., chalo=...)``).
     Not jitted: call through :func:`multistep` / :func:`run_blocks` (one
     device dispatch each — the tunneled TPU has ~100 ms per-dispatch
     latency, so the driver loop lives on device, mirroring the reference's
@@ -387,115 +407,138 @@ def multistep_impl(
     if c_total is None:
         c_total = c  # single-chip, no column halos
     w_rows = tr + 2 * halo
-    grid = (rp // tr,)
     scalars = jnp.concatenate(
         [jnp.asarray(x, jnp.int32).reshape(1, 1)
          for x in (origin, r_total, origin_c, c_total)], axis=1
     )
+    if tc is None:
+        grid = (rp // tr,)
+        w_cols = c
+        in_map = lambda i: (pl.multiple_of(i * tr, 8), 0)  # noqa: E731
+        out_map = lambda i: (pl.multiple_of(halo + i * tr, 8), 0)  # noqa: E731
+        out_block = (pl.Element(tr), pl.Element(c))
+        semantics = ("parallel",)
+    else:
+        cw = c - 2 * chalo
+        if chalo < steps:
+            raise ValueError(
+                f"column tiling needs chalo >= steps, got {chalo} < {steps}"
+            )
+        if cw % tc != 0:
+            raise ValueError(
+                f"interior cols {cw} must be a multiple of tc={tc}"
+            )
+        grid = (rp // tr, cw // tc)
+        w_cols = tc + 2 * chalo
+        in_map = lambda i, j: (  # noqa: E731
+            pl.multiple_of(i * tr, 8), pl.multiple_of(j * tc, 128),
+        )
+        out_map = lambda i, j: (  # noqa: E731
+            pl.multiple_of(halo + i * tr, 8),
+            pl.multiple_of(chalo + j * tc, 128),
+        )
+        out_block = (pl.Element(tr), pl.Element(tc))
+        semantics = ("parallel", "parallel")
+    in_block = (pl.Element(w_rows), pl.Element(w_cols))
     kernel = functools.partial(
-        _kernel, steps=steps, tr=tr, c=c, halo=halo, chalo=chalo,
-        params=params, boundary=boundary,
+        _kernel, steps=steps, tr=tr, c=w_cols, halo=halo, chalo=chalo,
+        params=params, boundary=boundary, tc=tc,
     )
+    zero_map = (lambda i: (0, 0)) if tc is None else (lambda i, j: (0, 0))
     out_u, out_v = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (pl.Element(w_rows), pl.Element(c)),
-                lambda i: (pl.multiple_of(i * tr, 8), 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (pl.Element(w_rows), pl.Element(c)),
-                lambda i: (pl.multiple_of(i * tr, 8), 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 4), zero_map, memory_space=pltpu.SMEM),
+            pl.BlockSpec(in_block, in_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(in_block, in_map, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (pl.Element(tr), pl.Element(c)),
-                lambda i: (pl.multiple_of(halo + i * tr, 8), 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (pl.Element(tr), pl.Element(c)),
-                lambda i: (pl.multiple_of(halo + i * tr, 8), 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(out_block, out_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(out_block, out_map, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(u_pad.shape, u_pad.dtype),
             jax.ShapeDtypeStruct(v_pad.shape, v_pad.dtype),
         ],
-        input_output_aliases={3: 0, 4: 1},
         compiler_params=pltpu.CompilerParams(
             # tiles are independent (outputs disjoint, inputs read-only)
-            dimension_semantics=("parallel",),
+            dimension_semantics=semantics,
             vmem_limit_bytes=vmem_limit_bytes,
         ),
         interpret=interpret,
-    )(scalars, u_pad, v_pad, u_stale, v_stale)
+    )(scalars, u_pad, v_pad)
+    if zero_padding:
+        zrow = jnp.zeros((halo, c), dtype=u_pad.dtype)
+        out_u = out_u.at[:halo].set(zrow).at[rp_full - halo:].set(zrow)
+        out_v = out_v.at[:halo].set(zrow).at[rp_full - halo:].set(zrow)
+        if chalo:
+            zcol = jnp.zeros((rp_full, chalo), dtype=u_pad.dtype)
+            out_u = out_u.at[:, :chalo].set(zcol).at[:, c - chalo:].set(zcol)
+            out_v = out_v.at[:, :chalo].set(zcol).at[:, c - chalo:].set(zcol)
     return out_u, out_v
 
 
 _STATIC = ("steps", "tr", "params", "boundary", "halo", "chalo",
-           "interpret", "vmem_limit_bytes")
+           "interpret", "vmem_limit_bytes", "zero_padding", "tc")
 
 multistep = jax.jit(
     multistep_impl,
     static_argnames=_STATIC,
-    donate_argnames=("u_stale", "v_stale"),
+    donate_argnames=("u_pad", "v_pad"),
 )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=_STATIC,
-    donate_argnames=("u_pad", "v_pad", "u_stale", "v_stale"),
+    donate_argnames=("u_pad", "v_pad"),
 )
 def run_blocks(
-    u_pad, v_pad, u_stale, v_stale, origin, r_total, n_blocks,
+    u_pad, v_pad, origin, r_total, n_blocks,
     origin_c=0, c_total=None,
     *, steps: int, tr: int, params: Parameters, boundary: str,
     halo: int = HALO, chalo: int = 0, interpret: bool = False,
-    vmem_limit_bytes: int | None = None,
+    vmem_limit_bytes: int | None = None, zero_padding: bool = True,
+    tc: int | None = None,
 ):
     """Run ``n_blocks`` successive K-step kernel calls in ONE executable.
 
     ``n_blocks`` is a traced operand (changing it does not recompile). The
-    double-buffer flip is the loop carry rotation; XLA keeps all four HBM
-    buffers in place. This is the analog of the reference recording every
+    double-buffer flip is the loop carry (XLA reuses the donated HBM
+    buffers in place). This is the analog of the reference recording every
     step into one command buffer and submitting once
     (compute/gpu/naive/src/lib.rs:117-128).
     """
 
     def body(_, carry):
-        a, b, sa, sb = carry
-        na, nb = multistep_impl(
-            a, b, sa, sb, origin, r_total, origin_c, c_total,
+        return multistep_impl(
+            *carry, origin, r_total, origin_c, c_total,
             steps=steps, tr=tr, params=params, boundary=boundary,
             halo=halo, chalo=chalo, interpret=interpret,
-            vmem_limit_bytes=vmem_limit_bytes,
+            vmem_limit_bytes=vmem_limit_bytes, zero_padding=zero_padding,
+            tc=tc,
         )
-        return (na, nb, a, b)
 
-    return jax.lax.fori_loop(
-        0, n_blocks, body, (u_pad, v_pad, u_stale, v_stale)
-    )
+    return jax.lax.fori_loop(0, n_blocks, body, (u_pad, v_pad))
 
 
 def pad_state(
-    u: np.ndarray, v: np.ndarray, tr: int, halo: int = HALO, chalo: int = 0
+    u: np.ndarray, v: np.ndarray, tr: int, halo: int = HALO, chalo: int = 0,
+    tc: int | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Pack (R, C) concentrations into the padded kernel layout."""
+    """Pack (R, C) concentrations into the padded kernel layout.
+
+    Rows are rounded up to a multiple of ``tr``; with column tiling
+    (``tc``), interior columns are rounded up to a multiple of ``tc`` (the
+    extra columns are out-of-domain and stay zero under the kernel's
+    domain mask)."""
     r, c = u.shape
     rp = -(-r // tr) * tr
+    cp = c if tc is None else -(-c // tc) * tc
     out = []
     for x in (u, v):
-        buf = np.zeros((halo + rp + halo, chalo + c + chalo), dtype=Precision)
+        buf = np.zeros((halo + rp + halo, chalo + cp + chalo), dtype=Precision)
         buf[halo : halo + r, chalo : chalo + c] = x
         out.append(buf)
     return out[0], out[1]
@@ -517,3 +560,31 @@ def choose_block_rows(
     while tr > rp:
         tr -= 8
     return max(tr, 8)
+
+
+#: Column-halo depth used with intra-kernel column tiling: one lane-tile
+#: (128) per side — the lane-dim element-indexing alignment quantum, and
+#: deep enough for any supported temporal blocking (steps <= 32 << 128).
+COL_HALO = 128
+
+
+def choose_block_cols(
+    c: int, tr: int = 192, halo: int = 16, chalo: int = COL_HALO,
+    vmem_budget_bytes: int = 24 << 20,
+) -> int | None:
+    """Column tile width, or None when full-width windows are fine.
+
+    Full-width is preferred (no redundant column-halo compute, 1-D grid);
+    tiling kicks in only when a (tr + 2*halo, C) f32 window pair would
+    exceed the VMEM budget at the target row tile — i.e. very wide domains
+    (C > ~16K at tr=192). Tiles are balanced: the minimum tile count whose
+    windows fit the budget, each tile rounded to the 128-lane quantum
+    (alignment requirement for lane-dim element-indexed windows), so the
+    round-up padding stays < 128 columns per tile."""
+    w_rows = tr + 2 * halo
+    if w_rows * c * 4 * 2 <= vmem_budget_bytes:
+        return None
+    tc_max = (vmem_budget_bytes // (w_rows * 4 * 2) - 2 * chalo) // 128 * 128
+    tc_max = max(tc_max, 4 * chalo)  # keep halo overhead <= 50%
+    n = -(-c // tc_max)
+    return -(-c // (n * 128)) * 128

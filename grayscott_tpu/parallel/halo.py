@@ -82,10 +82,10 @@ def _exchange_cols(x, c_loc: int, chalo: int):
     jax.jit,
     static_argnames=("mesh", "r_total", "c_total", "steps", "tr", "params",
                      "boundary", "halo", "chalo", "interpret"),
-    donate_argnames=("u", "v", "us", "vs"),
+    donate_argnames=("u", "v"),
 )
 def sharded_run_blocks(
-    u, v, us, vs, n_blocks, *,
+    u, v, n_blocks, *,
     mesh: Mesh, r_total: int, steps: int, tr: int,
     params: Parameters, boundary: str, c_total: int | None = None,
     halo: int = ps.HALO, chalo: int = 0, interpret: bool = False,
@@ -103,40 +103,42 @@ def sharded_run_blocks(
     if c_total is None:
         c_total = c_loc
 
-    def local(u, v, us, vs, n_blocks):
-        u, v, us, vs = u[0, 0], v[0, 0], us[0, 0], vs[0, 0]
+    def local(u, v, n_blocks):
+        u, v = u[0, 0], v[0, 0]
         row_start = jax.lax.axis_index(ROWS).astype(jnp.int32) * r_loc
         origin = row_start - halo
         col_start = jax.lax.axis_index(COLS).astype(jnp.int32) * c_loc
         origin_c = col_start - chalo
 
         def body(_, carry):
-            a, b, sa, sb = carry
+            a, b = carry
             a = _exchange_rows(a, r_loc, halo)
             b = _exchange_rows(b, r_loc, halo)
             if chalo:
                 a = _exchange_cols(a, c_loc, chalo)
                 b = _exchange_cols(b, c_loc, chalo)
-            na, nb = ps.multistep_impl(
-                a, b, sa, sb, origin, r_total, origin_c, c_total,
+            # padding is rewritten by the exchange each block, so the
+            # kernel can skip its own padding re-zero
+            return ps.multistep_impl(
+                a, b, origin, r_total, origin_c, c_total,
                 steps=steps, tr=tr, params=params, boundary=boundary,
                 halo=halo, chalo=chalo, interpret=interpret,
+                zero_padding=False,
             )
-            return (na, nb, a, b)
 
-        out = jax.lax.fori_loop(0, n_blocks, body, (u, v, us, vs))
+        out = jax.lax.fori_loop(0, n_blocks, body, (u, v))
         return tuple(x[None, None] for x in out)
 
     spec = P(ROWS, COLS, None, None)
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(spec, spec, spec, spec, P()),
-        out_specs=(spec, spec, spec, spec),
+        in_specs=(spec, spec, P()),
+        out_specs=(spec, spec),
         # pallas_call inside shard_map cannot declare varying-mesh-axes
         # metadata on its outputs yet; skip the vma check.
         check_vma=False,
-    )(u, v, us, vs, n_blocks)
+    )(u, v, n_blocks)
 
 
 def shard_extents(shape, mesh: Mesh, tr: int) -> Tuple[int, int]:

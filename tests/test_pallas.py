@@ -77,6 +77,53 @@ def test_bad_steps_per_call(params):
         PallasSimulation(params, steps_per_call=0)
 
 
+@pytest.mark.parametrize("boundary", ["naive", "zero"])
+def test_column_tiling_parity(rng, params, boundary):
+    """2-D grid (row x column tiles): (24, 256) with tc=128 => 3x2 tiles;
+    the 128-column halo ring absorbs lateral invalidation."""
+    u, v = random_uv(rng, (24, 256))
+    ou, ov = oracle.run(u, v, params, 3, boundary)
+    gu, gv = run_pallas(u, v, params, boundary, 3, block_rows=8,
+                        block_cols=128)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_column_tiling_unaligned(rng, params):
+    """C not a multiple of tc => extra padded columns stay inert."""
+    u, v = random_uv(rng, (19, 200))
+    ou, ov = oracle.run(u, v, params, 5, "naive")
+    gu, gv = run_pallas(u, v, params, "naive", 5, block_rows=8,
+                        block_cols=128)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_column_tiling_multicall(rng, params):
+    """Column tiling through run_blocks + remainder executables."""
+    u, v = random_uv(rng, (16, 256))
+    ou, ov = oracle.run(u, v, params, 11, "naive")
+    gu, gv = run_pallas(u, v, params, "naive", 11, block_rows=8,
+                        block_cols=128, steps_per_call=4)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_choose_block_cols_heuristic():
+    from grayscott_tpu.ops import pallas_stencil as ps
+
+    # all measured domains stay full-width
+    assert ps.choose_block_cols(4096) is None
+    assert ps.choose_block_cols(8192) is None
+    for c in (16384, 32768, 65536, 100000):
+        tc = ps.choose_block_cols(c)
+        assert tc is not None and tc % 128 == 0 and tc >= 512
+        n = -(-c // tc)
+        assert n * tc - c < 128 * n  # balanced: little round-up padding
+        # window pair fits the budget
+        assert (192 + 32) * (tc + 2 * ps.COL_HALO) * 8 <= 26 << 20
+
+
 def test_deep_halo_k16(rng, params):
     """steps_per_call=9 -> halo rounds up to 16: the deep-halo path stays
     exact. (9 not 16 unrolled steps: interpret-mode XLA compile time blows
