@@ -60,12 +60,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 class FrameSource:
-    """Runs the simulation and yields palette-indexed uint8 frames."""
+    """Runs the simulation and yields palette-indexed uint8 frames.
+
+    Supports live control (web frontend): pause/resume, parameter changes
+    (feed/kill/dt re-create the backend — a recompile for compile-time-
+    folded backends, exactly like re-specializing the reference's SPIR-V
+    pipelines — while the concentration state carries over), and reset."""
 
     def __init__(self, args):
         import jax.numpy as jnp
 
         self._jnp = jnp
+        self.args = args
         self.sim = shared.make_simulation(args)
         self.species = self.sim.make_species(shared.domain_shape(args))
         # steps per frame default 1 (livesim/src/main.rs:77)
@@ -73,6 +79,8 @@ class FrameSource:
             args.nbextrastep if args.nbextrastep is not None else 1
         )
         self.lut = inferno_lut(getattr(args, "color_palette_resolution", 256))
+        self.paused = False
+        self._last_rgb: np.ndarray | None = None
 
     def next_rgb(self) -> np.ndarray:
         jnp = self._jnp
@@ -82,7 +90,49 @@ class FrameSource:
         n = len(self.lut)
         idx = jnp.clip(v * np.float32(AMPLITUDE_SCALE), 0.0, 1.0) * float(n - 1)
         idx_host = np.asarray(idx.astype(jnp.int32 if n > 256 else jnp.uint8))
-        return self.lut[idx_host]
+        self._last_rgb = self.lut[idx_host]
+        return self._last_rgb
+
+    def frame(self) -> np.ndarray:
+        """Next frame to display: advances unless paused."""
+        if self.paused and self._last_rgb is not None:
+            return self._last_rgb
+        return self.next_rgb()
+
+    # -- live controls -------------------------------------------------------
+
+    def state(self) -> dict:
+        p = self.sim.params
+        return {
+            "feedrate": float(p.feed_rate),
+            "killrate": float(p.kill_rate),
+            "deltat": float(p.time_step),
+            "steps_per_frame": int(self.steps_per_frame),
+            "paused": bool(self.paused),
+            "backend": self.sim.name,
+        }
+
+    def set_params(self, feedrate=None, killrate=None, deltat=None,
+                   steps_per_frame=None) -> None:
+        """Apply new knob values; physics changes preserve the U/V state."""
+        if steps_per_frame is not None:
+            self.steps_per_frame = max(1, int(steps_per_frame))
+        changed = False
+        for attr, val in (("feedrate", feedrate), ("killrate", killrate),
+                          ("deltat", deltat)):
+            if val is not None and float(val) != getattr(self.args, attr, None):
+                setattr(self.args, attr, float(val))
+                changed = True
+        if changed:
+            u, v = self.species.uv_host()
+            self.sim = shared.make_simulation(self.args)
+            species = self.sim.make_species(u.shape)
+            species.storage = self.sim.build_storage(u, v)
+            self.species = species
+
+    def reset(self) -> None:
+        self.species = self.sim.make_species(shared.domain_shape(self.args))
+        self._last_rgb = None
 
 
 def run_headless(src: FrameSource, frames: int, outdir: str) -> int:
@@ -97,8 +147,53 @@ def run_headless(src: FrameSource, frames: int, outdir: str) -> int:
     return 0
 
 
+_WEB_PAGE = """<!doctype html>
+<html><head><title>Gray-Scott livesim</title><style>
+ body{background:#111;color:#ddd;margin:0;font:14px sans-serif}
+ #bar{display:flex;gap:1.2em;align-items:center;padding:.5em .8em;
+      background:#1c1c1c;flex-wrap:wrap}
+ label{display:flex;gap:.4em;align-items:center}
+ input[type=range]{width:9em} button{min-width:5em}
+ img{width:100%;image-rendering:pixelated;display:block}
+</style></head><body>
+<div id="bar">
+ <button id="pause">Pause</button>
+ <button id="reset">Reset</button>
+ <label>feed <input id="feedrate" type="range" min="0.001" max="0.12"
+   step="0.001"><span id="feedrate_v"></span></label>
+ <label>kill <input id="killrate" type="range" min="0.01" max="0.12"
+   step="0.001"><span id="killrate_v"></span></label>
+ <label>dt <input id="deltat" type="range" min="0.1" max="2.0"
+   step="0.1"><span id="deltat_v"></span></label>
+ <label>steps/frame <input id="steps_per_frame" type="number" min="1"
+   max="1024" style="width:4.5em"></label>
+ <span id="backend"></span>
+</div>
+<img src="/stream">
+<script>
+const knobs=["feedrate","killrate","deltat","steps_per_frame"];
+function show(k,v){const s=document.getElementById(k+"_v");
+  if(s)s.textContent=(+v).toFixed(3).replace(/0+$/,"").replace(/\\.$/,"");}
+fetch("/state").then(r=>r.json()).then(s=>{
+  for(const k of knobs){const e=document.getElementById(k);
+    e.value=s[k];show(k,s[k]);}
+  document.getElementById("backend").textContent="backend: "+s.backend;
+  setPaused(s.paused);});
+function setPaused(p){document.getElementById("pause").textContent=
+  p?"Resume":"Pause";}
+for(const k of knobs){const e=document.getElementById(k);
+  e.addEventListener("input",()=>show(k,e.value));
+  e.addEventListener("change",()=>fetch("/set?"+k+"="+e.value));}
+document.getElementById("pause").onclick=()=>
+  fetch("/toggle").then(r=>r.json()).then(s=>setPaused(s.paused));
+document.getElementById("reset").onclick=()=>fetch("/reset");
+</script></body></html>"""
+
+
 def run_web(src: FrameSource, port: int, fps_cap: float, logger) -> int:
+    import json
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qsl, urlparse
     from PIL import Image
 
     boundary = b"grayscottframe"
@@ -109,21 +204,53 @@ def run_web(src: FrameSource, port: int, fps_cap: float, logger) -> int:
         def log_message(self, *a):  # quiet
             pass
 
+        def _json(self, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
-            if self.path not in ("/", "/stream"):
-                self.send_error(404)
-                return
-            if self.path == "/":
-                body = (
-                    b"<html><body style='background:#000;margin:0'>"
-                    b"<img src='/stream' style='width:100%;image-rendering:pixelated'>"
-                    b"</body></html>"
-                )
+            url = urlparse(self.path)
+            if url.path == "/":
+                body = _WEB_PAGE.encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+                return
+            if url.path == "/state":
+                with lock:
+                    self._json(src.state())
+                return
+            if url.path == "/toggle":
+                with lock:
+                    src.paused = not src.paused
+                    self._json(src.state())
+                return
+            if url.path == "/reset":
+                with lock:
+                    src.reset()
+                    self._json(src.state())
+                return
+            if url.path == "/set":
+                try:
+                    kw = dict(parse_qsl(url.query))
+                    with lock:
+                        src.set_params(**{
+                            k: v for k, v in kw.items()
+                            if k in ("feedrate", "killrate", "deltat",
+                                     "steps_per_frame")
+                        })
+                        self._json(src.state())
+                except (TypeError, ValueError) as e:
+                    self.send_error(400, str(e))
+                return
+            if url.path != "/stream":
+                self.send_error(404)
                 return
             self.send_response(200)
             self.send_header(
@@ -135,7 +262,7 @@ def run_web(src: FrameSource, port: int, fps_cap: float, logger) -> int:
                 while True:
                     t0 = time.time()
                     with lock:
-                        rgb = src.next_rgb()
+                        rgb = src.frame()
                     buf = io.BytesIO()
                     Image.fromarray(rgb, "RGB").save(buf, "JPEG", quality=85)
                     data = buf.getvalue()

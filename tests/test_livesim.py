@@ -56,3 +56,63 @@ def test_web_stream_smoke():
 def test_steps_per_frame_default_is_one():
     args = livesim.build_parser().parse_args(["--backend", "fused"])
     assert args.nbextrastep is None  # -> 1 in FrameSource (main.rs:77 analog)
+
+
+def _get_json(port, path):
+    import json
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    assert resp.status == 200
+    out = json.loads(resp.read())
+    conn.close()
+    return out
+
+
+def test_web_controls():
+    """/state, /set (live param change preserving state), /toggle, /reset."""
+    port = 18473
+    args = livesim.build_parser().parse_args(
+        ["-r", "16", "-c", "16", "--backend", "fused", "--port", str(port)]
+    )
+    src = livesim.FrameSource(args)
+    from grayscott_tpu.utils.logs import init_logging
+
+    t = threading.Thread(
+        target=livesim.run_web,
+        args=(src, port, 60.0, init_logging(prefer_syslog=False)),
+        daemon=True,
+    )
+    t.start()
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        try:
+            state = _get_json(port, "/state")
+            break
+        except (ConnectionRefusedError, OSError):
+            time.sleep(0.2)
+    assert state["paused"] is False
+    assert state["feedrate"] == 0.014 and state["killrate"] == 0.054
+
+    # advance a bit so the state is non-trivial, then change the physics
+    src.next_rgb()
+    before = src.species.uv_host()
+    state = _get_json(port, "/set?feedrate=0.03&killrate=0.06&steps_per_frame=4")
+    assert state["feedrate"] == 0.03 and state["killrate"] == 0.06
+    assert state["steps_per_frame"] == 4
+    after = src.species.uv_host()  # state carried over to the new sim
+    np.testing.assert_array_equal(before[0], after[0])
+    np.testing.assert_array_equal(before[1], after[1])
+
+    state = _get_json(port, "/toggle")
+    assert state["paused"] is True
+    frame1 = src.frame()
+    frame2 = src.frame()  # paused: no stepping, identical frame object
+    assert frame1 is frame2
+    state = _get_json(port, "/toggle")
+    assert state["paused"] is False
+
+    state = _get_json(port, "/reset")
+    u, v = src.species.uv_host()
+    assert u.max() == 1.0 and float(v.sum()) > 0  # standard init box
