@@ -16,6 +16,7 @@ from typing import Iterable, Tuple
 
 import numpy as np
 
+from ..ops import pallas_stencil as ps
 from ..params import Parameters
 from ..utils import cache
 
@@ -63,7 +64,8 @@ def autotune(
     import jax
 
     platform = jax.devices()[0].platform
-    key = cache.autotune_key(platform, shape, boundary, params.stencil_name())
+    key = cache.autotune_key(platform, shape, boundary,
+                             params.stencil_name(), ps.KERNEL_VERSION)
     store = cache.load_autotune()
     if key in store:
         return store[key]
@@ -96,5 +98,6 @@ def lookup(params: Parameters, shape, boundary: str) -> dict | None:
     import jax
 
     platform = jax.devices()[0].platform
-    key = cache.autotune_key(platform, shape, boundary, params.stencil_name())
+    key = cache.autotune_key(platform, shape, boundary,
+                             params.stencil_name(), ps.KERNEL_VERSION)
     return cache.load_autotune().get(key)

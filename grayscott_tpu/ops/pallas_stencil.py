@@ -64,6 +64,11 @@ from ..params import Parameters, Precision
 #: element-indexed windows); also the maximum temporal-blocking depth.
 HALO = 8
 
+#: Bumped on kernel changes that shift the performance landscape, so
+#: persisted autotune winners from older kernels are not trusted.
+#: v2: fresh outputs instead of stale-double-buffer aliasing (+21%).
+KERNEL_VERSION = 2
+
 
 def _shift_cols(x, d: int):
     """Shift along lanes with zero fill: d=+1 gives x[r, c-1] (0 at c=0).

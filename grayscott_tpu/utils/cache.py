@@ -67,5 +67,9 @@ def save_autotune(entries: dict) -> None:
         raise
 
 
-def autotune_key(platform: str, shape, boundary: str, stencil: str) -> str:
-    return f"{platform}:{shape[0]}x{shape[1]}:{boundary}:{stencil}"
+def autotune_key(platform: str, shape, boundary: str, stencil: str,
+                 kernel_version: int = 1) -> str:
+    return (
+        f"v{kernel_version}:{platform}:{shape[0]}x{shape[1]}:"
+        f"{boundary}:{stencil}"
+    )
