@@ -46,6 +46,7 @@ class PallasSimulation(Simulation):
         vmem_limit_bytes: int | None = None,
         **kwargs,
     ):
+        self._explicit_k = steps_per_call is not None
         if steps_per_call is None:
             # deep blocking pays on hardware; in interpreter mode (tests)
             # the 16-step unrolled graph blows up XLA-CPU compile times
@@ -102,7 +103,21 @@ class PallasSimulation(Simulation):
         tr = self._tr(shape, eff_c=None if tc is None else tc + 2 * chalo)
         return tr, tc, chalo
 
+    def _adopt_tuned_k(self, shape) -> None:
+        """Apply a persisted autotune winner's temporal-blocking depth when
+        the user did not pin one (block_rows is adopted in _tr)."""
+        if self._explicit_k or self.interpret:
+            return
+        from ..bench import autotune
+
+        tuned = autotune.lookup(self.params, shape, self.boundary)
+        k = (tuned or {}).get("steps_per_call")
+        if k and 1 <= int(k) <= self.MAX_STEPS_PER_CALL:
+            self.steps_per_call = int(k)
+            self.halo = max(-(-int(k) // 8) * 8, ps.HALO)
+
     def build_storage(self, u: np.ndarray, v: np.ndarray):
+        self._adopt_tuned_k(u.shape)
         tr, tc, chalo = self._tiles(u.shape)
         u_pad, v_pad = ps.pad_state(u, v, tr, self.halo, chalo, tc)
         return (jnp.asarray(u_pad), jnp.asarray(v_pad), tr, tc, chalo)
