@@ -21,13 +21,13 @@ from ..params import Parameters
 from ..utils import cache
 
 DEFAULT_CANDIDATES: Tuple[Tuple[int, int], ...] = (
-    # (block_rows, steps_per_call); measured on v5e at 4096^2: per-kernel
-    # fixed cost (~1.75 ms/block at tr=96) dominates, so deep temporal
-    # blocking at large tiles wins: (192, 16) -> 51.2 Gcell/s zero-border
-    # (1.0x the single-step HBM roofline)
+    # (block_rows, steps_per_call); measured on the v2 kernel on v5e at
+    # 4096^2: the step loop is VPU-bound, so large tiles win on halo
+    # redundancy — (256, 16) -> 65.6 Gcell/s zero-border (1.28x the
+    # single-step HBM roofline)
+    (256, 16),
     (192, 16),
-    (144, 24),
-    (96, 16),
+    (384, 16),
     (96, 8),
 )
 

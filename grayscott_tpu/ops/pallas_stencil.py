@@ -44,10 +44,11 @@ halo depths are multiples of 8 (``HALO = 8`` is the minimum; deep temporal
 blocking uses 16-32) and TR a multiple of 8; the lane dim uses the full
 local array width.
 
-Measured on one v5e chip at 4096^2 (see BENCHMARKS.md): the fixed per-tile
-cost dominates, so deep blocking at large tiles wins — (tr=192, K=16)
-reaches 51.2 Gcell/s = 1.00x the single-step HBM roofline and
-(tr=144, K=24) 53.2 = 1.04x.
+Measured on one v5e chip at 4096^2 (see BENCHMARKS.md): with the v2
+fresh-output design the step loop is VPU-bound (per-block time fits
+0.63 ms + 0.198 ms/step at tr=192), so large tiles win on halo
+redundancy — (tr=256, K=16) zero-border reaches 65.6 Gcell/s = 1.28x the
+single-step HBM roofline.
 """
 
 from __future__ import annotations
@@ -556,17 +557,17 @@ def pad_state(
 
 
 def choose_block_rows(
-    r: int, c: int, vmem_budget_bytes: int = 8 << 20, halo: int = 16
+    r: int, c: int, vmem_budget_bytes: int = 16 << 20, halo: int = 16
 ) -> int:
     """Default row-tile size: fit one (TR + 2*halo, C) f32 window pair in
     the VMEM budget (the analog of the reference's hwloc cache-budget
-    defaults, compute/block/src/default.rs:6-57), clamped to [8, 192] —
-    K=16 temporal blocking at tr=192 measured best on v5e at 4096^2
-    (51.2 Gcell/s; the autotuner refines per domain) — and to the domain
-    size."""
+    defaults, compute/block/src/default.rs:6-57), clamped to [8, 256] —
+    K=16 temporal blocking at tr=256 measured best on v5e at 4096^2
+    (65.6 Gcell/s on the v2 kernel; the autotuner refines per domain) —
+    and to the domain size."""
     bytes_per_row = c * 4 * 2  # two species
     tr = (vmem_budget_bytes // bytes_per_row - 2 * halo) // 8 * 8
-    tr = max(8, min(192, tr))
+    tr = max(8, min(256, tr))
     rp = -(-r // 8) * 8
     while tr > rp:
         tr -= 8

@@ -33,9 +33,49 @@ CONFIGS = [
     dict(tr=256, k=16, boundary="zero"),   # champion: dt_field delta
     dict(tr=384, k=16, boundary="zero"),   # push tile size
     dict(tr=512, k=16, boundary="zero"),   # may OOM; failure is data
-    dict(tr=256, k=8, boundary="zero"),    # F/s re-fit point
     dict(tr=256, k=16, boundary="naive"),  # naive optimum refresh
+    # the model (F=0.63ms, s=0.198ms/step, halo factor (tr+2K)/tr)
+    # predicts ~73 Gcell/s here; long cold compile (32 unrolled steps)
+    dict(tr=512, k=32, boundary="zero"),
 ]
+
+
+def ablate_zero_padding(tr=256, k=16, steps=1024) -> None:
+    """Timing-only ablation: is the per-block padding re-zero (4 dynamic-
+    update-slices) free (in-place) or a hidden copy? zero_padding=False is
+    numerically wrong across blocks single-chip — timing is representative
+    because the kernel work is identical."""
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from grayscott_tpu.ops import pallas_stencil as ps
+    from grayscott_tpu.species import initial_uv
+
+    params = Parameters()
+    r = c = 4096
+    u0, v0 = initial_uv((r, c))
+    halo = 16
+    for zero_padding in (True, False):
+        u, v = ps.pad_state(u0, v0, tr, halo)
+        u, v = jnp.asarray(u), jnp.asarray(v)
+        common = dict(steps=k, tr=tr, params=params, boundary="zero",
+                      halo=halo, vmem_limit_bytes=64 << 20,
+                      zero_padding=zero_padding)
+        u, v = ps.run_blocks(u, v, -halo, r, jnp.int32(2), **common)
+        float(np.asarray(jnp.sum(u[:8, :128])))  # sync
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            u, v = ps.run_blocks(u, v, -halo, r, jnp.int32(steps // k),
+                                 **common)
+            float(np.asarray(jnp.sum(u[:8, :128])))
+            best = min(best, time.time() - t0)
+        print(json.dumps({
+            "ablation": "zero_padding", "zero_padding": zero_padding,
+            "seconds": best, "gcells_per_sec": r * c * steps / best / 1e9,
+        }), flush=True)
 
 
 def main() -> int:
@@ -54,6 +94,11 @@ def main() -> int:
             print(json.dumps({"config": cfg, "error": repr(e)}), flush=True)
             continue
         print(json.dumps({"config": cfg, **res.to_json()}), flush=True)
+    try:
+        ablate_zero_padding()
+    except Exception as e:
+        print(json.dumps({"ablation": "zero_padding", "error": repr(e)}),
+              flush=True)
     print("DONE", flush=True)
     return 0
 
