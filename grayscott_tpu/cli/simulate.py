@@ -70,6 +70,9 @@ def main(argv=None) -> int:
     from ..utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    from ..utils import distributed as dist
+
+    dist.maybe_initialize(logger)
     args = build_parser().parse_args(argv)
     steps_per_image = args.nbextrastep if args.nbextrastep is not None else 32
     file_name = shared.simulation_output_path(args.output)
@@ -95,8 +98,13 @@ def main(argv=None) -> int:
         logger.info("resumed from %s at step %d", args.resume, ck_steps)
     else:
         species = sim.make_species(shared.domain_shape(args))
-    writer = Writer(file_name, species.shape, args.nbimage)
-    progress = ProgressBar("Running simulation step", args.nbimage)
+    # one process owns the output file and the progress bar; the others
+    # still run the (collective) compute + gather
+    primary = dist.is_primary()
+    writer = Writer(file_name, species.shape, args.nbimage) if primary else None
+    progress = ProgressBar(
+        "Running simulation step", args.nbimage if primary else 0
+    )
 
     error: list[BaseException] = []
     q: queue.Queue = queue.Queue(maxsize=max(args.output_buffer, 1))
@@ -107,8 +115,9 @@ def main(argv=None) -> int:
                 item = q.get()
                 if item is None:
                     return
-                writer.write(item)
-                progress.inc(1)
+                if writer is not None:
+                    writer.write(item)
+                    progress.inc(1)
         except BaseException as e:  # pragma: no cover - propagated below
             error.append(e)
 
@@ -125,25 +134,29 @@ def main(argv=None) -> int:
             sim.prepare_steps(species, steps_per_image)
             snapshot = jnp.copy(species.result())
             if pending is not None:
-                q.put(np.asarray(pending))  # sync point: previous image only
+                q.put(dist.fetch(pending))  # sync point: previous image only
             pending = snapshot
             if error:
                 raise error[0]
         if pending is not None:
-            q.put(np.asarray(pending))
+            q.put(dist.fetch(pending))
     finally:
         q.put(None)
         t.join()
         progress.finish()
-        writer.close()
+        if writer is not None:
+            writer.close()
     if error:
         raise error[0]
     if args.checkpoint:
         from ..io.checkpoint import save_state
 
-        u, v = species.uv_host()
-        save_state(args.checkpoint, u, v, sim.params, species.steps_performed)
-        logger.info("checkpoint written to %s", args.checkpoint)
+        u, v = species.uv_host()  # collective gather: all processes call it
+        if primary:
+            save_state(
+                args.checkpoint, u, v, sim.params, species.steps_performed
+            )
+            logger.info("checkpoint written to %s", args.checkpoint)
     logger.info("wrote %d images to %s", args.nbimage, file_name)
     return 0
 

@@ -87,10 +87,17 @@ class Species:
         return self._backend.extract_result(self.storage, self.shape)
 
     def result_host(self) -> np.ndarray:
-        """Synchronous host copy of the result (write_result_view analog)."""
-        return np.asarray(self.result())
+        """Synchronous host copy of the result (write_result_view analog).
+
+        Multi-process safe: shards living on other hosts are gathered
+        (collective — all processes must call this together)."""
+        from .utils.distributed import fetch
+
+        return fetch(self.result())
 
     def uv_host(self) -> Tuple[np.ndarray, np.ndarray]:
         """Host copies of both input concentrations (testing/checkpointing)."""
+        from .utils.distributed import fetch
+
         u, v = self._backend.extract_uv(self.storage, self.shape)
-        return np.asarray(u), np.asarray(v)
+        return fetch(u), fetch(v)

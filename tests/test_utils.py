@@ -57,3 +57,22 @@ def test_logging_fallback_to_stderr(monkeypatch):
         logger.removeHandler(h)
     lg = logs.init_logging(prefer_syslog=False)
     assert lg.handlers
+
+
+def test_distributed_single_process_noop(monkeypatch):
+    """No GRAYSCOTT_COORDINATOR => no jax.distributed init; fetch is a
+    plain host copy; process 0 is primary."""
+    import numpy as np
+
+    from grayscott_tpu.utils import distributed as dist
+
+    monkeypatch.delenv("GRAYSCOTT_COORDINATOR", raising=False)
+    assert dist.maybe_initialize() is False
+    assert dist.process_count() == 1
+    assert dist.is_primary() is True
+    import jax.numpy as jnp
+
+    x = jnp.arange(6.0).reshape(2, 3)
+    out = dist.fetch(x)
+    assert isinstance(out, np.ndarray)
+    np.testing.assert_array_equal(out, np.arange(6.0).reshape(2, 3))
