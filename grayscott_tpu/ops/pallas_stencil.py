@@ -22,11 +22,8 @@ into one kernel:
 - State lives in HBM as ``(HALO + Rp + HALO, C)`` arrays with zero padding
   rows (the analog of SIMDConcentration's zero-filled edges,
   data/src/concentration/simd/mod.rs:42-47). Output windows write only
-  interior rows into FRESH output buffers; the padding rows are restored
-  by two cheap row-writes after the call (or by the sharded backend's
-  halo exchange). Aliasing the outputs onto a stale double buffer — the
-  v1 design — kept the padding for free but serialized Mosaic's DMA
-  pipeline against compute, costing ~20% of peak.
+  interior rows; ``input_output_aliases`` onto the stale double buffer
+  preserves the padding forever, so no per-step re-padding traffic exists.
 - Out-of-domain rows are re-zeroed after every in-VMEM step (the reaction
   term would otherwise grow them), driven by global row indices derived
   from a scalar ``origin`` operand — which also lets the *sharded* backend
@@ -295,15 +292,10 @@ def make_window_stepper(
         }
         rows_in = jnp.logical_and(giota >= 0, giota < r_total)
         if chalo == 0:
-            dommask = rows_in
+            ctx["dommask"] = rows_in
         else:
             cols_in = jnp.logical_and(gcol >= 0, gcol < c_total)
-            dommask = jnp.logical_and(rows_in, cols_in)
-        # The domain mask folds into the time step: un = u + du * dt_field
-        # keeps out-of-domain cells EXACTLY at their entry value (zero, by
-        # the padding invariant) while costing no op — the dt multiply
-        # exists anyway — instead of one select per species per step.
-        ctx["dt_field"] = jnp.where(dommask, dt, Precision(0.0))
+            ctx["dommask"] = jnp.logical_and(rows_in, cols_in)
         if boundary == "naive":
             in_dom = jnp.logical_and(giota >= 1, giota < r_total)
             ctx["col0_mask"] = jnp.logical_and(gcol == 0, in_dom)
@@ -334,8 +326,10 @@ def make_window_stepper(
         uv_square = u * v * v
         du = du_rate * full_u - uv_square + f * (Precision(1.0) - u)
         dv = dv_rate * full_v + uv_square + mfk * v
-        un = u + du * ctx["dt_field"]
-        vn = v + dv * ctx["dt_field"]
+        un = u + du * dt
+        vn = v + dv * dt
+        un = jnp.where(ctx["dommask"], un, Precision(0.0))
+        vn = jnp.where(ctx["dommask"], vn, Precision(0.0))
         return un, vn
 
     return precompute, step
