@@ -22,8 +22,14 @@ into one kernel:
 - State lives in HBM as ``(HALO + Rp + HALO, C)`` arrays with zero padding
   rows (the analog of SIMDConcentration's zero-filled edges,
   data/src/concentration/simd/mod.rs:42-47). Output windows write only
-  interior rows; ``input_output_aliases`` onto the stale double buffer
-  preserves the padding forever, so no per-step re-padding traffic exists.
+  interior rows into FRESH output buffers; the padding rows are restored
+  by two cheap row-writes after the call (or by the sharded backend's
+  halo exchange). Aliasing the outputs onto a stale double buffer — the
+  v1 design — kept the padding for free but serialized Mosaic's DMA
+  pipeline against compute, costing ~20% of peak. (A later dt_field
+  mask-fold experiment was reverted: folding the domain mask into a
+  vector time step added two (W, C) buffers of Mosaic stack liveness,
+  blowing the 64 MB scoped-VMEM budget at tr=256 for a ~6% op saving.)
 - Out-of-domain rows are re-zeroed after every in-VMEM step (the reaction
   term would otherwise grow them), driven by global row indices derived
   from a scalar ``origin`` operand — which also lets the *sharded* backend
