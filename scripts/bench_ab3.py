@@ -1,10 +1,10 @@
-"""Sweep 3: dt_field kernel with a raised scoped-VMEM limit.
+"""Sweep 3: tile scaling on the v1-liveness kernel (dt_field reverted).
 
-The dt_field fold (commit 13285ab) grew the kernel's scoped VMEM stack by
-~9.4 MB (two (W,C) f32 buffers of extra liveness), so (256,16) no longer
-fits the 64 MB limit. Measure with a 100/112 MB limit; if the result is
-below the pre-dt_field 65.6 Gcell/s, the fold is a net loss (shallower
-pipelining) and should be reverted.
+The dt_field fold was reverted (it added ~9.4 MB of Mosaic stack liveness
+and OOMed the 64 MB scoped-VMEM limit at tr=256). This sweep re-confirms
+the cached champion and pushes tile size with raised limits: the (256,16)
+stack was ~62.7 MB, scaling roughly with window rows (tr + 2K), so 384
+needs ~91 MB and 512 ~118 MB.
 
 Run detached: nohup python scripts/bench_ab3.py > .bench_ab3.log 2>&1 &
 """
@@ -31,18 +31,20 @@ from grayscott_tpu.bench.harness import run_one  # noqa: E402
 from grayscott_tpu.params import Parameters  # noqa: E402
 
 CONFIGS = [
-    dict(tr=256, k=16, boundary="zero"),   # decision point vs 65.6
-    dict(tr=192, k=16, boundary="zero"),   # fits 64M? cross-check vs 62.0
-    dict(tr=384, k=16, boundary="zero"),
-    dict(tr=256, k=16, boundary="naive"),
-    dict(tr=512, k=32, boundary="zero"),   # the model's ~73 Gcell/s bet
+    # (256,16) zero is compile-cached from sweep 1: quick re-confirmation
+    dict(tr=256, k=16, boundary="zero", limits=(64 << 20,)),
+    dict(tr=384, k=16, boundary="zero", limits=(100 << 20, 112 << 20)),
+    dict(tr=256, k=16, boundary="naive", limits=(64 << 20, 100 << 20)),
+    dict(tr=512, k=16, boundary="zero", limits=(120 << 20,)),
+    # the cost model's ~73 Gcell/s bet; stack likely too big — data either way
+    dict(tr=512, k=32, boundary="zero", limits=(120 << 20,)),
 ]
 
 
 def main() -> int:
     for cfg in CONFIGS:
         done = False
-        for limit in (100 << 20, 112 << 20):
+        for limit in cfg["limits"]:
             sim = PallasSimulation(
                 Parameters(),
                 boundary=cfg["boundary"],
