@@ -44,6 +44,7 @@ class PallasSimulation(Simulation):
         steps_per_call: int | None = None,
         interpret: bool | None = None,
         vmem_limit_bytes: int | None = None,
+        dtype: str = "float32",
         **kwargs,
     ):
         self._explicit_k = steps_per_call is not None
@@ -70,6 +71,16 @@ class PallasSimulation(Simulation):
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
         self.interpret = interpret
+        # opt-in bf16 fast mode (beyond-reference capability): halves HBM
+        # traffic and uses the VPU's packed bf16 tiling; NOT bit-compatible
+        # with the f32 reference semantics — results drift by bf16 epsilon
+        # per step. The reference is strictly f32 (data/src/lib.rs:11).
+        if dtype in (None, "float32", "f32"):
+            self.dtype = jnp.float32
+        elif dtype in ("bfloat16", "bf16"):
+            self.dtype = jnp.bfloat16
+        else:
+            raise ValueError(f"unsupported dtype {dtype!r}")
 
     # -- storage: padded double buffers ------------------------------------
 
@@ -119,17 +130,20 @@ class PallasSimulation(Simulation):
     def build_storage(self, u: np.ndarray, v: np.ndarray):
         self._adopt_tuned_k(u.shape)
         tr, tc, chalo = self._tiles(u.shape)
-        u_pad, v_pad = ps.pad_state(u, v, tr, self.halo, chalo, tc)
+        u_pad, v_pad = ps.pad_state(
+            u, v, tr, self.halo, chalo, tc, dtype=self.dtype
+        )
         return (jnp.asarray(u_pad), jnp.asarray(v_pad), tr, tc, chalo)
 
     def extract_uv(self, storage, shape) -> Tuple[jax.Array, jax.Array]:
         u_pad, v_pad, _, _, chalo = storage
         r, c = shape
         h = self.halo
-        return (
-            u_pad[h : h + r, chalo : chalo + c],
-            v_pad[h : h + r, chalo : chalo + c],
-        )
+        u = u_pad[h : h + r, chalo : chalo + c]
+        v = v_pad[h : h + r, chalo : chalo + c]
+        if self.dtype != jnp.float32:  # consumers (HDF5, views) expect f32
+            u, v = u.astype(jnp.float32), v.astype(jnp.float32)
+        return u, v
 
     # -- stepping ------------------------------------------------------------
 
@@ -174,6 +188,13 @@ class PallasSimulation(Simulation):
             "default: full width unless the window would exceed VMEM",
         )
         parser.add_argument(
+            "--pallas-dtype", choices=["float32", "bfloat16"],
+            default=env_default("GRAYSCOTT_PALLAS_DTYPE", "float32"),
+            help="Compute precision: bfloat16 is an opt-in fast mode "
+            "(halved HBM traffic, packed VPU tiling) that is NOT "
+            "bit-compatible with the f32 reference semantics",
+        )
+        parser.add_argument(
             "--pallas-steps-per-call", type=int,
             default=env_default(
                 "GRAYSCOTT_PALLAS_STEPS_PER_CALL",
@@ -189,4 +210,5 @@ class PallasSimulation(Simulation):
             "block_rows": getattr(ns, "pallas_block_rows", None),
             "block_cols": getattr(ns, "pallas_block_cols", None),
             "steps_per_call": getattr(ns, "pallas_steps_per_call", None),
+            "dtype": getattr(ns, "pallas_dtype", "float32"),
         }

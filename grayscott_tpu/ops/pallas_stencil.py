@@ -88,7 +88,7 @@ def _shift_cols(x, d: int):
     rolled = pltpu.roll(x, shift, axis=1)
     ci = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
     edge = 0 if d == 1 else c - 1
-    return jnp.where(ci == edge, jnp.float32(0.0), rolled)
+    return jnp.where(ci == edge, 0.0, rolled)  # weak 0: keeps x.dtype
 
 
 def _shift_rows(x, d: int):
@@ -108,15 +108,17 @@ def _col_iota(c: int):
     return jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
 
 
-def _col_sums(gcol, c_total, h: np.ndarray):
+def _col_sums(gcol, c_total, h: np.ndarray, dtype=Precision):
     """(1, W_c) per-column sums of in-bounds separable taps (naive
     semantics), in global column coordinates (``gcol`` = (1, W_c) int32
     global index of each local column; out-of-domain values are irrelevant
     because those columns are masked to zero each step)."""
     c = gcol.shape[1]
-    mid = jnp.full((1, c), np.float32(h.sum()), jnp.float32)
-    lo = jnp.where(gcol == 0, np.float32(h[1] + h[2]), mid)
-    return jnp.where(gcol == c_total - 1, np.float32(h[0] + h[1]), lo)
+    mid = jnp.full((1, c), float(h.sum()), dtype)
+    lo = jnp.where(gcol == 0, jnp.asarray(float(h[1] + h[2]), dtype), mid)
+    return jnp.where(
+        gcol == c_total - 1, jnp.asarray(float(h[0] + h[1]), dtype), lo
+    )
 
 
 def _edge_strip_1xc(row0, row1, w2: np.ndarray, gcol, c_total, chalo: int,
@@ -133,7 +135,7 @@ def _edge_strip_1xc(row0, row1, w2: np.ndarray, gcol, c_total, chalo: int,
     center = row0
     full = jnp.zeros_like(row0)
     lanes = (row0, row1)
-    ok_e = (gcol + 1 <= c_total - 1).astype(jnp.float32)
+    ok_e = (gcol + 1 <= c_total - 1).astype(row0.dtype)
     for i in range(2):
         xi = lanes[i]
         taps = (shift_cols(xi, 1), xi, shift_cols(xi, -1))
@@ -192,7 +194,7 @@ def _left_col_strip(x, w: np.ndarray, ok_s, chalo: int = 0):
 
 def make_window_stepper(
     params: Parameters, boundary: str, w_rows: int, c: int, halo: int = HALO,
-    chalo: int = 0,
+    chalo: int = 0, dtype=Precision,
 ):
     """Build the per-window step for one in-VMEM iteration.
 
@@ -235,9 +237,12 @@ def make_window_stepper(
         def make_b_field(giota, r_total, gcol, c_total):
             if boundary == "zero":
                 return None
-            cs = _col_sums(gcol, c_total, h)
+            cs = _col_sums(gcol, c_total, h, dtype)
             edge = jnp.logical_or(giota == 0, giota == r_total - 1)
-            rs = jnp.where(edge, np.float32(h[1] + h[2]), np.float32(h.sum()))
+            rs = jnp.where(
+                edge, jnp.asarray(float(h[1] + h[2]), dtype),
+                jnp.asarray(float(h.sum()), dtype),
+            )
             return rs * cs  # (W, W_c), materialized once per window
 
     else:
@@ -273,22 +278,28 @@ def make_window_stepper(
             # per-column sums of in-bounds weights for each stencil row i
             cw = []
             for i in range(3):
-                mid = jnp.full(gcol.shape, np.float32(w[i].sum()), jnp.float32)
-                row = jnp.where(gcol == 0, np.float32(w[i][1] + w[i][2]), mid)
+                mid = jnp.full(gcol.shape, float(w[i].sum()), dtype)
                 row = jnp.where(
-                    gcol == c_total - 1, np.float32(w[i][0] + w[i][1]), row
+                    gcol == 0, jnp.asarray(float(w[i][1] + w[i][2]), dtype),
+                    mid,
+                )
+                row = jnp.where(
+                    gcol == c_total - 1,
+                    jnp.asarray(float(w[i][0] + w[i][1]), dtype), row,
                 )
                 cw.append(row)
-            ok_top = (giota >= 1).astype(jnp.float32)
-            ok_bot = (giota <= r_total - 2).astype(jnp.float32)
+            ok_top = (giota >= 1).astype(dtype)
+            ok_bot = (giota <= r_total - 2).astype(dtype)
             rok = (ok_top, jnp.ones_like(ok_top), ok_bot)
             return rok[0] * cw[0] + rok[1] * cw[1] + rok[2] * cw[2]
 
-    du_rate = Precision(params.diffusion_rate_u)
-    dv_rate = Precision(params.diffusion_rate_v)
-    f = Precision(params.feed_rate)
-    mfk = params.min_feed_kill()
-    dt = Precision(params.time_step)
+    # weak-typed Python floats: ops inherit the array dtype, and for f32
+    # the trace-time cast is bit-identical to the old Precision() constants
+    du_rate = float(Precision(params.diffusion_rate_u))
+    dv_rate = float(Precision(params.diffusion_rate_v))
+    f = float(Precision(params.feed_rate))
+    mfk = float(params.min_feed_kill())
+    dt = float(Precision(params.time_step))
 
     def precompute(giota, r_total, gcol, c_total):
         """Loop-invariant context: domain mask, boundary weight-sum field,
@@ -306,7 +317,7 @@ def make_window_stepper(
             in_dom = jnp.logical_and(giota >= 1, giota < r_total)
             ctx["col0_mask"] = jnp.logical_and(gcol == 0, in_dom)
             ctx["top_mask"] = giota == 0
-            ctx["ok_s"] = (giota <= r_total - 2).astype(jnp.float32)
+            ctx["ok_s"] = (giota <= r_total - 2).astype(dtype)
             ctx["gcol"] = gcol
             ctx["c_total"] = c_total
         return ctx
@@ -330,12 +341,12 @@ def make_window_stepper(
                 else:
                     full_v = fixed
         uv_square = u * v * v
-        du = du_rate * full_u - uv_square + f * (Precision(1.0) - u)
+        du = du_rate * full_u - uv_square + f * (1.0 - u)
         dv = dv_rate * full_v + uv_square + mfk * v
         un = u + du * dt
         vn = v + dv * dt
-        un = jnp.where(ctx["dommask"], un, Precision(0.0))
-        vn = jnp.where(ctx["dommask"], vn, Precision(0.0))
+        un = jnp.where(ctx["dommask"], un, 0.0)
+        vn = jnp.where(ctx["dommask"], vn, 0.0)
         return un, vn
 
     return precompute, step
@@ -346,7 +357,7 @@ def _kernel(scal_ref, u_ref, v_ref, uo_ref, vo_ref, *,
             boundary: str, tc: int | None = None):
     w_rows = tr + 2 * halo
     precompute, step = make_window_stepper(
-        params, boundary, w_rows, c, halo, chalo
+        params, boundary, w_rows, c, halo, chalo, dtype=u_ref.dtype
     )
     origin = scal_ref[0, 0]
     r_total = scal_ref[0, 1]
@@ -537,21 +548,22 @@ def run_blocks(
 
 def pad_state(
     u: np.ndarray, v: np.ndarray, tr: int, halo: int = HALO, chalo: int = 0,
-    tc: int | None = None,
+    tc: int | None = None, dtype=Precision,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Pack (R, C) concentrations into the padded kernel layout.
 
     Rows are rounded up to a multiple of ``tr``; with column tiling
     (``tc``), interior columns are rounded up to a multiple of ``tc`` (the
     extra columns are out-of-domain and stay zero under the kernel's
-    domain mask)."""
+    domain mask). ``dtype`` selects the compute precision (the opt-in
+    bfloat16 fast mode stores and steps in bf16)."""
     r, c = u.shape
     rp = -(-r // tr) * tr
     cp = c if tc is None else -(-c // tc) * tc
     out = []
     for x in (u, v):
-        buf = np.zeros((halo + rp + halo, chalo + cp + chalo), dtype=Precision)
-        buf[halo : halo + r, chalo : chalo + c] = x
+        buf = np.zeros((halo + rp + halo, chalo + cp + chalo), dtype=dtype)
+        buf[halo : halo + r, chalo : chalo + c] = x.astype(dtype)
         out.append(buf)
     return out[0], out[1]
 

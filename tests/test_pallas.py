@@ -134,3 +134,25 @@ def test_deep_halo_k16(rng, params):
                         steps_per_call=9)
     np.testing.assert_allclose(gu, ou, rtol=0, atol=2e-6)
     np.testing.assert_allclose(gv, ov, rtol=0, atol=2e-6)
+
+
+def test_bf16_fast_mode(params):
+    """Opt-in bfloat16 mode: same dynamics within bf16 precision (the
+    reference is strictly f32, data/src/lib.rs:11 — this is a
+    beyond-reference fast mode, documented as not bit-compatible)."""
+    import jax.numpy as jnp
+
+    u0, v0 = initial_uv((32, 48))
+    ou, ov = oracle.run(u0, v0, params, 16)
+    sim = PallasSimulation(params, boundary="naive", interpret=True,
+                           block_rows=16, dtype="bfloat16")
+    species = sim.make_species((32, 48))
+    species.storage = sim.build_storage(u0, v0)
+    sim.perform_steps(species, 16)
+    gu, gv = species.uv_host()
+    assert gu.dtype == np.float32  # host view is f32 regardless
+    assert sim.dtype == jnp.bfloat16
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=0.05)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=0.05)
+    # and it must actually be bf16 underneath
+    assert species.storage[0].dtype == jnp.bfloat16
