@@ -64,10 +64,7 @@ class PallasSimulation(Simulation):
         self.steps_per_call = steps_per_call
         # halo depth = steps rounded up to the 8-row alignment quantum
         self.halo = max(-(-steps_per_call // 8) * 8, ps.HALO)
-        if vmem_limit_bytes is None:
-            # measured safe on v5e; large tiles OOM under the 16M default
-            vmem_limit_bytes = 64 << 20
-        self.vmem_limit_bytes = vmem_limit_bytes
+        self.vmem_limit_bytes = vmem_limit_bytes  # None = auto per tile
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
         self.interpret = interpret
@@ -147,6 +144,28 @@ class PallasSimulation(Simulation):
 
     # -- stepping ------------------------------------------------------------
 
+    def _vmem_limit(self, tr: int, tc, chalo: int, c: int,
+                    dtype_bytes: int) -> int:
+        """Scoped-VMEM limit for Mosaic. The kernel's stack liveness scales
+        with the window footprint: measured ~63 MB at a (288, 4096) f32
+        window (tr=256, K=16). Scale from that anchor with ~20% headroom,
+        floored at the 64 MB that covers all default configs and capped
+        below the 128 MB physical VMEM (pipeline buffers need the rest)."""
+        if self.vmem_limit_bytes is not None:
+            return self.vmem_limit_bytes
+        w_rows = tr + 2 * self.halo
+        w_cols = (tc + 2 * chalo) if tc else c
+        # stack bytes per window byte, anchored at the measured 62.7 MB
+        # stack for a (288, 4096) f32 window
+        anchor = (62.7 * (1 << 20)) / (288 * 4096 * 4)
+        est = anchor * w_rows * w_cols * dtype_bytes
+        # quantized tiers keep the compile params (and hence the persistent
+        # compilation cache keys) stable for the standard configs
+        for tier in (64 << 20, 100 << 20, 120 << 20):
+            if est <= tier:
+                return tier
+        return 120 << 20
+
     def run_steps(self, storage, shape, steps: int):
         u, v, tr, tc, chalo = storage
         r, c = shape
@@ -156,7 +175,9 @@ class PallasSimulation(Simulation):
             tr=tr, tc=tc, chalo=chalo, params=self.params,
             boundary=self.boundary, halo=self.halo,
             interpret=self.interpret,
-            vmem_limit_bytes=self.vmem_limit_bytes,
+            vmem_limit_bytes=self._vmem_limit(
+                tr, tc, chalo, c, u.dtype.itemsize
+            ),
         )
         # column-tiled storage carries real column padding; tell the kernel
         # where global column 0 sits and how wide the true domain is
