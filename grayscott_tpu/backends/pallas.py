@@ -153,22 +153,10 @@ class PallasSimulation(Simulation):
         below the 128 MB physical VMEM (pipeline buffers need the rest)."""
         if self.vmem_limit_bytes is not None:
             return self.vmem_limit_bytes
-        w_rows = tr + 2 * self.halo
         w_cols = (tc + 2 * chalo) if tc else c
-        # stack bytes per window byte, anchored at the measured 62.7 MB
-        # stack for a (288, 4096) f32 window, zero-border semantics
-        anchor = (62.7 * (1 << 20)) / (288 * 4096 * 4)
-        est = anchor * w_rows * w_cols * dtype_bytes
-        if self.boundary == "naive":
-            # the (W, C) b_field + edge strips keep more buffers live:
-            # (256,16) naive measured over the 64 MB tier
-            est *= 1.25
-        # quantized tiers keep the compile params (and hence the persistent
-        # compilation cache keys) stable for the standard configs
-        for tier in (64 << 20, 100 << 20, 120 << 20):
-            if est <= tier:
-                return tier
-        return 120 << 20
+        return ps.choose_vmem_limit(
+            tr, self.halo, w_cols, dtype_bytes, self.boundary
+        )
 
     def run_steps(self, storage, shape, steps: int):
         u, v, tr, tc, chalo = storage

@@ -592,6 +592,28 @@ def choose_block_rows(
 COL_HALO = 128
 
 
+def choose_vmem_limit(
+    tr: int, halo: int, w_cols: int, dtype_bytes: int = 4,
+    boundary: str = "zero",
+) -> int:
+    """Scoped-VMEM limit for Mosaic, scaled with the tile footprint.
+
+    The kernel's stack liveness is ~proportional to the window bytes:
+    measured 62.7 MB for a (288, 4096) f32 window (tr=256, K=16,
+    zero-border) on v5e; naive semantics keeps ~25% more alive (the (W, C)
+    b_field and edge strips). Quantized to validated tiers so standard
+    configs keep stable compile params (persistent-cache keys)."""
+    w_rows = tr + 2 * halo
+    anchor = (62.7 * (1 << 20)) / (288 * 4096 * 4)
+    est = anchor * w_rows * w_cols * dtype_bytes
+    if boundary == "naive":
+        est *= 1.25
+    for tier in (64 << 20, 100 << 20, 120 << 20):
+        if est <= tier:
+            return tier
+    return 120 << 20
+
+
 def choose_block_cols(
     c: int, tr: int = 192, halo: int = 16, chalo: int = COL_HALO,
     vmem_budget_bytes: int = 24 << 20,

@@ -81,7 +81,8 @@ def _exchange_cols(x, c_loc: int, chalo: int):
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "r_total", "c_total", "steps", "tr", "params",
-                     "boundary", "halo", "chalo", "interpret"),
+                     "boundary", "halo", "chalo", "interpret",
+                     "vmem_limit_bytes"),
     donate_argnames=("u", "v"),
 )
 def sharded_run_blocks(
@@ -89,6 +90,7 @@ def sharded_run_blocks(
     mesh: Mesh, r_total: int, steps: int, tr: int,
     params: Parameters, boundary: str, c_total: int | None = None,
     halo: int = ps.HALO, chalo: int = 0, interpret: bool = False,
+    vmem_limit_bytes: int | None = None,
 ):
     """Run ``n_blocks`` K-step kernel blocks on mesh-sharded state.
 
@@ -102,6 +104,11 @@ def sharded_run_blocks(
     c_loc = wp - 2 * chalo
     if c_total is None:
         c_total = c_loc
+    if vmem_limit_bytes is None:
+        # the Mosaic default (16M) OOMs at useful tiles on hardware
+        vmem_limit_bytes = ps.choose_vmem_limit(
+            tr, halo, wp, u.dtype.itemsize, boundary
+        )
 
     def local(u, v, n_blocks):
         u, v = u[0, 0], v[0, 0]
@@ -123,7 +130,7 @@ def sharded_run_blocks(
                 a, b, origin, r_total, origin_c, c_total,
                 steps=steps, tr=tr, params=params, boundary=boundary,
                 halo=halo, chalo=chalo, interpret=interpret,
-                zero_padding=False,
+                zero_padding=False, vmem_limit_bytes=vmem_limit_bytes,
             )
 
         out = jax.lax.fori_loop(0, n_blocks, body, (u, v))
