@@ -34,6 +34,7 @@ class ShardedSimulation(Simulation):
         block_rows: int | None = None,
         steps_per_call: int | None = None,
         interpret: bool | None = None,
+        dtype: str = "float32",
         **kwargs,
     ):
         if steps_per_call is None:
@@ -54,6 +55,12 @@ class ShardedSimulation(Simulation):
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
         self.interpret = interpret
+        if dtype in (None, "float32", "f32"):
+            self.dtype = jnp.float32
+        elif dtype in ("bfloat16", "bf16"):  # opt-in fast mode (see pallas)
+            self.dtype = jnp.bfloat16
+        else:
+            raise ValueError(f"unsupported dtype {dtype!r}")
 
     def _tr(self, shape) -> int:
         r, c = shape
@@ -66,14 +73,19 @@ class ShardedSimulation(Simulation):
 
     def build_storage(self, u: np.ndarray, v: np.ndarray):
         tr = self._tr(u.shape)
-        ub, vb, _ = halo.shard_state(u, v, self.mesh, tr, self.chalo, self.halo)
+        ub, vb, _ = halo.shard_state(
+            u, v, self.mesh, tr, self.chalo, self.halo, dtype=self.dtype
+        )
         return (ub, vb, tr)
 
     def extract_uv(self, storage, shape) -> Tuple[jax.Array, jax.Array]:
-        return (
+        out = (
             halo.unshard_result(storage[0], shape, self.chalo, self.halo),
             halo.unshard_result(storage[1], shape, self.chalo, self.halo),
         )
+        if self.dtype != jnp.float32:  # consumers expect f32 host views
+            out = tuple(x.astype(jnp.float32) for x in out)
+        return out
 
     def run_steps(self, storage, shape, steps: int):
         u, v, tr = storage
@@ -118,4 +130,5 @@ class ShardedSimulation(Simulation):
             "mesh_cols": getattr(ns, "sharded_mesh_cols", 1),
             "block_rows": getattr(ns, "pallas_block_rows", None),
             "steps_per_call": k,
+            "dtype": getattr(ns, "pallas_dtype", "float32"),
         }

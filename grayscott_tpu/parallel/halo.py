@@ -164,7 +164,7 @@ def shard_extents(shape, mesh: Mesh, tr: int) -> Tuple[int, int]:
 
 def shard_state(
     u: np.ndarray, v: np.ndarray, mesh: Mesh, tr: int, chalo: int = 0,
-    halo: int = ps.HALO,
+    halo: int = ps.HALO, dtype=np.float32,
 ) -> Tuple[jax.Array, jax.Array, int]:
     """Pack (R, C) host state into per-shard padded blocks on the mesh."""
     r, c = u.shape
@@ -175,11 +175,11 @@ def shard_state(
     h, ch = halo, chalo
     out = []
     for x in (u, v):
-        xp = np.zeros((nr * r_loc, nc * c_loc), dtype=np.float32)
-        xp[:r, :c] = x
+        xp = np.zeros((nr * r_loc, nc * c_loc), dtype=dtype)
+        xp[:r, :c] = x.astype(dtype)
         tiled = xp.reshape(nr, r_loc, nc, c_loc).transpose(0, 2, 1, 3)
         blocks = np.zeros(
-            (nr, nc, h + r_loc + h, ch + c_loc + ch), dtype=np.float32
+            (nr, nc, h + r_loc + h, ch + c_loc + ch), dtype=dtype
         )
         blocks[:, :, h : h + r_loc, ch : ch + c_loc] = tiled
         out.append(

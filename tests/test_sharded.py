@@ -124,3 +124,24 @@ def test_deep_k_sharded(rng, params):
                          steps_per_call=9)
     np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
     np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_sharded_bf16(params):
+    """bf16 fast mode across the virtual mesh (exchange + kernel in bf16)."""
+    import jax.numpy as jnp
+
+    from grayscott_tpu import oracle
+    from grayscott_tpu.species import initial_uv
+
+    u0, v0 = initial_uv((32, 32))
+    ou, ov = oracle.run(u0, v0, params, 8)
+    sim = ShardedSimulation(params, boundary="naive", n_devices=4,
+                            block_rows=8, steps_per_call=4,
+                            dtype="bfloat16")
+    species = sim.make_species((32, 32))
+    species.storage = sim.build_storage(u0, v0)
+    sim.perform_steps(species, 8)
+    gu, gv = species.uv_host()
+    assert species.storage[0].dtype == jnp.bfloat16
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=0.05)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=0.05)
