@@ -104,7 +104,15 @@ class PallasSimulation(Simulation):
         r, c = shape
         tc = self.block_cols
         if tc is None:
-            tc = ps.choose_block_cols(c, halo=self.halo)
+            # persisted autotune winner may pin column tiling (or pin
+            # full-width explicitly via block_cols=None in the record)
+            from ..bench import autotune
+
+            tuned = autotune.lookup(self.params, shape, self.boundary)
+            if tuned and "block_cols" in tuned:
+                tc = tuned["block_cols"]
+            else:
+                tc = ps.choose_block_cols(c, halo=self.halo)
         if tc is not None and tc >= c:
             tc = None
         chalo = ps.COL_HALO if tc is not None else 0

@@ -47,3 +47,57 @@ def test_compilation_cache_enable(monkeypatch, tmp_path):
     import jax
 
     assert jax.config.jax_compilation_cache_dir == path
+
+
+def test_autotune_candidate_normalization():
+    from grayscott_tpu.bench import autotune
+
+    assert autotune._as_config((96, 8)) == {
+        "block_rows": 96, "steps_per_call": 8,
+    }
+    d = {"block_rows": 192, "steps_per_call": 16, "block_cols": 1024}
+    assert autotune._as_config(d) == d
+
+
+def test_autotune_wide_domain_candidates():
+    from grayscott_tpu.bench import autotune
+
+    base = [{"block_rows": 192, "steps_per_call": 16}]
+    # 4096 columns: full-width windows fit VMEM -> no column candidates
+    assert autotune._wide_domain_candidates((512, 4096), base) == []
+    # very wide domain -> column-tiled variants, 128-lane aligned
+    wide = autotune._wide_domain_candidates((512, 32768), base)
+    assert wide and all(c["block_cols"] % 128 == 0 for c in wide)
+    assert all(c["block_cols"] < 32768 for c in wide)
+    assert len({c["block_cols"] for c in wide}) >= 2
+
+
+def test_tuned_block_cols_adopted(monkeypatch, tmp_path, params):
+    """A persisted winner's block_cols (incl. an explicit None) overrides
+    the width heuristic when the user pins nothing."""
+    import jax
+
+    from grayscott_tpu.backends.pallas import PallasSimulation
+    from grayscott_tpu.ops import pallas_stencil as ps
+    from grayscott_tpu.utils import cache as c
+
+    monkeypatch.setattr(c, "CACHE_DIR", str(tmp_path))
+    shape = (64, 512)
+    platform = jax.devices()[0].platform
+    key = c.autotune_key(platform, shape, "zero", params.stencil_name(),
+                         ps.KERNEL_VERSION)
+    c.save_autotune({key: {
+        "block_rows": 16, "steps_per_call": 4, "block_cols": 256,
+    }})
+    sim = PallasSimulation(params, boundary="zero")
+    tr, tc, chalo = sim._tiles(shape)
+    assert (tr, tc, chalo) == (16, 256, ps.COL_HALO)
+    assert sim.steps_per_call != 4  # k adopted in build_storage, not here
+    # explicit None pins full-width even where the heuristic would tile
+    c.save_autotune({key: {
+        "block_rows": 16, "steps_per_call": 4, "block_cols": None,
+    }})
+    sim2 = PallasSimulation(params, boundary="zero")
+    monkeypatch.setattr(ps, "choose_block_cols", lambda *a, **k: 128)
+    tr2, tc2, chalo2 = sim2._tiles(shape)
+    assert (tc2, chalo2) == (None, 0)
