@@ -94,6 +94,7 @@ def sweep(
     reps: int = 3,
     out_path: str | None = None,
     verbose: bool = True,
+    backend_kwargs: dict | None = None,
 ) -> List[Result]:
     from ..backends import get_backend
     from ..params import Parameters
@@ -102,7 +103,9 @@ def sweep(
     step_counts = list(step_counts or default_step_counts())
     results = []
     for name in backend_names:
-        sim = get_backend(name)(Parameters(), boundary=boundary)
+        sim = get_backend(name)(
+            Parameters(), boundary=boundary, **(backend_kwargs or {})
+        )
         for shape in domains:
             for steps in step_counts:
                 for workload in workloads:
@@ -138,6 +141,14 @@ def main(argv=None) -> int:
     parser.add_argument("--boundary", default="naive", choices=["naive", "zero"])
     parser.add_argument("--reps", type=int, default=3)
     parser.add_argument("-o", "--output", default=None, help="JSON output path")
+    parser.add_argument("--dtype", default=None,
+                        choices=["float32", "bfloat16"],
+                        help="compute precision for backends that support it "
+                        "(bfloat16 = the opt-in fast mode)")
+    parser.add_argument("--block-rows", type=int, default=None,
+                        help="pin the Pallas row-tile size")
+    parser.add_argument("--steps-per-call", type=int, default=None,
+                        help="pin the temporal-blocking depth")
     args = parser.parse_args(argv)
 
     if args.backends == "auto":
@@ -147,6 +158,15 @@ def main(argv=None) -> int:
     else:
         names = args.backends.split(",")
     steps = [int(s) for s in args.steps.split(",")] if args.steps else None
+    backend_kwargs = {
+        k: v
+        for k, v in (
+            ("dtype", args.dtype),
+            ("block_rows", args.block_rows),
+            ("steps_per_call", args.steps_per_call),
+        )
+        if v is not None
+    }
     sweep(
         names,
         domains=default_domains(args.smin, args.smax),
@@ -155,6 +175,7 @@ def main(argv=None) -> int:
         boundary=args.boundary,
         reps=args.reps,
         out_path=args.output,
+        backend_kwargs=backend_kwargs or None,
     )
     return 0
 
