@@ -68,10 +68,14 @@ class PallasSimulation(Simulation):
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
         self.interpret = interpret
-        # opt-in bf16 fast mode (beyond-reference capability): halves HBM
-        # traffic and uses the VPU's packed bf16 tiling; NOT bit-compatible
-        # with the f32 reference semantics — results drift by bf16 epsilon
-        # per step. The reference is strictly f32 (data/src/lib.rs:11).
+        # opt-in bf16 STORAGE mode (beyond-reference capability): state
+        # rides HBM in bf16 — half the memory traffic and footprint (wins
+        # on memory-bound configs and doubles the max domain per chip) —
+        # while the in-VMEM step loop still computes in f32 (the VPU has
+        # 32-bit lanes; there is no packed-bf16 arithmetic to win). NOT
+        # bit-compatible with the f32 reference semantics — results round
+        # to bf16 once per K-step block. The reference is strictly f32
+        # (data/src/lib.rs:11).
         if dtype in (None, "float32", "f32"):
             self.dtype = jnp.float32
         elif dtype in ("bfloat16", "bf16"):
@@ -175,9 +179,9 @@ class PallasSimulation(Simulation):
             tr=tr, tc=tc, chalo=chalo, params=self.params,
             boundary=self.boundary, halo=self.halo,
             interpret=self.interpret,
-            vmem_limit_bytes=self._vmem_limit(
-                tr, tc, chalo, c, u.dtype.itemsize
-            ),
+            # liveness scales with the f32 compute copies even when HBM
+            # storage is bf16, so always budget at 4 bytes/element
+            vmem_limit_bytes=self._vmem_limit(tr, tc, chalo, c, 4),
         )
         # column-tiled storage carries real column padding; tell the kernel
         # where global column 0 sits and how wide the true domain is
@@ -211,9 +215,10 @@ class PallasSimulation(Simulation):
         parser.add_argument(
             "--pallas-dtype", choices=["float32", "bfloat16"],
             default=env_default("GRAYSCOTT_PALLAS_DTYPE", "float32"),
-            help="Compute precision: bfloat16 is an opt-in fast mode "
-            "(halved HBM traffic, packed VPU tiling) that is NOT "
-            "bit-compatible with the f32 reference semantics",
+            help="Storage precision: bfloat16 is an opt-in fast mode "
+            "(halved HBM traffic and footprint; compute stays f32 in "
+            "VMEM) that is NOT bit-compatible with the f32 reference "
+            "semantics",
         )
         parser.add_argument(
             "--pallas-steps-per-call", type=int,

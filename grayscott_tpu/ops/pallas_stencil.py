@@ -356,8 +356,16 @@ def _kernel(scal_ref, u_ref, v_ref, uo_ref, vo_ref, *,
             steps: int, tr: int, c: int, halo: int, chalo: int, params,
             boundary: str, tc: int | None = None):
     w_rows = tr + 2 * halo
+    # Reduced-precision modes are STORAGE modes: state rides HBM (and the
+    # window DMAs) in bf16, halving memory traffic and footprint, but the
+    # in-VMEM step loop always computes in f32 — the VPU has 32-bit lanes
+    # (no packed-bf16 arithmetic), and Mosaic's tpu.dynamic_rotate cannot
+    # rotate 16-bit vectors at all, so computing in bf16 is both slower
+    # and uncompilable on hardware. Rounding to bf16 happens once per
+    # K-step block (on store), not per step.
+    store_dtype = u_ref.dtype
     precompute, step = make_window_stepper(
-        params, boundary, w_rows, c, halo, chalo, dtype=u_ref.dtype
+        params, boundary, w_rows, c, halo, chalo, dtype=jnp.float32
     )
     origin = scal_ref[0, 0]
     r_total = scal_ref[0, 1]
@@ -369,6 +377,8 @@ def _kernel(scal_ref, u_ref, v_ref, uo_ref, vo_ref, *,
         origin_c = origin_c + pl.program_id(1) * tc
     gcol = origin_c + _col_iota(c)
     u, v = u_ref[:], v_ref[:]
+    if store_dtype != jnp.float32:
+        u, v = u.astype(jnp.float32), v.astype(jnp.float32)
     # NOTE: an interior-tile fast path via lax.cond (skipping the boundary
     # fix-ups for tiles strictly inside the domain) was measured SLOWER on
     # v5e (33 vs 40 Gcell/s at 4096^2): both branches inflate VMEM pressure
@@ -376,6 +386,8 @@ def _kernel(scal_ref, u_ref, v_ref, uo_ref, vo_ref, *,
     ctx = precompute(giota, r_total, gcol, c_total)
     for _ in range(steps):
         u, v = step(u, v, ctx)
+    if store_dtype != jnp.float32:
+        u, v = u.astype(store_dtype), v.astype(store_dtype)
     if tc is None:
         uo_ref[:] = u[halo : halo + tr, :]
         vo_ref[:] = v[halo : halo + tr, :]

@@ -35,6 +35,13 @@ CONFIGS = [
     dict(tr=512, k=16, boundary="zero"),
     dict(tr=192, k=16, boundary="naive"),
     dict(tr=256, k=16, boundary="naive"),
+    # bf16 STORAGE mode (f32 compute in VMEM): expect ~parity with f32 at
+    # deep K (VPU-bound) and up to ~2x at K=1 (memory-bound), where the
+    # halved window DMAs are the whole story
+    dict(tr=256, k=16, boundary="zero", dtype="bfloat16"),
+    dict(tr=384, k=16, boundary="zero", dtype="bfloat16"),
+    dict(tr=256, k=1, boundary="zero", dtype="bfloat16"),
+    dict(tr=256, k=1, boundary="zero"),  # f32 memory-bound comparison
 ]
 
 
@@ -45,8 +52,9 @@ def main() -> int:
             boundary=cfg["boundary"],
             block_rows=cfg["tr"],
             steps_per_call=cfg["k"],
+            dtype=cfg.get("dtype", "float32"),
         )
-        steps = 64 * cfg["k"]
+        steps = max(64 * cfg["k"], 256)
         print(f"config {cfg} compiling/measuring...", flush=True)
         try:
             res = run_one(sim, (4096, 4096), steps, "compute", reps=3)
