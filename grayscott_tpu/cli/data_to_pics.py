@@ -8,9 +8,11 @@ and ``--output-threads`` (default 3). Filenames are zero-padded to
 ``INFERNO.eval_continuous(2.0 * v)`` (``main.rs:139-142``).
 
 Same 3-stage pipeline as the reference: a reader thread streams HDF5
-images, the main thread colorizes (vectorized NumPy LUT instead of a rayon
-row-split — with an optional native C colorizer, see
-grayscott_tpu/native), and N writer threads encode PNGs.
+images, the main thread colorizes (threaded native C++ kernel with a
+vectorized NumPy LUT fallback — the rayon row-split analog, see
+grayscott_tpu/native), and N writer threads encode PNGs natively
+(C++ zlib encoder releasing the GIL, the `image`-crate-writer analog;
+PIL fallback when no toolchain is available).
 """
 
 from __future__ import annotations
@@ -63,7 +65,12 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
 
-    from PIL import Image
+    from .. import native
+
+    if native.load() is None:  # PIL only needed for the fallback path
+        from PIL import Image
+    else:
+        Image = None
 
     reader = Reader(simulation_output_path(args.input))
     num_images = reader.num_images
@@ -91,9 +98,15 @@ def main(argv=None) -> int:
                 if item is None:
                     return
                 idx, rgb = item
-                Image.fromarray(rgb, "RGB").save(
-                    os.path.join(args.output_dir, f"{idx:0{width}d}.png")
-                )
+                path = os.path.join(args.output_dir, f"{idx:0{width}d}.png")
+                data = None if Image is not None else native.png_encode(rgb)
+                if data is not None:
+                    with open(path, "wb") as f:
+                        f.write(data)
+                else:
+                    from PIL import Image as PILImage
+
+                    PILImage.fromarray(rgb, "RGB").save(path)
                 progress.inc(1)
         except BaseException as e:  # pragma: no cover
             errors.append(e)

@@ -29,7 +29,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             _SRC, "-o", _LIB_PATH],
+             _SRC, "-o", _LIB_PATH, "-lz"],
             check=True,
             capture_output=True,
             timeout=120,
@@ -60,13 +60,47 @@ def load():
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ]
             lib.gs_colorize.restype = None
+            lib.gs_png_bound.argtypes = [ctypes.c_int, ctypes.c_int]
+            lib.gs_png_bound.restype = ctypes.c_size_t
+            lib.gs_png_encode.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ]
+            lib.gs_png_encode.restype = ctypes.c_size_t
             lib.gs_native_abi_version.restype = ctypes.c_int
-            if lib.gs_native_abi_version() != 1:
+            if lib.gs_native_abi_version() != 2:
                 return None
             _lib = lib
         except OSError:
             _lib = None
         return _lib
+
+
+def png_encode(rgb: np.ndarray, level: int = 6) -> bytes | None:
+    """Encode an (H, W, 3) uint8 image as a PNG byte stream natively
+    (zlib deflate + Sub row filter, the analog of the reference's `image`
+    crate writer on its output threads, data-to-pics/src/main.rs:98-104).
+    Returns None if the native library is unavailable (callers fall back
+    to PIL). Releases the GIL for the whole encode, so the data-to-pics
+    output threads scale."""
+    lib = load()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(rgb, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) uint8, got {img.shape}")
+    h, w = img.shape[:2]
+    cap = int(lib.gs_png_bound(w, h))
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.gs_png_encode(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int(w), ctypes.c_int(h), ctypes.c_int(level),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_size_t(cap),
+    )
+    if n == 0:
+        return None
+    return out[:n].tobytes()
 
 
 def colorize(values: np.ndarray, lut: np.ndarray, scale: float,

@@ -40,3 +40,39 @@ def test_colorize_dispatch(rng):
     """Public colorize() output matches the NumPy reference either way."""
     v = rng.uniform(0, 0.6, (40, 50)).astype(np.float32)
     np.testing.assert_array_equal(colorize(v), numpy_colorize(v))
+
+
+def test_png_encode_roundtrip(rng):
+    """Native PNG stream decodes (via PIL) to the exact input pixels."""
+    if native.load() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    import io
+
+    from PIL import Image
+
+    rgb = rng.randint(0, 256, (37, 53, 3)).astype("uint8")
+    data = native.png_encode(rgb)
+    assert data is not None and data[:8] == b"\x89PNG\r\n\x1a\n"
+    back = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    np.testing.assert_array_equal(back, rgb)
+
+
+def test_png_encode_levels(rng):
+    if native.load() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    import io
+
+    from PIL import Image
+
+    # smooth gradient (the realistic INFERNO-field case) compresses
+    v = np.linspace(0, 255, 64 * 96 * 3).astype("uint8").reshape(64, 96, 3)
+    fast = native.png_encode(v, level=1)
+    small = native.png_encode(v, level=9)
+    assert fast and small and len(small) <= len(fast)
+    for data in (fast, small):
+        back = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        np.testing.assert_array_equal(back, v)
