@@ -136,14 +136,21 @@ class FrameSource:
 
 
 def run_headless(src: FrameSource, frames: int, outdir: str) -> int:
-    from PIL import Image
+    from .. import native
 
     os.makedirs(outdir, exist_ok=True)
     width = max(len(str(max(frames - 1, 1))), 1)
     for i in range(frames):
-        Image.fromarray(src.next_rgb(), "RGB").save(
-            os.path.join(outdir, f"{i:0{width}d}.png")
-        )
+        rgb = src.next_rgb()
+        path = os.path.join(outdir, f"{i:0{width}d}.png")
+        data = native.png_encode(rgb)
+        if data is not None:
+            with open(path, "wb") as f:
+                f.write(data)
+        else:
+            from PIL import Image
+
+            Image.fromarray(rgb, "RGB").save(path)
     return 0
 
 
