@@ -96,7 +96,9 @@ class PallasSimulation(Simulation):
             if tuned:
                 tr = tuned["block_rows"]
         if tr is None:
-            tr = ps.choose_block_rows(r, eff_c or c, halo=self.halo)
+            tr = ps.choose_block_rows(
+                r, eff_c or c, halo=self.halo, boundary=self.boundary
+            )
         rp = -(-r // 8) * 8
         while tr > 8 and tr > rp:
             tr -= 8

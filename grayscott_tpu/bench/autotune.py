@@ -116,6 +116,17 @@ def autotune(
     configs += _wide_domain_candidates(shape, configs[:2])
     best = None
     for cfg in configs:
+        # compile-tractability guard: windows past the measured Mosaic
+        # ceiling send the remote compile into tens of minutes — skip
+        # rather than hang the tuner (ops.pallas_stencil.window_compile_ok)
+        halo = max(-(-cfg["steps_per_call"] // 8) * 8, ps.HALO)
+        chalo = ps.COL_HALO if cfg.get("block_cols") else 0
+        w_cols = (cfg["block_cols"] + 2 * chalo) if cfg.get("block_cols") \
+            else shape[1]
+        if not ps.window_compile_ok(cfg["block_rows"], halo, w_cols, boundary):
+            if verbose:
+                print(f"{cfg}: SKIP (window past the compile ceiling)")
+            continue
         try:
             rate = measure_config(params, shape, boundary, dtype=dtype, **cfg)
         except Exception as e:  # config may not fit VMEM etc.

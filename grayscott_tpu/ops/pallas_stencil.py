@@ -580,18 +580,39 @@ def pad_state(
     return out[0], out[1]
 
 
+#: Mosaic compile-tractability ceiling, measured on the v5e remote
+#: compiler: kernels whose VMEM window exceeds ~(288, 4096) f32 cells per
+#: species (tr=256 + 2*16 halo at C=4096) drive the K-step-unrolled
+#: compile into tens of minutes — tr=384 at 4096 cols never returned
+#: within 25 min at ANY scoped-VMEM limit, and tr=256 under the naive
+#: boundary (≈25% more live strips) likewise. Derated 1.25x for naive.
+COMPILE_CEILING_CELLS = 288 * 4096
+
+
+def window_compile_ok(
+    tr: int, halo: int, w_cols: int, boundary: str = "zero"
+) -> bool:
+    """Whether a (tr + 2*halo, w_cols) window is known compile-tractable."""
+    cells = (tr + 2 * halo) * w_cols
+    limit = COMPILE_CEILING_CELLS / (1.25 if boundary == "naive" else 1.0)
+    return cells <= limit
+
+
 def choose_block_rows(
-    r: int, c: int, vmem_budget_bytes: int = 16 << 20, halo: int = 16
+    r: int, c: int, vmem_budget_bytes: int = 16 << 20, halo: int = 16,
+    boundary: str = "zero",
 ) -> int:
     """Default row-tile size: fit one (TR + 2*halo, C) f32 window pair in
     the VMEM budget (the analog of the reference's hwloc cache-budget
     defaults, compute/block/src/default.rs:6-57), clamped to [8, 256] —
     K=16 temporal blocking at tr=256 measured best on v5e at 4096^2
-    (65.6 Gcell/s on the v2 kernel; the autotuner refines per domain) —
-    and to the domain size."""
+    (zero-border; the naive boundary caps at tr=192 there, see
+    ``window_compile_ok``) — and to the domain size."""
     bytes_per_row = c * 4 * 2  # two species
     tr = (vmem_budget_bytes // bytes_per_row - 2 * halo) // 8 * 8
     tr = max(8, min(256, tr))
+    while tr > 8 and not window_compile_ok(tr, halo, c, boundary):
+        tr -= 8
     rp = -(-r // 8) * 8
     while tr > rp:
         tr -= 8

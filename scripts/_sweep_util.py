@@ -1,0 +1,62 @@
+"""Shared harness for hardware A/B sweeps: one subprocess per config with
+a hard timeout, because a pathological Mosaic compile can block on the
+remote compile service for tens of minutes (measured: tr=384 at 4096 cols
+never returned within 25 min at any scoped-VMEM limit)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys
+sys.path.insert(0, __REPO__)
+from grayscott_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+from grayscott_tpu.backends.pallas import PallasSimulation
+from grayscott_tpu.bench.harness import run_one
+from grayscott_tpu.params import Parameters
+cfg = json.loads(__CFG__)
+shape = tuple(cfg.get("shape", (4096, 4096)))
+sim = PallasSimulation(
+    Parameters(), boundary=cfg.get("boundary", "zero"),
+    block_rows=cfg["tr"], steps_per_call=cfg["k"],
+    dtype=cfg.get("dtype", "float32"),
+    vmem_limit_bytes=cfg.get("limit"),
+)
+steps = cfg.get("steps", max(64 * cfg["k"], 256))
+res = run_one(sim, shape, steps, "compute", reps=3)
+print("RESULT " + json.dumps({"config": cfg, **res.to_json()}), flush=True)
+"""
+
+
+def run_configs(configs, timeout: int | None = None) -> None:
+    timeout = timeout or int(os.environ.get("SWEEP_TIMEOUT", "1500"))
+    for cfg in configs:
+        print(f"config {cfg} compiling/measuring...", flush=True)
+        code = CHILD.replace("__REPO__", repr(REPO)).replace(
+            "__CFG__", repr(json.dumps(cfg))
+        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", "-c", code],
+                capture_output=True, text=True, timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"config": cfg,
+                              "error": f"timeout after {timeout}s"}),
+                  flush=True)
+            continue
+        hit = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        if hit:
+            print(hit[-1][len("RESULT "):], flush=True)
+        else:
+            tail = (proc.stderr or proc.stdout).strip().splitlines()[-12:]
+            print(json.dumps({"config": cfg,
+                              "error": " | ".join(tail)[-500:]}),
+                  flush=True)
+    print("DONE", flush=True)
