@@ -101,3 +101,20 @@ def test_tuned_block_cols_adopted(monkeypatch, tmp_path, params):
     monkeypatch.setattr(ps, "choose_block_cols", lambda *a, **k: 128)
     tr2, tc2, chalo2 = sim2._tiles(shape)
     assert (tc2, chalo2) == (None, 0)
+
+
+def test_autotune_skips_compile_ceiling(monkeypatch, tmp_path, params, capsys):
+    """Candidates whose window exceeds the Mosaic compile ceiling are
+    skipped (they would hang the remote compiler), not measured."""
+    from grayscott_tpu.bench import autotune
+    from grayscott_tpu.utils import cache as c
+
+    monkeypatch.setattr(c, "CACHE_DIR", str(tmp_path))
+    cands = [
+        {"block_rows": 384, "steps_per_call": 16},  # past ceiling at C=4096
+        {"block_rows": 16, "steps_per_call": 2},
+    ]
+    best = autotune.autotune(params, (64, 4096), "zero", candidates=cands,
+                             verbose=True, persist=False)
+    assert best["block_rows"] == 16
+    assert "SKIP" in capsys.readouterr().out
