@@ -30,13 +30,17 @@ from ..utils import cache
 Candidate = Union[Tuple[int, int], Mapping]
 
 DEFAULT_CANDIDATES: Tuple[Mapping, ...] = (
-    # (block_rows, steps_per_call); measured on the v2 kernel on v5e at
-    # 4096^2: the step loop is VPU-bound, so large tiles win on halo
-    # redundancy — (256, 16) -> 65.6 Gcell/s zero-border (1.28x the
-    # single-step HBM roofline)
+    # (block_rows, steps_per_call); measured on the v2 kernel on v5e:
+    # the step loop is VPU-bound, so large tiles win on halo redundancy —
+    # (256, 16) -> 65.6 Gcell/s zero-border at 4096^2 (1.28x the
+    # single-step HBM roofline). The taller tiles win on narrower domains
+    # ((544, 16) -> 38.2 at 1080x1920 vs 33.6 for (256, 16)) and are
+    # auto-skipped by the compile-ceiling guard where the window would be
+    # too wide to compile (e.g. at C=4096).
     dict(block_rows=256, steps_per_call=16),
     dict(block_rows=192, steps_per_call=16),
-    dict(block_rows=384, steps_per_call=16),
+    dict(block_rows=544, steps_per_call=16),
+    dict(block_rows=368, steps_per_call=16),
     dict(block_rows=96, steps_per_call=8),
 )
 
@@ -123,7 +127,8 @@ def autotune(
         chalo = ps.COL_HALO if cfg.get("block_cols") else 0
         w_cols = (cfg["block_cols"] + 2 * chalo) if cfg.get("block_cols") \
             else shape[1]
-        if not ps.window_compile_ok(cfg["block_rows"], halo, w_cols, boundary):
+        if not ps.window_compile_ok(cfg["block_rows"], halo, w_cols, boundary,
+                                    cfg["steps_per_call"]):
             if verbose:
                 print(f"{cfg}: SKIP (window past the compile ceiling)")
             continue

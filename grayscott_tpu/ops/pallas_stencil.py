@@ -581,21 +581,28 @@ def pad_state(
 
 
 #: Mosaic compile-tractability ceiling, measured on the v5e remote
-#: compiler: kernels whose VMEM window exceeds ~(288, 4096) f32 cells per
-#: species (tr=256 + 2*16 halo at C=4096) drive the K-step-unrolled
-#: compile into tens of minutes — tr=384 at 4096 cols never returned
-#: within 25 min at ANY scoped-VMEM limit, and tr=256 under the naive
-#: boundary (≈25% more live strips) likewise. Derated 1.25x for naive.
-COMPILE_CEILING_CELLS = 288 * 4096
+#: compiler. The cost driver is the K-unrolled kernel graph size, i.e.
+#: window cells x fused steps: every config at <= ~19.7M cell-steps
+#: compiled in 10-20 min ((288,4096)x16, (320,1920)x32, (576,1920)x16,
+#: (224,4096)x16-naive), while >= ~23.6M effective never returned within
+#: 25 min at ANY scoped-VMEM limit ((416,4096)x16, (288,4096)x16-naive,
+#: (608,1920)x32). Derated 1.25x for the naive boundary's extra live
+#: strips.
+COMPILE_CEILING_CELL_STEPS = 20_000_000
 
 
 def window_compile_ok(
-    tr: int, halo: int, w_cols: int, boundary: str = "zero"
+    tr: int, halo: int, w_cols: int, boundary: str = "zero",
+    steps: int | None = None,
 ) -> bool:
-    """Whether a (tr + 2*halo, w_cols) window is known compile-tractable."""
-    cells = (tr + 2 * halo) * w_cols
-    limit = COMPILE_CEILING_CELLS / (1.25 if boundary == "naive" else 1.0)
-    return cells <= limit
+    """Whether a (tr + 2*halo, w_cols) window with ``steps`` fused
+    in-VMEM iterations (default: the halo depth, the max) is known
+    compile-tractable."""
+    cell_steps = (tr + 2 * halo) * w_cols * (steps or halo)
+    limit = COMPILE_CEILING_CELL_STEPS / (
+        1.25 if boundary == "naive" else 1.0
+    )
+    return cell_steps <= limit
 
 
 def choose_block_rows(
@@ -607,10 +614,14 @@ def choose_block_rows(
     defaults, compute/block/src/default.rs:6-57), clamped to [8, 256] —
     K=16 temporal blocking at tr=256 measured best on v5e at 4096^2
     (zero-border; the naive boundary caps at tr=192 there, see
-    ``window_compile_ok``) — and to the domain size."""
+    ``window_compile_ok``) — and to the domain size. Short domains
+    (r <= 1536) allow taller tiles: fewer, fatter tiles measured +14% at
+    the reference-default 1080x1920 ((544, 16) = 38.2 vs 33.6 Gcell/s)
+    where the fixed per-block cost and halo redundancy dominate."""
     bytes_per_row = c * 4 * 2  # two species
     tr = (vmem_budget_bytes // bytes_per_row - 2 * halo) // 8 * 8
-    tr = max(8, min(256, tr))
+    cap = 544 if r <= 1536 else 256
+    tr = max(8, min(cap, tr))
     while tr > 8 and not window_compile_ok(tr, halo, c, boundary):
         tr -= 8
     rp = -(-r // 8) * 8
