@@ -78,21 +78,33 @@ class PallasSimulation(Simulation):
         # (data/src/lib.rs:11).
         if dtype in (None, "float32", "f32"):
             self.dtype = jnp.float32
+            self._dtype_str = "float32"
         elif dtype in ("bfloat16", "bf16"):
             self.dtype = jnp.bfloat16
+            self._dtype_str = "bfloat16"
         else:
             raise ValueError(f"unsupported dtype {dtype!r}")
 
     # -- storage: padded double buffers ------------------------------------
 
-    def _tr(self, shape, eff_c: int | None = None) -> int:
+    _MISS = object()  # sentinel: "no record fetched yet"
+
+    def _lookup_tuned(self, shape) -> dict | None:
+        """The persisted autotune winner for this configuration, fetched
+        ONCE per build_storage and threaded through the tile/K adoption
+        below (three separate lookups each re-read the JSON store)."""
+        from ..bench import autotune
+
+        return autotune.lookup(
+            self.params, shape, self.boundary, self._dtype_str
+        )
+
+    def _tr(self, shape, eff_c: int | None = None, tuned=_MISS) -> int:
         r, c = shape
         tr = self.block_rows
         if tr is None:
-            # persisted autotune result for this (platform, domain, ...)
-            from ..bench import autotune
-
-            tuned = autotune.lookup(self.params, shape, self.boundary)
+            if tuned is self._MISS:
+                tuned = self._lookup_tuned(shape)
             if tuned:
                 tr = tuned["block_rows"]
         if tr is None:
@@ -104,17 +116,16 @@ class PallasSimulation(Simulation):
             tr -= 8
         return tr
 
-    def _tiles(self, shape) -> Tuple[int, int | None, int]:
+    def _tiles(self, shape, tuned=_MISS) -> Tuple[int, int | None, int]:
         """(tr, tc, chalo): row tile, optional column tile for very wide
         domains (see ops.pallas_stencil.choose_block_cols), column halo."""
         r, c = shape
+        if tuned is self._MISS:
+            tuned = self._lookup_tuned(shape)
         tc = self.block_cols
         if tc is None:
             # persisted autotune winner may pin column tiling (or pin
             # full-width explicitly via block_cols=None in the record)
-            from ..bench import autotune
-
-            tuned = autotune.lookup(self.params, shape, self.boundary)
             if tuned and "block_cols" in tuned:
                 tc = tuned["block_cols"]
             else:
@@ -122,25 +133,27 @@ class PallasSimulation(Simulation):
         if tc is not None and tc >= c:
             tc = None
         chalo = ps.COL_HALO if tc is not None else 0
-        tr = self._tr(shape, eff_c=None if tc is None else tc + 2 * chalo)
+        tr = self._tr(
+            shape, eff_c=None if tc is None else tc + 2 * chalo, tuned=tuned
+        )
         return tr, tc, chalo
 
-    def _adopt_tuned_k(self, shape) -> None:
+    def _adopt_tuned_k(self, shape, tuned=_MISS) -> None:
         """Apply a persisted autotune winner's temporal-blocking depth when
         the user did not pin one (block_rows is adopted in _tr)."""
         if self._explicit_k or self.interpret:
             return
-        from ..bench import autotune
-
-        tuned = autotune.lookup(self.params, shape, self.boundary)
+        if tuned is self._MISS:
+            tuned = self._lookup_tuned(shape)
         k = (tuned or {}).get("steps_per_call")
         if k and 1 <= int(k) <= self.MAX_STEPS_PER_CALL:
             self.steps_per_call = int(k)
             self.halo = max(-(-int(k) // 8) * 8, ps.HALO)
 
     def build_storage(self, u: np.ndarray, v: np.ndarray):
-        self._adopt_tuned_k(u.shape)
-        tr, tc, chalo = self._tiles(u.shape)
+        tuned = self._lookup_tuned(u.shape)
+        self._adopt_tuned_k(u.shape, tuned)
+        tr, tc, chalo = self._tiles(u.shape, tuned)
         u_pad, v_pad = ps.pad_state(
             u, v, tr, self.halo, chalo, tc, dtype=self.dtype
         )

@@ -64,9 +64,17 @@ class ShardedSimulation(Simulation):
 
     def _tr(self, shape) -> int:
         r, c = shape
-        nr = self.mesh.devices.shape[0]
+        nr, nc = self.mesh.devices.shape
         r_loc = -(-r // max(nr, 1))
-        tr = self.block_rows or ps.choose_block_rows(r_loc, c)
+        # per-shard kernel window width: local columns plus both column
+        # halos on 2-D meshes. Boundary/halo must reach the tile heuristic
+        # so its compile-ceiling guard sees the real window (a naive-
+        # boundary full-width shard at C=4096 is exactly the measured
+        # pathological compile, ops/pallas_stencil.py COMPILE_CEILING).
+        c_loc = -(-c // max(nc, 1)) + (2 * self.chalo if nc > 1 else 0)
+        tr = self.block_rows or ps.choose_block_rows(
+            r_loc, c_loc, halo=self.halo, boundary=self.boundary
+        )
         while tr > 8 and tr > -(-r_loc // 8) * 8:
             tr -= 8
         return tr

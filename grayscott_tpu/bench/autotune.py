@@ -5,15 +5,18 @@ The runtime analog of the reference's compile-time backend selection plus
 hwloc-derived block-size defaults (compute/selector/src/lib.rs:4-59,
 compute/block/src/default.rs:6-57): instead of trusting a hardware model,
 measure candidate kernel specializations on the actual chip and cache the
-best per (platform, domain, boundary, stencil) in
+best per (platform, domain, boundary, stencil, dtype) in
 ``~/.cache/grayscott_tpu/autotune.json``.
 
 Tuned dimensions: ``block_rows`` (row tile), ``steps_per_call`` (temporal
 blocking depth), and — for domains too wide for full-width VMEM windows —
 ``block_cols`` (intra-kernel column tiling). The Mosaic scoped-VMEM limit
 is derived per candidate from the tile footprint
-(ops.pallas_stencil.choose_vmem_limit), so large tiles compile with the
-budget they need instead of failing at a fixed cap.
+(ops.pallas_stencil.choose_vmem_limit); candidates whose K-unrolled
+window would hang the compiler are skipped up front
+(ops.pallas_stencil.window_compile_ok), and winners record the tile
+configuration the measured simulation ACTUALLY ran (the width heuristic
+may column-tile a candidate that did not pin block_cols).
 """
 
 from __future__ import annotations
@@ -52,9 +55,27 @@ def _as_config(c: Candidate) -> dict:
     return dict(block_rows=tr, steps_per_call=k)
 
 
+def _halo_of(k: int) -> int:
+    return max(-(-k // 8) * 8, ps.HALO)
+
+
+def _guard_ok(cfg: Mapping, shape, boundary: str) -> bool:
+    """Compile-ceiling check for a candidate as it would actually run
+    (column-tiled width when block_cols is pinned)."""
+    halo = _halo_of(cfg["steps_per_call"])
+    if cfg.get("block_cols"):
+        w_cols = cfg["block_cols"] + 2 * ps.COL_HALO
+    else:
+        w_cols = shape[1]
+    return ps.window_compile_ok(
+        cfg["block_rows"], halo, w_cols, boundary, cfg["steps_per_call"]
+    )
+
+
 def _wide_domain_candidates(shape, base: Iterable[Mapping]) -> list[dict]:
     """Column-tiling variants for domains whose full-width window pair
-    exceeds VMEM: the heuristic tile width and its 2x/0.5x neighbors."""
+    exceeds VMEM: the heuristic tile width and neighbors, each shrunk to
+    the compile ceiling if needed."""
     _, c = shape
     tc0 = ps.choose_block_cols(c)
     if tc0 is None:
@@ -65,21 +86,51 @@ def _wide_domain_candidates(shape, base: Iterable[Mapping]) -> list[dict]:
     if tc0 >= 1024:
         widths.add(tc0 // 2 // 128 * 128)
     for cfg in base:
+        halo = _halo_of(cfg["steps_per_call"])
+        w_rows = cfg["block_rows"] + 2 * halo
+        # widest tile this (tr, k) can compile with
+        limit = ps.COMPILE_CEILING_CELL_STEPS // (
+            w_rows * cfg["steps_per_call"]
+        )
+        tc_cap = (limit - 2 * ps.COL_HALO) // 128 * 128
         for tc in sorted(widths):
-            if tc and tc < c:
-                out.append({**cfg, "block_cols": tc})
+            tc = min(tc, tc_cap)
+            if tc >= 128 and tc < c:
+                entry = {**cfg, "block_cols": tc}
+                if entry not in out:
+                    out.append(entry)
+    return out
+
+
+def _fallback_candidates(shape, boundary: str) -> list[dict]:
+    """Last-resort configs mirroring the runtime heuristics (which are
+    themselves ceiling-guarded), so autotune never comes up empty for a
+    domain the backend's own defaults can run."""
+    r, c = shape
+    out = []
+    for k in (16, 8):
+        halo = _halo_of(k)
+        tc = ps.choose_block_cols(c, halo=halo)
+        eff_c = c if tc is None else tc + 2 * ps.COL_HALO
+        tr = ps.choose_block_rows(r, eff_c, halo=halo, boundary=boundary)
+        cfg = dict(block_rows=tr, steps_per_call=k)
+        if tc is not None:
+            cfg["block_cols"] = tc
+        if _guard_ok(cfg, shape, boundary) and cfg not in out:
+            out.append(cfg)
     return out
 
 
 def measure_config(
     params: Parameters, shape, boundary: str, steps: int = 256,
     dtype: str = "float32", **config,
-) -> float:
-    """Gcell/s of one kernel specialization (single dispatch, tiny sync).
+) -> dict:
+    """Measure one kernel specialization (single dispatch, tiny sync).
 
-    ``config``: block_rows, steps_per_call, optional block_cols. The
-    scoped-VMEM limit is auto-scaled with the tile footprint unless
-    overridden via ``vmem_limit_bytes``.
+    ``config``: block_rows, steps_per_call, optional block_cols. Returns
+    the tile configuration the simulation ACTUALLY used (the heuristics
+    may column-tile or clamp an unpinned dimension) plus
+    ``gcells_per_sec``.
     """
     import jax.numpy as jnp
 
@@ -87,6 +138,7 @@ def measure_config(
 
     sim = PallasSimulation(params, boundary=boundary, dtype=dtype, **config)
     species = sim.make_species(shape)
+    _, _, tr_used, tc_used, _chalo = species.storage
     k = config.get("steps_per_call") or sim.steps_per_call
     sim.prepare_steps(species, k)  # compile + warmup
     float(np.asarray(jnp.sum(species.result()[:1, :128])))
@@ -94,7 +146,12 @@ def measure_config(
     sim.prepare_steps(species, steps)
     float(np.asarray(jnp.sum(species.result()[:1, :128])))
     dt = time.time() - t0
-    return shape[0] * shape[1] * steps / dt / 1e9
+    return {
+        "block_rows": tr_used,
+        "steps_per_call": sim.steps_per_call,
+        "block_cols": tc_used,
+        "gcells_per_sec": shape[0] * shape[1] * steps / dt / 1e9,
+    }
 
 
 def autotune(
@@ -105,48 +162,47 @@ def autotune(
     """Measure candidates, persist and return the best config dict.
 
     The winner records block_rows, steps_per_call and block_cols (None =
-    full-width windows won); PallasSimulation adopts all three when the
-    user pins none.
+    full-width windows won) as actually measured; PallasSimulation adopts
+    all three when the user pins none.
     """
     import jax
 
     platform = jax.devices()[0].platform
     key = cache.autotune_key(platform, shape, boundary,
-                             params.stencil_name(), ps.KERNEL_VERSION)
+                             params.stencil_name(), ps.KERNEL_VERSION, dtype)
     store = cache.load_autotune()
     if key in store:
         return store[key]
     configs = [_as_config(c) for c in candidates]
     configs += _wide_domain_candidates(shape, configs[:2])
-    best = None
+    viable = []
     for cfg in configs:
         # compile-tractability guard: windows past the measured Mosaic
         # ceiling send the remote compile into tens of minutes — skip
         # rather than hang the tuner (ops.pallas_stencil.window_compile_ok)
-        halo = max(-(-cfg["steps_per_call"] // 8) * 8, ps.HALO)
-        chalo = ps.COL_HALO if cfg.get("block_cols") else 0
-        w_cols = (cfg["block_cols"] + 2 * chalo) if cfg.get("block_cols") \
-            else shape[1]
-        if not ps.window_compile_ok(cfg["block_rows"], halo, w_cols, boundary,
-                                    cfg["steps_per_call"]):
-            if verbose:
-                print(f"{cfg}: SKIP (window past the compile ceiling)")
-            continue
+        if _guard_ok(cfg, shape, boundary):
+            viable.append(cfg)
+        elif verbose:
+            print(f"{cfg}: SKIP (window past the compile ceiling)")
+    if not viable:
+        viable = _fallback_candidates(shape, boundary)
+        if verbose and viable:
+            print(f"all candidates past the ceiling; falling back to "
+                  f"heuristic configs {viable}")
+    best = None
+    for cfg in viable:
         try:
-            rate = measure_config(params, shape, boundary, dtype=dtype, **cfg)
+            res = measure_config(params, shape, boundary, dtype=dtype, **cfg)
         except Exception as e:  # config may not fit VMEM etc.
             if verbose:
                 print(f"{cfg}: FAIL ({type(e).__name__})")
             continue
         if verbose:
-            print(f"{cfg}: {rate:.2f} Gcell/s")
-        if best is None or rate > best["gcells_per_sec"]:
-            best = {
-                "block_rows": cfg["block_rows"],
-                "steps_per_call": cfg["steps_per_call"],
-                "block_cols": cfg.get("block_cols"),
-                "gcells_per_sec": round(rate, 3),
-            }
+            print(f"{cfg}: {res['gcells_per_sec']:.2f} Gcell/s "
+                  f"(ran as {res['block_rows']}/{res['steps_per_call']}"
+                  f"/{res['block_cols']})")
+        if best is None or res["gcells_per_sec"] > best["gcells_per_sec"]:
+            best = dict(res, gcells_per_sec=round(res["gcells_per_sec"], 3))
     if best is None:
         raise RuntimeError("no autotune candidate compiled successfully")
     if persist:
@@ -155,11 +211,12 @@ def autotune(
     return best
 
 
-def lookup(params: Parameters, shape, boundary: str) -> dict | None:
+def lookup(params: Parameters, shape, boundary: str,
+           dtype: str = "float32") -> dict | None:
     """Cached best config for this configuration, if any."""
     import jax
 
     platform = jax.devices()[0].platform
     key = cache.autotune_key(platform, shape, boundary,
-                             params.stencil_name(), ps.KERNEL_VERSION)
+                             params.stencil_name(), ps.KERNEL_VERSION, dtype)
     return cache.load_autotune().get(key)

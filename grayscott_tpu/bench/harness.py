@@ -36,9 +36,14 @@ class Result:
     steps: int
     seconds: float
     gcells_per_sec: float
+    #: run labels (boundary, dtype, pinned tunables) so sweep files from
+    #: different precisions/configs stay distinguishable
+    extra: dict = dataclasses.field(default_factory=dict)
 
     def to_json(self) -> dict:
-        return dataclasses.asdict(self)
+        d = dataclasses.asdict(self)
+        d.update(d.pop("extra"))
+        return d
 
 
 def default_domains(smin: int = 3, smax: int = 11) -> List[tuple]:
@@ -57,7 +62,8 @@ def _sync_tiny(species):
 
 
 def run_one(
-    sim, shape, steps: int, workload: str = "compute", reps: int = 3
+    sim, shape, steps: int, workload: str = "compute", reps: int = 3,
+    extra: dict | None = None,
 ) -> Result:
     import jax.numpy as jnp
 
@@ -82,6 +88,7 @@ def run_one(
     return Result(
         backend=sim.name, workload=workload, shape=tuple(shape), steps=steps,
         seconds=best, gcells_per_sec=cells / best / 1e9,
+        extra=dict(extra or {}),
     )
 
 
@@ -103,13 +110,22 @@ def sweep(
     step_counts = list(step_counts or default_step_counts())
     results = []
     for name in backend_names:
-        sim = get_backend(name)(
-            Parameters(), boundary=boundary, **(backend_kwargs or {})
-        )
+        kwargs = dict(backend_kwargs or {})
+        if kwargs.get("dtype") not in (None, "float32", "f32") and \
+                name not in ("pallas", "sharded"):
+            # other backends accept-and-ignore dtype; dropping it keeps
+            # the result labels honest (they would otherwise claim bf16
+            # for an f32 run)
+            print(f"{name}: dtype={kwargs['dtype']} unsupported, "
+                  "running float32", flush=True)
+            kwargs.pop("dtype")
+        labels = {"boundary": boundary, **kwargs}
+        sim = get_backend(name)(Parameters(), boundary=boundary, **kwargs)
         for shape in domains:
             for steps in step_counts:
                 for workload in workloads:
-                    res = run_one(sim, shape, steps, workload, reps)
+                    res = run_one(sim, shape, steps, workload, reps,
+                                  extra=labels)
                     results.append(res)
                     if verbose:
                         print(

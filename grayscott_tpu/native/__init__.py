@@ -54,6 +54,12 @@ def load():
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
+            # ABI gate FIRST: binding a symbol absent from a stale library
+            # raises AttributeError, so the version check must not hide
+            # behind the newer symbols it is meant to protect
+            lib.gs_native_abi_version.restype = ctypes.c_int
+            if lib.gs_native_abi_version() != 2:
+                return None
             lib.gs_colorize.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_size_t,
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_float,
@@ -67,11 +73,8 @@ def load():
                 ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
             ]
             lib.gs_png_encode.restype = ctypes.c_size_t
-            lib.gs_native_abi_version.restype = ctypes.c_int
-            if lib.gs_native_abi_version() != 2:
-                return None
             _lib = lib
-        except OSError:
+        except (OSError, AttributeError):
             _lib = None
         return _lib
 

@@ -68,8 +68,14 @@ def save_autotune(entries: dict) -> None:
 
 
 def autotune_key(platform: str, shape, boundary: str, stencil: str,
-                 kernel_version: int = 1) -> str:
-    return (
+                 kernel_version: int = 1, dtype: str = "float32") -> str:
+    """Cache key for one tuning configuration. ``dtype`` participates
+    (bf16's optimum differs: halved window DMAs); f32 is omitted for
+    backward compatibility with existing stores."""
+    key = (
         f"v{kernel_version}:{platform}:{shape[0]}x{shape[1]}:"
         f"{boundary}:{stencil}"
     )
+    if dtype not in ("float32", "f32", None):
+        key += f":{dtype}"
+    return key

@@ -62,14 +62,23 @@ def test_autotune_candidate_normalization():
 def test_autotune_wide_domain_candidates():
     from grayscott_tpu.bench import autotune
 
-    base = [{"block_rows": 192, "steps_per_call": 16}]
+    base = [{"block_rows": 256, "steps_per_call": 16},
+            {"block_rows": 192, "steps_per_call": 16}]
     # 4096 columns: full-width windows fit VMEM -> no column candidates
     assert autotune._wide_domain_candidates((512, 4096), base) == []
-    # very wide domain -> column-tiled variants, 128-lane aligned
+    # very wide domain -> column-tiled variants, 128-lane aligned, every
+    # window under the Mosaic compile ceiling
     wide = autotune._wide_domain_candidates((512, 32768), base)
     assert wide and all(c["block_cols"] % 128 == 0 for c in wide)
     assert all(c["block_cols"] < 32768 for c in wide)
     assert len({c["block_cols"] for c in wide}) >= 2
+    from grayscott_tpu.ops import pallas_stencil as ps
+
+    for c in wide:
+        assert ps.window_compile_ok(
+            c["block_rows"], 16, c["block_cols"] + 2 * ps.COL_HALO,
+            steps=c["steps_per_call"],
+        )
 
 
 def test_tuned_block_cols_adopted(monkeypatch, tmp_path, params):
