@@ -127,3 +127,16 @@ def test_autotune_skips_compile_ceiling(monkeypatch, tmp_path, params, capsys):
                              verbose=True, persist=False)
     assert best["block_rows"] == 16
     assert "SKIP" in capsys.readouterr().out
+
+
+def test_autotune_fallback_candidates_are_guarded(params):
+    """The last-resort heuristic configs must themselves pass the compile
+    ceiling for representative domains (else autotune could still hang)."""
+    from grayscott_tpu.bench import autotune
+
+    for shape in [(4096, 4096), (1080, 1920), (4096, 32768), (64, 22016)]:
+        for boundary in ("zero", "naive"):
+            cands = autotune._fallback_candidates(shape, boundary)
+            assert cands, (shape, boundary)
+            for cfg in cands:
+                assert autotune._guard_ok(cfg, shape, boundary), (shape, cfg)
