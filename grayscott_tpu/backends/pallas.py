@@ -63,7 +63,7 @@ class PallasSimulation(Simulation):
         self.block_cols = block_cols
         self.steps_per_call = steps_per_call
         # halo depth = steps rounded up to the 8-row alignment quantum
-        self.halo = max(-(-steps_per_call // 8) * 8, ps.HALO)
+        self.halo = ps.halo_for_steps(steps_per_call)
         self.vmem_limit_bytes = vmem_limit_bytes  # None = auto per tile
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
@@ -138,31 +138,33 @@ class PallasSimulation(Simulation):
         )
         return tr, tc, chalo
 
-    def _adopt_tuned_k(self, shape, tuned=_MISS) -> None:
-        """Apply a persisted autotune winner's temporal-blocking depth when
-        the user did not pin one (block_rows is adopted in _tr)."""
-        if self._explicit_k or self.interpret:
-            return
-        if tuned is self._MISS:
-            tuned = self._lookup_tuned(shape)
-        k = (tuned or {}).get("steps_per_call")
-        if k and 1 <= int(k) <= self.MAX_STEPS_PER_CALL:
-            self.steps_per_call = int(k)
-            self.halo = max(-(-int(k) // 8) * 8, ps.HALO)
+    def _tuned_k(self, tuned) -> Tuple[int, int]:
+        """(steps_per_call, halo) for one species: the sim defaults unless
+        a persisted autotune winner pins a different depth (a user pin
+        wins; interpreter mode keeps the small unroll). Returned — not
+        written to self — because halo/K are per-species geometry: a
+        second make_species with a different tuned depth must not change
+        how the first species' padded buffers are sliced."""
+        k = self.steps_per_call
+        if not self._explicit_k and not self.interpret:
+            tk = (tuned or {}).get("steps_per_call")
+            if tk and 1 <= int(tk) <= self.MAX_STEPS_PER_CALL:
+                k = int(tk)
+        return k, ps.halo_for_steps(k)
 
     def build_storage(self, u: np.ndarray, v: np.ndarray):
         tuned = self._lookup_tuned(u.shape)
-        self._adopt_tuned_k(u.shape, tuned)
+        k, halo = self._tuned_k(tuned)
+        self.halo = halo  # sim-level default for _tiles/_vmem heuristics
         tr, tc, chalo = self._tiles(u.shape, tuned)
-        u_pad, v_pad = ps.pad_state(
-            u, v, tr, self.halo, chalo, tc, dtype=self.dtype
-        )
-        return (jnp.asarray(u_pad), jnp.asarray(v_pad), tr, tc, chalo)
+        u_pad, v_pad = ps.pad_state(u, v, tr, halo, chalo, tc,
+                                    dtype=self.dtype)
+        return (jnp.asarray(u_pad), jnp.asarray(v_pad), tr, tc, chalo,
+                halo, k)
 
     def extract_uv(self, storage, shape) -> Tuple[jax.Array, jax.Array]:
-        u_pad, v_pad, _, _, chalo = storage
+        u_pad, v_pad, _, _, chalo, h, _ = storage
         r, c = shape
-        h = self.halo
         u = u_pad[h : h + r, chalo : chalo + c]
         v = v_pad[h : h + r, chalo : chalo + c]
         if self.dtype != jnp.float32:  # consumers (HDF5, views) expect f32
@@ -171,7 +173,7 @@ class PallasSimulation(Simulation):
 
     # -- stepping ------------------------------------------------------------
 
-    def _vmem_limit(self, tr: int, tc, chalo: int, c: int,
+    def _vmem_limit(self, tr: int, tc, chalo: int, c: int, halo: int,
                     dtype_bytes: int) -> int:
         """Scoped-VMEM limit for Mosaic. The kernel's stack liveness scales
         with the window footprint: measured ~63 MB at a (288, 4096) f32
@@ -182,25 +184,24 @@ class PallasSimulation(Simulation):
             return self.vmem_limit_bytes
         w_cols = (tc + 2 * chalo) if tc else c
         return ps.choose_vmem_limit(
-            tr, self.halo, w_cols, dtype_bytes, self.boundary
+            tr, halo, w_cols, dtype_bytes, self.boundary
         )
 
     def run_steps(self, storage, shape, steps: int):
-        u, v, tr, tc, chalo = storage
+        u, v, tr, tc, chalo, halo, k = storage
         r, c = shape
-        k = self.steps_per_call
         n_full, rem = divmod(steps, k)
         common = dict(
             tr=tr, tc=tc, chalo=chalo, params=self.params,
-            boundary=self.boundary, halo=self.halo,
+            boundary=self.boundary, halo=halo,
             interpret=self.interpret,
             # liveness scales with the f32 compute copies even when HBM
             # storage is bf16, so always budget at 4 bytes/element
-            vmem_limit_bytes=self._vmem_limit(tr, tc, chalo, c, 4),
+            vmem_limit_bytes=self._vmem_limit(tr, tc, chalo, c, halo, 4),
         )
         # column-tiled storage carries real column padding; tell the kernel
         # where global column 0 sits and how wide the true domain is
-        pos = (-self.halo, r) if chalo == 0 else (-self.halo, r, -chalo, c)
+        pos = (-halo, r) if chalo == 0 else (-halo, r, -chalo, c)
         if n_full:
             # one device dispatch for all full K-step blocks
             u, v = ps.run_blocks(
@@ -209,7 +210,7 @@ class PallasSimulation(Simulation):
             )
         if rem:
             u, v = ps.multistep(u, v, *pos, steps=rem, **common)
-        return (u, v, tr, tc, chalo)
+        return (u, v, tr, tc, chalo, halo, k)
 
     # -- CLI ----------------------------------------------------------------
 
@@ -237,12 +238,12 @@ class PallasSimulation(Simulation):
         )
         parser.add_argument(
             "--pallas-steps-per-call", type=int,
-            default=env_default(
-                "GRAYSCOTT_PALLAS_STEPS_PER_CALL",
-                cls.DEFAULT_STEPS_PER_CALL, int,
-            ),
+            # None = auto (TPU default 16, interpret 8, autotune winner
+            # adoptable); an explicit value pins the depth
+            default=env_default("GRAYSCOTT_PALLAS_STEPS_PER_CALL", None, int),
             help=f"Temporal blocking depth (1..{cls.MAX_STEPS_PER_CALL} "
-            "steps fused in VMEM)",
+            f"steps fused in VMEM; default {cls.DEFAULT_STEPS_PER_CALL} on "
+            "TPU, autotuner may adjust)",
         )
 
     @classmethod

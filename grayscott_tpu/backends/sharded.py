@@ -50,7 +50,7 @@ class ShardedSimulation(Simulation):
         self.steps_per_call = steps_per_call
         # exchange depth = blocking depth rounded to the 8-row alignment
         # quantum; column halos only needed (and paid for) on 2-D meshes
-        self.halo = max(-(-steps_per_call // 8) * 8, ps.HALO)
+        self.halo = ps.halo_for_steps(steps_per_call)
         self.chalo = self.halo if mesh_cols > 1 else 0
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"

@@ -55,8 +55,7 @@ def _as_config(c: Candidate) -> dict:
     return dict(block_rows=tr, steps_per_call=k)
 
 
-def _halo_of(k: int) -> int:
-    return max(-(-k // 8) * 8, ps.HALO)
+_halo_of = ps.halo_for_steps
 
 
 def _guard_ok(cfg: Mapping, shape, boundary: str) -> bool:
@@ -138,8 +137,8 @@ def measure_config(
 
     sim = PallasSimulation(params, boundary=boundary, dtype=dtype, **config)
     species = sim.make_species(shape)
-    _, _, tr_used, tc_used, _chalo = species.storage
-    k = config.get("steps_per_call") or sim.steps_per_call
+    _, _, tr_used, tc_used, _chalo, _halo, k_used = species.storage
+    k = config.get("steps_per_call") or k_used
     sim.prepare_steps(species, k)  # compile + warmup
     float(np.asarray(jnp.sum(species.result()[:1, :128])))
     t0 = time.time()
@@ -148,7 +147,7 @@ def measure_config(
     dt = time.time() - t0
     return {
         "block_rows": tr_used,
-        "steps_per_call": sim.steps_per_call,
+        "steps_per_call": k_used,
         "block_cols": tc_used,
         "gcells_per_sec": shape[0] * shape[1] * steps / dt / 1e9,
     }

@@ -119,15 +119,28 @@ def main(argv=None) -> int:
     for t in writers:
         t.start()
 
+    def put_checked(item) -> bool:
+        """Bounded put that gives up when every writer thread has died
+        (a plain put would deadlock on a full queue with no consumers,
+        e.g. the output directory became unwritable mid-run)."""
+        while True:
+            try:
+                out_q.put(item, timeout=1.0)
+                return True
+            except queue.Full:
+                if not any(t.is_alive() for t in writers):
+                    return False
+
     idx = 0
     while True:
         img = in_q.get()
         if img is None or errors:
             break
-        out_q.put((idx, colorize(img)))
+        if not put_checked((idx, colorize(img))):
+            break
         idx += 1
     for _ in writers:
-        out_q.put(None)
+        put_checked(None)
     for t in writers:
         t.join()
     progress.finish()

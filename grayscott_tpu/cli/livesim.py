@@ -124,11 +124,16 @@ class FrameSource:
                 setattr(self.args, attr, float(val))
                 changed = True
         if changed:
+            from ..species import Species
+
             u, v = self.species.uv_host()
+            steps_done = self.species.steps_performed
             self.sim = shared.make_simulation(self.args)
-            species = self.sim.make_species(u.shape)
-            species.storage = self.sim.build_storage(u, v)
-            self.species = species
+            # carry the current state straight into the new sim's storage
+            # (make_species would pack a fresh init box only to discard it)
+            self.species = Species(u.shape, self.sim.build_storage(u, v),
+                                   self.sim)
+            self.species.steps_performed = steps_done
 
     def reset(self) -> None:
         self.species = self.sim.make_species(shared.domain_shape(self.args))

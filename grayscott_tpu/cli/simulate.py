@@ -109,6 +109,18 @@ def main(argv=None) -> int:
     error: list[BaseException] = []
     q: queue.Queue = queue.Queue(maxsize=max(args.output_buffer, 1))
 
+    def put_checked(item) -> bool:
+        """Bounded put that keeps checking for a dead writer thread: a
+        plain q.put would deadlock on a full queue with no consumer (e.g.
+        HDF5 write failed on a full disk)."""
+        while True:
+            try:
+                q.put(item, timeout=1.0)
+                return True
+            except queue.Full:
+                if error:
+                    return False
+
     def io_thread() -> None:
         try:
             while True:
@@ -134,14 +146,15 @@ def main(argv=None) -> int:
             sim.prepare_steps(species, steps_per_image)
             snapshot = jnp.copy(species.result())
             if pending is not None:
-                q.put(dist.fetch(pending))  # sync point: previous image only
+                # sync point: previous image only
+                put_checked(dist.fetch(pending))
             pending = snapshot
             if error:
                 raise error[0]
         if pending is not None:
-            q.put(dist.fetch(pending))
+            put_checked(dist.fetch(pending))
     finally:
-        q.put(None)
+        put_checked(None)
         t.join()
         progress.finish()
         if writer is not None:

@@ -77,6 +77,14 @@ HALO = 8
 KERNEL_VERSION = 2
 
 
+def halo_for_steps(k: int) -> int:
+    """Halo depth for K fused in-VMEM steps: K rounded up to the 8-row
+    sublane alignment quantum, floored at :data:`HALO`. The single source
+    of the rule — the backends and the autotuner's compile-ceiling guard
+    must agree on it."""
+    return max(-(-k // 8) * 8, HALO)
+
+
 def _shift_cols(x, d: int):
     """Shift along lanes with zero fill: d=+1 gives x[r, c-1] (0 at c=0).
 
@@ -458,6 +466,13 @@ def multistep_impl(
         if chalo < steps:
             raise ValueError(
                 f"column tiling needs chalo >= steps, got {chalo} < {steps}"
+            )
+        if tc % 128 != 0 or chalo % 128 != 0:
+            # the column in_map/out_map claim 128-lane alignment
+            # (pl.multiple_of below); an unaligned tile would make that a
+            # false promise to Mosaic on hardware
+            raise ValueError(
+                f"tc and chalo must be multiples of 128, got {tc}/{chalo}"
             )
         if cw % tc != 0:
             raise ValueError(

@@ -105,10 +105,10 @@ def sharded_run_blocks(
     if c_total is None:
         c_total = c_loc
     if vmem_limit_bytes is None:
-        # the Mosaic default (16M) OOMs at useful tiles on hardware
-        vmem_limit_bytes = ps.choose_vmem_limit(
-            tr, halo, wp, u.dtype.itemsize, boundary
-        )
+        # the Mosaic default (16M) OOMs at useful tiles on hardware.
+        # Always budget at 4 B/element: the kernel upcasts bf16 windows to
+        # f32 in VMEM, so live temporaries are f32 regardless of storage
+        vmem_limit_bytes = ps.choose_vmem_limit(tr, halo, wp, 4, boundary)
 
     def local(u, v, n_blocks):
         u, v = u[0, 0], v[0, 0]

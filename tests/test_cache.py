@@ -140,3 +140,45 @@ def test_autotune_fallback_candidates_are_guarded(params):
             assert cands, (shape, boundary)
             for cfg in cands:
                 assert autotune._guard_ok(cfg, shape, boundary), (shape, cfg)
+
+
+def test_per_species_tuned_k_isolation(monkeypatch, tmp_path, params):
+    """Two species from ONE sim with different tuned K per shape: each
+    keeps its own halo geometry (a second make_species must not change
+    how the first species' padded buffers are sliced)."""
+    import jax
+    import numpy as np
+
+    from grayscott_tpu.backends.pallas import PallasSimulation
+    from grayscott_tpu.ops import pallas_stencil as ps
+    from grayscott_tpu.utils import cache as c
+
+    monkeypatch.setattr(c, "CACHE_DIR", str(tmp_path))
+    platform = jax.devices()[0].platform
+    shape_a, shape_b = (32, 256), (64, 256)
+    store = {}
+    for shape, k in ((shape_a, 16), (shape_b, 8)):
+        key = c.autotune_key(platform, shape, "zero", params.stencil_name(),
+                             ps.KERNEL_VERSION)
+        store[key] = {"block_rows": 16, "steps_per_call": k,
+                      "block_cols": None}
+    c.save_autotune(store)
+    sim = PallasSimulation(params, boundary="zero", interpret=True)
+    sim.interpret = False  # allow k adoption; kernels never run here
+    spa = sim.make_species(shape_a)
+    spb = sim.make_species(shape_b)
+    sim.interpret = True
+    _, _, _, _, _, halo_a, k_a = spa.storage
+    _, _, _, _, _, halo_b, k_b = spb.storage
+    assert (k_a, halo_a) == (16, 16)
+    assert (k_b, halo_b) == (8, 8)
+    # species A still slices with ITS halo, not B's
+    ua = np.asarray(sim.extract_uv(spa.storage, shape_a)[0])
+    assert ua.shape == shape_a
+    assert np.allclose(ua, 1.0 - (np.asarray(spa.result()) > 0))
+    # and the init box round-trips exactly for both
+    from grayscott_tpu.species import initial_uv
+
+    for sp, shape in ((spa, shape_a), (spb, shape_b)):
+        u0, v0 = initial_uv(shape)
+        np.testing.assert_array_equal(np.asarray(sp.result()), v0)
