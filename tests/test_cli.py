@@ -131,3 +131,41 @@ def test_simulate_deterministic(tmp_path):
         with Reader(out) as r:
             outs.append(np.stack(list(r)))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_simulate_writer_failure_raises(tmp_path, monkeypatch):
+    """A dying HDF5 writer thread must surface its error, not deadlock
+    the compute loop on a full queue (the bounded-put regression)."""
+    from grayscott_tpu.io import hdf5
+
+    def boom(self, img):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(hdf5.Writer, "write", boom)
+    with pytest.raises(OSError, match="disk full"):
+        simulate.main([
+            "-n", "6", "-r", "24", "-c", "32", "-e", "2",
+            "--backend", "naive", "-o", str(tmp_path / "x.h5"),
+        ])
+
+
+def test_data_to_pics_writer_failure_raises(tmp_path, monkeypatch):
+    """All PNG writer threads dying must abort the pipeline with the
+    error instead of deadlocking on the bounded queue."""
+    out = tmp_path / "in.h5"
+    simulate.main(["-n", "6", "-r", "24", "-c", "32", "-e", "2",
+                   "--backend", "naive", "-o", str(out)])
+    from grayscott_tpu import native
+
+    monkeypatch.setattr(native, "png_encode",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            OSError("unwritable")))
+    import PIL.Image
+
+    def boom(self, *a, **k):
+        raise OSError("unwritable")
+
+    monkeypatch.setattr(PIL.Image.Image, "save", boom)
+    with pytest.raises(OSError, match="unwritable"):
+        data_to_pics.main(["-i", str(out), "-o", str(tmp_path / "pics"),
+                           "--output-threads", "2"])
