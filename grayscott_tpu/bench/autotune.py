@@ -121,7 +121,7 @@ def _fallback_candidates(shape, boundary: str) -> list[dict]:
 
 
 def measure_config(
-    params: Parameters, shape, boundary: str, steps: int = 256,
+    params: Parameters, shape, boundary: str, steps: int | None = None,
     dtype: str = "float32", **config,
 ) -> dict:
     """Measure one kernel specialization (single dispatch, tiny sync).
@@ -139,6 +139,10 @@ def measure_config(
     species = sim.make_species(shape)
     _, _, tr_used, tc_used, _chalo, _halo, k_used = species.storage
     k = config.get("steps_per_call") or k_used
+    if steps is None:
+        # 64 blocks, the sweep methodology: short runs compress the gap
+        # between configs (fixed warmup dominates) and can misrank them
+        steps = 64 * k
     sim.prepare_steps(species, k)  # compile + warmup
     float(np.asarray(jnp.sum(species.result()[:1, :128])))
     t0 = time.time()

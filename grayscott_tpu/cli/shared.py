@@ -61,6 +61,14 @@ def add_shared_args(parser: argparse.ArgumentParser) -> None:
         help="Boundary semantics: 'naive' = reference CPU backends "
         "(clamped window), 'zero' = reference GPU backends (zero border)",
     )
+    parser.add_argument(
+        "--autotune", action="store_true",
+        default=bool(os.environ.get("GRAYSCOTT_AUTOTUNE")),
+        help="Measure kernel specializations for this domain on the live "
+        "device before starting and pin the winner (persisted in "
+        "~/.cache/grayscott_tpu/autotune.json; pallas backend only). "
+        "First run pays one compile per candidate",
+    )
     # Backend-specific args (clap flatten analog)
     from ..backends import BACKENDS
 
@@ -92,7 +100,15 @@ def make_simulation(ns: argparse.Namespace):
         name = best_backend_name()
     cls = get_backend(name)
     kwargs = cls.args_from_namespace(ns)
-    return cls(simulation_parameters(ns), boundary=ns.boundary, **kwargs)
+    params = simulation_parameters(ns)
+    if getattr(ns, "autotune", False) and name == "pallas":
+        from ..bench import autotune
+
+        autotune.autotune(
+            params, domain_shape(ns), ns.boundary, verbose=True,
+            dtype=kwargs.get("dtype") or "float32",
+        )  # winner persists; the sim below adopts it via lookup
+    return cls(params, boundary=ns.boundary, **kwargs)
 
 
 def simulation_output_path(path) -> str:

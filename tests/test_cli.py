@@ -169,3 +169,31 @@ def test_data_to_pics_writer_failure_raises(tmp_path, monkeypatch):
     with pytest.raises(OSError, match="unwritable"):
         data_to_pics.main(["-i", str(out), "-o", str(tmp_path / "pics"),
                            "--output-threads", "2"])
+
+
+def test_simulate_autotune_flag(tmp_path, monkeypatch):
+    """--autotune runs the tuner for the CLI domain before the run and
+    the simulation adopts the persisted winner."""
+    from grayscott_tpu.utils import cache as c
+
+    monkeypatch.setattr(c, "CACHE_DIR", str(tmp_path))
+    calls = {}
+    from grayscott_tpu.bench import autotune as at
+
+    real = at.autotune
+
+    def spy(params, shape, boundary, **kw):
+        calls["shape"] = shape
+        return real(params, shape, boundary,
+                    candidates=[{"block_rows": 8, "steps_per_call": 2}],
+                    **{k: v for k, v in kw.items() if k != "candidates"})
+
+    monkeypatch.setattr(at, "autotune", spy)
+    out = tmp_path / "o.h5"
+    rc = simulate.main(["-n", "2", "-r", "24", "-c", "32", "-e", "2",
+                        "--backend", "pallas", "--autotune", "-o", str(out)])
+    assert rc == 0 and calls["shape"] == (24, 32)
+    assert at.lookup(
+        __import__("grayscott_tpu.params", fromlist=["Parameters"])
+        .Parameters(), (24, 32), "naive",
+    )["block_rows"] == 8
