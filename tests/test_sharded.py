@@ -145,3 +145,18 @@ def test_sharded_bf16(params):
     assert species.storage[0].dtype == jnp.bfloat16
     np.testing.assert_allclose(gu, ou, rtol=0, atol=0.05)
     np.testing.assert_allclose(gv, ov, rtol=0, atol=0.05)
+
+
+def test_sharded_tile_respects_compile_ceiling(params):
+    """The sharded tile heuristic must see boundary/halo so the Mosaic
+    compile-ceiling guard applies to the per-shard window (a naive
+    full-width C=4096 shard at tr=256 is the measured pathological
+    compile)."""
+    from grayscott_tpu.backends.sharded import ShardedSimulation
+    from grayscott_tpu.ops import pallas_stencil as ps
+
+    sim = ShardedSimulation(params, boundary="naive", n_devices=1,
+                            steps_per_call=16)
+    tr = sim._tr((4096, 4096))
+    assert ps.window_compile_ok(tr, sim.halo, 4096, "naive", 16)
+    assert tr <= 208
