@@ -99,7 +99,8 @@ class PallasSimulation(Simulation):
             self.params, shape, self.boundary, self._dtype_str
         )
 
-    def _tr(self, shape, eff_c: int | None = None, tuned=_MISS) -> int:
+    def _tr(self, shape, eff_c: int | None = None, tuned=_MISS,
+            halo: int | None = None) -> int:
         r, c = shape
         tr = self.block_rows
         if tr is None:
@@ -109,17 +110,21 @@ class PallasSimulation(Simulation):
                 tr = tuned["block_rows"]
         if tr is None:
             tr = ps.choose_block_rows(
-                r, eff_c or c, halo=self.halo, boundary=self.boundary
+                r, eff_c or c, halo=halo or self.halo,
+                boundary=self.boundary,
             )
         rp = -(-r // 8) * 8
         while tr > 8 and tr > rp:
             tr -= 8
         return tr
 
-    def _tiles(self, shape, tuned=_MISS) -> Tuple[int, int | None, int]:
+    def _tiles(self, shape, tuned=_MISS,
+               halo: int | None = None) -> Tuple[int, int | None, int]:
         """(tr, tc, chalo): row tile, optional column tile for very wide
-        domains (see ops.pallas_stencil.choose_block_cols), column halo."""
+        domains (see ops.pallas_stencil.choose_block_cols), column halo.
+        ``halo`` is the species' halo depth (defaults to the sim's)."""
         r, c = shape
+        halo = halo or self.halo
         if tuned is self._MISS:
             tuned = self._lookup_tuned(shape)
         tc = self.block_cols
@@ -129,12 +134,13 @@ class PallasSimulation(Simulation):
             if tuned and "block_cols" in tuned:
                 tc = tuned["block_cols"]
             else:
-                tc = ps.choose_block_cols(c, halo=self.halo)
+                tc = ps.choose_block_cols(c, halo=halo)
         if tc is not None and tc >= c:
             tc = None
         chalo = ps.COL_HALO if tc is not None else 0
         tr = self._tr(
-            shape, eff_c=None if tc is None else tc + 2 * chalo, tuned=tuned
+            shape, eff_c=None if tc is None else tc + 2 * chalo, tuned=tuned,
+            halo=halo,
         )
         return tr, tc, chalo
 
@@ -155,8 +161,7 @@ class PallasSimulation(Simulation):
     def build_storage(self, u: np.ndarray, v: np.ndarray):
         tuned = self._lookup_tuned(u.shape)
         k, halo = self._tuned_k(tuned)
-        self.halo = halo  # sim-level default for _tiles/_vmem heuristics
-        tr, tc, chalo = self._tiles(u.shape, tuned)
+        tr, tc, chalo = self._tiles(u.shape, tuned, halo)
         u_pad, v_pad = ps.pad_state(u, v, tr, halo, chalo, tc,
                                     dtype=self.dtype)
         return (jnp.asarray(u_pad), jnp.asarray(v_pad), tr, tc, chalo,

@@ -55,13 +55,10 @@ def _as_config(c: Candidate) -> dict:
     return dict(block_rows=tr, steps_per_call=k)
 
 
-_halo_of = ps.halo_for_steps
-
-
 def _guard_ok(cfg: Mapping, shape, boundary: str) -> bool:
     """Compile-ceiling check for a candidate as it would actually run
     (column-tiled width when block_cols is pinned)."""
-    halo = _halo_of(cfg["steps_per_call"])
+    halo = ps.halo_for_steps(cfg["steps_per_call"])
     if cfg.get("block_cols"):
         w_cols = cfg["block_cols"] + 2 * ps.COL_HALO
     else:
@@ -85,7 +82,7 @@ def _wide_domain_candidates(shape, base: Iterable[Mapping]) -> list[dict]:
     if tc0 >= 1024:
         widths.add(tc0 // 2 // 128 * 128)
     for cfg in base:
-        halo = _halo_of(cfg["steps_per_call"])
+        halo = ps.halo_for_steps(cfg["steps_per_call"])
         w_rows = cfg["block_rows"] + 2 * halo
         # widest tile this (tr, k) can compile with
         limit = ps.COMPILE_CEILING_CELL_STEPS // (
@@ -108,7 +105,7 @@ def _fallback_candidates(shape, boundary: str) -> list[dict]:
     r, c = shape
     out = []
     for k in (16, 8):
-        halo = _halo_of(k)
+        halo = ps.halo_for_steps(k)
         tc = ps.choose_block_cols(c, halo=halo)
         eff_c = c if tc is None else tc + 2 * ps.COL_HALO
         tr = ps.choose_block_rows(r, eff_c, halo=halo, boundary=boundary)
@@ -137,8 +134,7 @@ def measure_config(
 
     sim = PallasSimulation(params, boundary=boundary, dtype=dtype, **config)
     species = sim.make_species(shape)
-    _, _, tr_used, tc_used, _chalo, _halo, k_used = species.storage
-    k = config.get("steps_per_call") or k_used
+    _, _, tr_used, tc_used, _chalo, _halo, k = species.storage
     if steps is None:
         # 64 blocks, the sweep methodology: short runs compress the gap
         # between configs (fixed warmup dominates) and can misrank them
@@ -151,7 +147,7 @@ def measure_config(
     dt = time.time() - t0
     return {
         "block_rows": tr_used,
-        "steps_per_call": k_used,
+        "steps_per_call": k,
         "block_cols": tc_used,
         "gcells_per_sec": shape[0] * shape[1] * steps / dt / 1e9,
     }
