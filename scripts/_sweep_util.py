@@ -25,6 +25,7 @@ shape = tuple(cfg.get("shape", (4096, 4096)))
 sim = PallasSimulation(
     Parameters(), boundary=cfg.get("boundary", "zero"),
     block_rows=cfg["tr"], steps_per_call=cfg["k"],
+    block_cols=cfg.get("tc"),
     dtype=cfg.get("dtype", "float32"),
     vmem_limit_bytes=cfg.get("limit"),
 )
