@@ -68,7 +68,9 @@ def _guard_ok(cfg: Mapping, shape, boundary: str) -> bool:
     )
 
 
-def _wide_domain_candidates(shape, base: Iterable[Mapping]) -> list[dict]:
+def _wide_domain_candidates(
+    shape, base: Iterable[Mapping], boundary: str = "zero"
+) -> list[dict]:
     """Column-tiling variants for domains whose full-width window pair
     exceeds VMEM: the heuristic tile width and neighbors, each shrunk to
     the compile ceiling if needed."""
@@ -81,13 +83,17 @@ def _wide_domain_candidates(shape, base: Iterable[Mapping]) -> list[dict]:
     widths.add(min(-(-c // 128) * 128, 2 * tc0))
     if tc0 >= 1024:
         widths.add(tc0 // 2 // 128 * 128)
+    # same naive-boundary derate as window_compile_ok: without it every
+    # column-tiled naive candidate is later rejected by _guard_ok and
+    # tuning degrades to the fallback configs
+    ceiling = ps.COMPILE_CEILING_CELL_STEPS / (
+        1.25 if boundary == "naive" else 1.0
+    )
     for cfg in base:
         halo = ps.halo_for_steps(cfg["steps_per_call"])
         w_rows = cfg["block_rows"] + 2 * halo
         # widest tile this (tr, k) can compile with
-        limit = ps.COMPILE_CEILING_CELL_STEPS // (
-            w_rows * cfg["steps_per_call"]
-        )
+        limit = int(ceiling) // (w_rows * cfg["steps_per_call"])
         tc_cap = (limit - 2 * ps.COL_HALO) // 128 * 128
         for tc in sorted(widths):
             tc = min(tc, tc_cap)
@@ -119,14 +125,16 @@ def _fallback_candidates(shape, boundary: str) -> list[dict]:
 
 def measure_config(
     params: Parameters, shape, boundary: str, steps: int | None = None,
-    dtype: str = "float32", **config,
+    dtype: str = "float32", reps: int = 3, **config,
 ) -> dict:
     """Measure one kernel specialization (single dispatch, tiny sync).
 
     ``config``: block_rows, steps_per_call, optional block_cols. Returns
     the tile configuration the simulation ACTUALLY used (the heuristics
     may column-tile or clamp an unpinned dimension) plus
-    ``gcells_per_sec``.
+    ``gcells_per_sec`` (best of ``reps`` timed runs — single samples from
+    one noisy measurement used to be persisted permanently; the criterion
+    analog samples statistically, compute/shared/src/benchmark.rs:50-72).
     """
     import jax.numpy as jnp
 
@@ -141,15 +149,17 @@ def measure_config(
         steps = 64 * k
     sim.prepare_steps(species, k)  # compile + warmup
     float(np.asarray(jnp.sum(species.result()[:1, :128])))
-    t0 = time.time()
-    sim.prepare_steps(species, steps)
-    float(np.asarray(jnp.sum(species.result()[:1, :128])))
-    dt = time.time() - t0
+    best = float("inf")
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        sim.prepare_steps(species, steps)
+        float(np.asarray(jnp.sum(species.result()[:1, :128])))
+        best = min(best, time.perf_counter() - t0)
     return {
         "block_rows": tr_used,
         "steps_per_call": k,
         "block_cols": tc_used,
-        "gcells_per_sec": shape[0] * shape[1] * steps / dt / 1e9,
+        "gcells_per_sec": shape[0] * shape[1] * steps / best / 1e9,
     }
 
 
@@ -173,7 +183,7 @@ def autotune(
     if key in store:
         return store[key]
     configs = [_as_config(c) for c in candidates]
-    configs += _wide_domain_candidates(shape, configs[:2])
+    configs += _wide_domain_candidates(shape, configs[:2], boundary)
     viable = []
     for cfg in configs:
         # compile-tractability guard: windows past the measured Mosaic
@@ -188,22 +198,47 @@ def autotune(
         if verbose and viable:
             print(f"all candidates past the ceiling; falling back to "
                   f"heuristic configs {viable}")
-    best = None
+    measured = []
     for cfg in viable:
         try:
             res = measure_config(params, shape, boundary, dtype=dtype, **cfg)
         except Exception as e:  # config may not fit VMEM etc.
             if verbose:
                 print(f"{cfg}: FAIL ({type(e).__name__})")
+            measured.append({**_as_config(cfg), "error": type(e).__name__})
             continue
         if verbose:
             print(f"{cfg}: {res['gcells_per_sec']:.2f} Gcell/s "
                   f"(ran as {res['block_rows']}/{res['steps_per_call']}"
                   f"/{res['block_cols']})")
-        if best is None or res["gcells_per_sec"] > best["gcells_per_sec"]:
-            best = dict(res, gcells_per_sec=round(res["gcells_per_sec"], 3))
-    if best is None:
+        measured.append(dict(res, gcells_per_sec=round(
+            res["gcells_per_sec"], 3)))
+    ranked = sorted(
+        (m for m in measured if "error" not in m),
+        key=lambda m: m["gcells_per_sec"], reverse=True,
+    )
+    if not ranked:
         raise RuntimeError("no autotune candidate compiled successfully")
+    # suspect call: winner within measurement noise of the runner-up —
+    # re-measure both (executables are warm now, so this is cheap) and let
+    # the fresh best-of decide
+    if len(ranked) >= 2 and ranked[1]["gcells_per_sec"] >= \
+            0.97 * ranked[0]["gcells_per_sec"]:
+        for m in ranked[:2]:
+            cfg = {k: m[k] for k in
+                   ("block_rows", "steps_per_call", "block_cols")}
+            try:
+                again = measure_config(
+                    params, shape, boundary, dtype=dtype, **cfg
+                )
+            except Exception:
+                continue
+            m["gcells_per_sec"] = round(
+                max(m["gcells_per_sec"], again["gcells_per_sec"]), 3
+            )
+        ranked.sort(key=lambda m: m["gcells_per_sec"], reverse=True)
+    # the full candidate table rides along for later audit
+    best = dict(ranked[0], candidates=measured)
     if persist:
         store[key] = best
         cache.save_autotune(store)

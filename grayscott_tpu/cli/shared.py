@@ -16,6 +16,7 @@ import os
 from typing import Tuple
 
 from ..params import DEFAULT_STENCIL, Parameters, STENCILS
+from ..utils.runtime import env_flag
 
 
 def add_shared_args(parser: argparse.ArgumentParser) -> None:
@@ -63,7 +64,7 @@ def add_shared_args(parser: argparse.ArgumentParser) -> None:
     )
     parser.add_argument(
         "--autotune", action="store_true",
-        default=bool(os.environ.get("GRAYSCOTT_AUTOTUNE")),
+        default=env_flag("GRAYSCOTT_AUTOTUNE"),
         help="Measure kernel specializations for this domain on the live "
         "device before starting and pin the winner (persisted in "
         "~/.cache/grayscott_tpu/autotune.json; pallas backend only). "

@@ -26,22 +26,69 @@ _tried = False
 
 
 def _build() -> bool:
+    # compile to a temp name and rename over: atomic, and the fresh inode
+    # guarantees a later CDLL really loads the new image (dlopen caches
+    # the old mapping by inode when a stale library was bound first)
+    tmp = _LIB_PATH + ".build"
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             _SRC, "-o", _LIB_PATH, "-lz"],
+             _SRC, "-o", tmp, "-lz"],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp, _LIB_PATH)
         return True
     except (OSError, subprocess.SubprocessError):
         return False
 
 
+def _bind(path):
+    """CDLL + symbol binding; raises on a stale/incompatible library.
+
+    On failure the handle is dlclose'd: dlopen returns the cached mapping
+    for an already-loaded pathname, so a leaked stale handle would make
+    every post-rebuild CDLL of the same path return the old image."""
+    lib = ctypes.CDLL(path)
+    try:
+        return _bind_symbols(lib)
+    except (OSError, AttributeError):
+        import _ctypes
+
+        try:
+            _ctypes.dlclose(lib._handle)
+        except OSError:
+            pass
+        raise
+
+
+def _bind_symbols(lib):
+    # ABI gate FIRST: binding a symbol absent from a stale library
+    # raises AttributeError, so the version check must not hide
+    # behind the newer symbols it is meant to protect
+    lib.gs_native_abi_version.restype = ctypes.c_int
+    if lib.gs_native_abi_version() != 2:
+        raise OSError("gs_native ABI version mismatch")
+    lib.gs_colorize.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_float,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+    ]
+    lib.gs_colorize.restype = None
+    lib.gs_png_bound.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.gs_png_bound.restype = ctypes.c_size_t
+    lib.gs_png_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+    ]
+    lib.gs_png_encode.restype = ctypes.c_size_t
+    return lib
+
+
 def load():
     """The native library handle, building it on first use; None if
-    unavailable (callers fall back to NumPy)."""
+    unavailable (callers fall back to NumPy/PIL)."""
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
@@ -53,29 +100,18 @@ def load():
         if not fresh and not _build():
             return None
         try:
-            lib = ctypes.CDLL(_LIB_PATH)
-            # ABI gate FIRST: binding a symbol absent from a stale library
-            # raises AttributeError, so the version check must not hide
-            # behind the newer symbols it is meant to protect
-            lib.gs_native_abi_version.restype = ctypes.c_int
-            if lib.gs_native_abi_version() != 2:
-                return None
-            lib.gs_colorize.argtypes = [
-                ctypes.POINTER(ctypes.c_float), ctypes.c_size_t,
-                ctypes.POINTER(ctypes.c_uint8), ctypes.c_float,
-                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-            ]
-            lib.gs_colorize.restype = None
-            lib.gs_png_bound.argtypes = [ctypes.c_int, ctypes.c_int]
-            lib.gs_png_bound.restype = ctypes.c_size_t
-            lib.gs_png_encode.argtypes = [
-                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
-            ]
-            lib.gs_png_encode.restype = ctypes.c_size_t
-            _lib = lib
+            _lib = _bind(_LIB_PATH)
         except (OSError, AttributeError):
+            # a stale-but-newer-mtime library (e.g. a committed binary
+            # restored by git checkout) fails the ABI/symbol gate even
+            # though the toolchain could produce a good one — rebuild
+            # once from source before giving up
             _lib = None
+            if _build():
+                try:
+                    _lib = _bind(_LIB_PATH)
+                except (OSError, AttributeError):
+                    _lib = None
         return _lib
 
 

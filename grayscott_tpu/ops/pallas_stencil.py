@@ -632,17 +632,31 @@ def choose_block_rows(
     ``window_compile_ok``) — and to the domain size. Short domains
     (r <= 1536) allow taller tiles: fewer, fatter tiles measured +14% at
     the reference-default 1080x1920 ((544, 16) = 38.2 vs 33.6 Gcell/s)
-    where the fixed per-block cost and halo redundancy dominate."""
+    where the fixed per-block cost and halo redundancy dominate.
+
+    Within the VMEM/compile-ceiling cap, tiles are scored by TOTAL window
+    rows ``ceil(r/tr) * (tr + 2*halo)`` — the kernel's actual compute
+    volume — which folds together halo redundancy AND round-up padding
+    waste. The old rule ("largest tr under the ceiling") ignored padding:
+    at naive 1080x1920 it picked tr=488, padding 1080 up to 1464 rows so
+    ~36% of kernel compute was masked out-of-domain rows (29.4 Gcell/s);
+    the score picks the padding-free tr=360 instead (3x392 window rows vs
+    3x520)."""
     bytes_per_row = c * 4 * 2  # two species
-    tr = (vmem_budget_bytes // bytes_per_row - 2 * halo) // 8 * 8
+    tr_max = (vmem_budget_bytes // bytes_per_row - 2 * halo) // 8 * 8
     cap = 544 if r <= 1536 else 256
-    tr = max(8, min(cap, tr))
-    while tr > 8 and not window_compile_ok(tr, halo, c, boundary):
-        tr -= 8
+    tr_max = max(8, min(cap, tr_max))
     rp = -(-r // 8) * 8
-    while tr > rp:
-        tr -= 8
-    return max(tr, 8)
+    tr_max = min(tr_max, rp)
+    best, best_score = 8, None
+    for tr in range(8, tr_max + 1, 8):
+        if not window_compile_ok(tr, halo, c, boundary):
+            break  # window size grows monotonically with tr
+        score = -(-r // tr) * (tr + 2 * halo)
+        # ties favor the taller tile (fewer blocks, same compute volume)
+        if best_score is None or score <= best_score:
+            best, best_score = tr, score
+    return best
 
 
 #: Column-halo depth used with intra-kernel column tiling: one lane-tile

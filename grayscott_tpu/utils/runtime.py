@@ -18,12 +18,21 @@ from __future__ import annotations
 import os
 
 
+def env_flag(name: str) -> bool:
+    """Boolean GRAYSCOTT_* env var: '', '0', 'false', 'no', 'off' are
+    off (case-insensitive); anything else is on. Plain truthiness would
+    read GRAYSCOTT_AUTOTUNE=0 as enabled."""
+    return os.environ.get(name, "").strip().lower() not in (
+        "", "0", "false", "no", "off"
+    )
+
+
 def apply_env_config() -> None:
     import jax
 
     platform = os.environ.get("GRAYSCOTT_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
-    if os.environ.get("GRAYSCOTT_DEBUG"):
+    if env_flag("GRAYSCOTT_DEBUG"):
         jax.config.update("jax_debug_nans", True)
         jax.config.update("jax_debug_infs", True)

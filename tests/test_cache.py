@@ -182,3 +182,36 @@ def test_per_species_tuned_k_isolation(monkeypatch, tmp_path, params):
     for sp, shape in ((spa, shape_a), (spb, shape_b)):
         u0, v0 = initial_uv(shape)
         np.testing.assert_array_equal(np.asarray(sp.result()), v0)
+
+
+def test_wide_domain_candidates_naive_derate():
+    """Naive-boundary wide domains must yield viable column-tiled
+    candidates: the ceiling cap has to include the 1.25x naive derate or
+    _guard_ok rejects every one afterwards (ADVICE r1)."""
+    from grayscott_tpu.bench import autotune
+
+    base = [{"block_rows": 256, "steps_per_call": 16},
+            {"block_rows": 192, "steps_per_call": 16}]
+    wide = autotune._wide_domain_candidates((4096, 32768), base, "naive")
+    assert wide
+    viable = [c for c in wide
+              if autotune._guard_ok(c, (4096, 32768), "naive")]
+    assert viable, "all naive wide-domain candidates rejected by the guard"
+
+
+def test_autotune_records_all_candidates(monkeypatch, tmp_path, params):
+    """The persisted winner carries the full candidate table for audit."""
+    from grayscott_tpu.bench import autotune
+    from grayscott_tpu.utils import cache as c
+
+    monkeypatch.setattr(c, "CACHE_DIR", str(tmp_path))
+    cands = [{"block_rows": 16, "steps_per_call": 2},
+             {"block_rows": 8, "steps_per_call": 2}]
+    best = autotune.autotune(params, (32, 256), "zero", candidates=cands,
+                             persist=True)
+    assert len(best["candidates"]) == 2
+    for m in best["candidates"]:
+        assert "gcells_per_sec" in m or "error" in m
+    # and it round-trips through the store
+    key = list(c.load_autotune())[0]
+    assert c.load_autotune()[key]["candidates"] == best["candidates"]

@@ -76,3 +76,42 @@ def test_png_encode_levels(rng):
     for data in (fast, small):
         back = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
         np.testing.assert_array_equal(back, v)
+
+
+def test_stale_library_rebuilt(tmp_path, monkeypatch):
+    """A library that passes the mtime freshness check but fails the ABI
+    gate (e.g. a committed binary restored by git checkout, mtime newer
+    than the source) must trigger one rebuild attempt, not permanently
+    disable the native path."""
+    import subprocess
+
+    try:
+        ok = subprocess.run(
+            ["g++", "--version"], capture_output=True
+        ).returncode == 0
+    except OSError:
+        ok = False
+    if not ok:
+        pytest.skip("no C++ toolchain available")
+    stale_src = tmp_path / "stale.cpp"
+    stale_src.write_text(
+        'extern "C" int gs_native_abi_version() { return 1; }\n'
+    )
+    stale_lib = tmp_path / "stale.so"
+    subprocess.run(
+        ["g++", "-O0", "-shared", "-fPIC", str(stale_src), "-o",
+         str(stale_lib)],
+        check=True,
+    )
+    lib_path = tmp_path / "_gs_native.so"
+    lib_path.write_bytes(stale_lib.read_bytes())
+    monkeypatch.setattr(native, "_LIB_PATH", str(lib_path))
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", False)
+    # make the stale library pass the freshness check
+    import os
+
+    os.utime(lib_path, None)
+    lib = native.load()
+    assert lib is not None, "ABI-mismatched library was not rebuilt"
+    assert lib.gs_native_abi_version() == 2

@@ -76,3 +76,16 @@ def test_distributed_single_process_noop(monkeypatch):
     out = dist.fetch(x)
     assert isinstance(out, np.ndarray)
     np.testing.assert_array_equal(out, np.arange(6.0).reshape(2, 3))
+
+
+def test_env_flag_parsing(monkeypatch):
+    from grayscott_tpu.utils.runtime import env_flag
+
+    for off in ("", "0", "false", "False", "no", "off", " 0 "):
+        monkeypatch.setenv("GRAYSCOTT_TESTFLAG", off)
+        assert env_flag("GRAYSCOTT_TESTFLAG") is False, repr(off)
+    for on in ("1", "true", "yes", "anything"):
+        monkeypatch.setenv("GRAYSCOTT_TESTFLAG", on)
+        assert env_flag("GRAYSCOTT_TESTFLAG") is True, repr(on)
+    monkeypatch.delenv("GRAYSCOTT_TESTFLAG")
+    assert env_flag("GRAYSCOTT_TESTFLAG") is False
