@@ -142,6 +142,11 @@ def sweep(
 def main(argv=None) -> int:
     import argparse
 
+    from ..utils.cache import enable_compilation_cache
+    from ..utils.runtime import apply_env_config
+
+    apply_env_config()  # honor GRAYSCOTT_PLATFORM like the other binaries
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(
         prog="grayscott-bench",
         description="Throughput sweep (criterion benchmark analog)",
