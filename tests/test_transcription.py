@@ -1,0 +1,152 @@
+"""Independent transcription of the reference kernels vs the oracle.
+
+The oracle (grayscott_tpu/oracle.py) anchors every numerical test in the
+repo, so a misreading of the reference there would propagate everywhere
+(the self-referential-goldens risk from the round-1 verdict). No Rust
+toolchain exists in this image, so the defense is a SECOND, independently
+structured transcription, written directly from the reference sources with
+a deliberately different mindset:
+
+- ``rust_naive_step`` ports ``compute/naive/src/lib.rs:43-82`` per pixel
+  with explicit index arithmetic: ``stencil_start = saturating_sub(pos,
+  offset)``, ``stencil_end = min(pos + offset + 1, shape)``, weights
+  indexed by position WITHIN the clamped window (the ndarray
+  ``indexed_iter`` over the slice — the top/left anchoring quirk), taps
+  accumulated in row-major window order, every f32 intermediate rounded.
+  The oracle instead vectorizes per-tap gathers with validity masks —
+  no shared code, no shared indexing scheme.
+- ``glsl_zero_step`` ports ``compute/gpu/naive/src/main.comp:29-58``:
+  all 9 taps always read, out-of-domain reads are 0 (ClampToBorder,
+  ``pipeline.rs:105-113``), accumulated in the shader's x-outer/y-inner
+  (column-major) loop order. The oracle accumulates row-major, so this
+  pair is compared to a few f32 ulps, not bit-exactly — the reference
+  GPU's own summation order (and possible FMA contraction) is
+  hardware-defined anyway. All four shipped stencils are symmetric, so
+  the GLSL mat3 column-major indexing question is numerically moot.
+
+Residual risk after this test: a misreading that two independent authors
+would BOTH make from the same Rust/GLSL text (e.g. both misreading
+``saturating_sub``). Everything downstream of the window rule — fold
+order, weight anchoring, expression trees, f32 rounding points — is now
+double-covered.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from grayscott_tpu import oracle
+from grayscott_tpu.params import Parameters, STENCILS
+
+f32 = np.float32
+
+
+def rust_naive_step(u, v, p: Parameters):
+    """Per-pixel transcription of compute/naive/src/lib.rs:43-82."""
+    R, C = u.shape
+    w = np.asarray(p.weights, dtype=f32)
+    out_u = np.empty_like(u)
+    out_v = np.empty_like(v)
+    Du, Dv = f32(p.diffusion_rate_u), f32(p.diffusion_rate_v)
+    f, k, dt = f32(p.feed_rate), f32(p.kill_rate), f32(p.time_step)
+    one = f32(1.0)
+    for r in range(R):
+        # stencil_start = out_pos.saturating_sub([1, 1])
+        # stencil_end   = (out_pos + [1, 1] + 1).min(shape)
+        rs, re = max(r - 1, 0), min(r + 2, R)
+        for c in range(C):
+            cs, ce = max(c - 1, 0), min(c + 2, C)
+            uc, vc = u[r, c], v[r, c]
+            fu = f32(0.0)
+            fv = f32(0.0)
+            # indexed_iter over the SLICE: (i, j) are window-relative,
+            # and weights.0[i][j] uses them directly (anchoring quirk)
+            for i, rr in enumerate(range(rs, re)):
+                for j, cc in enumerate(range(cs, ce)):
+                    wt = w[i, j]
+                    fu = f32(fu + f32(wt * f32(u[rr, cc] - uc)))
+                    fv = f32(fv + f32(wt * f32(v[rr, cc] - vc)))
+            uv2 = f32(f32(uc * vc) * vc)
+            du = f32(f32(f32(Du * fu) - uv2) + f32(f * f32(one - uc)))
+            dv = f32(f32(f32(Dv * fv) + uv2) - f32(f32(f + k) * vc))
+            out_u[r, c] = f32(uc + f32(du * dt))
+            out_v[r, c] = f32(vc + f32(dv * dt))
+    return out_u, out_v
+
+
+def glsl_zero_step(u, v, p: Parameters):
+    """Vectorized transcription of main.comp (x = column is the OUTER
+    accumulation axis; all taps read, border reads 0)."""
+    R, C = u.shape
+    w = np.asarray(p.weights, dtype=f32)
+    up = np.zeros((R + 2, C + 2), dtype=f32)
+    vp = np.zeros_like(up)
+    up[1:-1, 1:-1], vp[1:-1, 1:-1] = u, v
+    fu = np.zeros_like(u)
+    fv = np.zeros_like(v)
+    for x in range(3):  # column offset, outer like the shader
+        for y in range(3):  # row offset
+            tap_u = up[y : y + R, x : x + C]
+            tap_v = vp[y : y + R, x : x + C]
+            fu = (fu + w[y, x] * (tap_u - u)).astype(f32)
+            fv = (fv + w[y, x] * (tap_v - v)).astype(f32)
+    uv2 = ((u * v).astype(f32) * v).astype(f32)
+    du = ((f32(p.diffusion_rate_u) * fu).astype(f32) - uv2
+          + f32(p.feed_rate) * (f32(1.0) - u)).astype(f32)
+    dv = ((f32(p.diffusion_rate_v) * fv).astype(f32) + uv2
+          - (f32(p.feed_rate) + f32(p.kill_rate)) * v).astype(f32)
+    return (u + du * f32(p.time_step)).astype(f32), \
+        (v + dv * f32(p.time_step)).astype(f32)
+
+
+# edge-heavy shapes: every clamping case (1-wide, 2-wide, interior)
+SHAPES = [(1, 1), (1, 7), (5, 1), (2, 2), (4, 4), (17, 23)]
+
+
+@pytest.mark.parametrize("stencil", sorted(STENCILS))
+@pytest.mark.parametrize("shape", SHAPES)
+def test_naive_oracle_matches_independent_transcription(
+    rng, stencil, shape
+):
+    """Bit-exact: both implementations claim the exact Rust f32 fold."""
+    p = Parameters.with_stencil(stencil)
+    u = rng.uniform(0.0, 1.0, shape).astype(f32)
+    v = rng.uniform(0.0, 1.0, shape).astype(f32)
+    for _ in range(3):
+        eu, ev = rust_naive_step(u, v, p)
+        ou, ov = oracle.step(u, v, p, boundary="naive")
+        np.testing.assert_array_equal(ou, eu)
+        np.testing.assert_array_equal(ov, ev)
+        u, v = ou, ov
+
+
+@pytest.mark.parametrize("stencil", sorted(STENCILS))
+def test_zero_oracle_matches_shader_transcription(rng, stencil):
+    """Few-ulp agreement: the shader's accumulation order differs."""
+    p = Parameters.with_stencil(stencil)
+    u = rng.uniform(0.0, 1.0, (17, 23)).astype(f32)
+    v = rng.uniform(0.0, 1.0, (17, 23)).astype(f32)
+    for _ in range(3):
+        eu, ev = glsl_zero_step(u, v, p)
+        ou, ov = oracle.step(u, v, p, boundary="zero")
+        # concentrations are O(1); a few f32 ulps of 1.0 (2^-23) covers
+        # the order difference (measured max 2 ulp over 3 steps)
+        np.testing.assert_allclose(ou, eu, rtol=0, atol=6e-7)
+        np.testing.assert_allclose(ov, ev, rtol=0, atol=6e-7)
+        u, v = ou, ov
+
+
+def test_nondefault_parameters_and_dt(rng):
+    """Parameter plumbing (f, k, dt, both diffusion rates) is exercised
+    with non-default values, not just the shipped defaults."""
+    p = Parameters(feed_rate=0.03, kill_rate=0.061, time_step=0.4,
+                   diffusion_rate_u=0.16, diffusion_rate_v=0.08)
+    u = rng.uniform(0.0, 1.0, (9, 13)).astype(f32)
+    v = rng.uniform(0.0, 1.0, (9, 13)).astype(f32)
+    for _ in range(2):
+        eu, ev = rust_naive_step(u, v, p)
+        ou, ov = oracle.step(u, v, p, boundary="naive")
+        np.testing.assert_array_equal(ou, eu)
+        np.testing.assert_array_equal(ov, ev)
+        u, v = ou, ov
