@@ -142,15 +142,20 @@ def sweep(
 def main(argv=None) -> int:
     import argparse
 
-    from ..utils.cache import enable_compilation_cache
-    from ..utils.runtime import apply_env_config
-
-    apply_env_config()  # honor GRAYSCOTT_PLATFORM like the other binaries
-    enable_compilation_cache()
     parser = argparse.ArgumentParser(
         prog="grayscott-bench",
         description="Throughput sweep (criterion benchmark analog)",
     )
+    parser.add_argument("--report", metavar="SWEEP_JSON", default=None,
+                        help="render a report from a sweep JSON file "
+                        "instead of measuring (criterion-HTML-report "
+                        "analog)")
+    parser.add_argument("--baseline", metavar="SWEEP_JSON", default=None,
+                        help="with --report: baseline sweep to diff "
+                        "against (adds a vs-baseline delta column)")
+    parser.add_argument("--format", default="markdown",
+                        choices=["markdown", "html"],
+                        help="report output format")
     parser.add_argument("--backends", default="auto",
                         help="comma-separated backend names, or 'auto'")
     parser.add_argument("--smin", type=int, default=3)
@@ -172,6 +177,24 @@ def main(argv=None) -> int:
                         help="pin the temporal-blocking depth")
     args = parser.parse_args(argv)
 
+    if args.report:
+        from .report import report
+
+        text = report(args.report, args.baseline, args.format)
+        if args.output:
+            with open(args.output, "w") as f:
+                f.write(text)
+        else:
+            print(text, end="")
+        return 0
+
+    # jax touches the device at import on some setups, so defer platform
+    # configuration until we know this run actually measures
+    from ..utils.cache import enable_compilation_cache
+    from ..utils.runtime import apply_env_config
+
+    apply_env_config()  # honor GRAYSCOTT_PLATFORM like the other binaries
+    enable_compilation_cache()
     if args.backends == "auto":
         from ..backends import best_backend_name
 

@@ -37,3 +37,50 @@ def test_sweep_writes_json(tmp_path):
     assert len(results) == 1
     data = json.loads(out.read_text())
     assert data[0]["backend"] == "fused"
+
+
+def test_report_markdown_with_baseline(tmp_path):
+    """Sweep JSON -> markdown table with per-row baseline deltas, new and
+    gone rows handled (criterion-report analog, reference README:153-173)."""
+    import json
+
+    from grayscott_tpu.bench import report
+
+    cur = [
+        {"backend": "pallas", "workload": "compute", "shape": [64, 128],
+         "steps": 32, "boundary": "zero", "gcells_per_sec": 50.0},
+        {"backend": "pallas", "workload": "compute", "shape": [128, 256],
+         "steps": 32, "boundary": "zero", "gcells_per_sec": 60.0},
+    ]
+    base = [
+        {"backend": "pallas", "workload": "compute", "shape": [64, 128],
+         "steps": 32, "boundary": "zero", "gcells_per_sec": 40.0},
+        {"backend": "fused", "workload": "compute", "shape": [64, 128],
+         "steps": 32, "boundary": "zero", "gcells_per_sec": 10.0},
+    ]
+    cur_p, base_p = tmp_path / "cur.json", tmp_path / "base.json"
+    cur_p.write_text(json.dumps(cur))
+    base_p.write_text(json.dumps(base))
+    md = report.report(str(cur_p), str(base_p))
+    assert "+25.0%" in md          # 40 -> 50
+    assert "new" in md             # 128x256 has no baseline
+    assert "was 10.00" in md       # fused row disappeared
+    assert "64x128" in md
+    html = report.report(str(cur_p), str(base_p), fmt="html")
+    assert html.startswith("<!doctype html>") and "+25.0%" in html
+
+
+def test_report_cli(tmp_path, capsys):
+    """--report renders without touching any device."""
+    import json
+
+    from grayscott_tpu.bench import harness
+
+    p = tmp_path / "s.json"
+    p.write_text(json.dumps([
+        {"backend": "fused", "workload": "compute", "shape": [8, 16],
+         "steps": 4, "boundary": "naive", "gcells_per_sec": 1.25},
+    ]))
+    assert harness.main(["--report", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "| fused |" in out and "1.25" in out
