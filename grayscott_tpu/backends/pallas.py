@@ -45,6 +45,7 @@ class PallasSimulation(Simulation):
         interpret: bool | None = None,
         vmem_limit_bytes: int | None = None,
         dtype: str = "float32",
+        runtime_params: bool = True,
         **kwargs,
     ):
         self._explicit_k = steps_per_call is not None
@@ -68,6 +69,11 @@ class PallasSimulation(Simulation):
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
         self.interpret = interpret
+        # runtime-parameter mode (default): the reaction scalars ride an
+        # SMEM operand and the executable is keyed on the stencil weights
+        # only, so feed/kill/dt changes (livesim sliders, parameter scans)
+        # reuse the compiled kernel. Bit-identical to the static mode.
+        self.runtime_params = runtime_params
         # opt-in bf16 STORAGE mode (beyond-reference capability): state
         # rides HBM in bf16 — half the memory traffic and footprint (wins
         # on memory-bound configs and doubles the max domain per chip) —
@@ -196,10 +202,18 @@ class PallasSimulation(Simulation):
         u, v, tr, tc, chalo, halo, k = storage
         r, c = shape
         n_full, rem = divmod(steps, k)
+        if self.runtime_params:
+            # executable keyed on weights only; the reaction scalars are a
+            # traced SMEM operand, so parameter changes do not recompile
+            kernel_params = self.params.structure_only()
+            reaction = ps.reaction_operand(self.params)
+        else:
+            kernel_params, reaction = self.params, None
         common = dict(
-            tr=tr, tc=tc, chalo=chalo, params=self.params,
+            tr=tr, tc=tc, chalo=chalo, params=kernel_params,
             boundary=self.boundary, halo=halo,
             interpret=self.interpret,
+            reaction=reaction,
             # liveness scales with the f32 compute copies even when HBM
             # storage is bf16, so always budget at 4 bytes/element
             vmem_limit_bytes=self._vmem_limit(tr, tc, chalo, c, halo, 4),
@@ -242,6 +256,15 @@ class PallasSimulation(Simulation):
             "semantics",
         )
         parser.add_argument(
+            "--pallas-runtime-params",
+            choices=["on", "off"],
+            default=env_default("GRAYSCOTT_PALLAS_RUNTIME_PARAMS", "on"),
+            help="Pass the reaction scalars (Du, Dv, f, -(f+k), dt) as a "
+            "traced SMEM operand so parameter changes reuse the compiled "
+            "kernel (default on; bit-identical to 'off', which folds them "
+            "at compile time like the reference's default stencil)",
+        )
+        parser.add_argument(
             "--pallas-steps-per-call", type=int,
             # None = auto (TPU default 16, interpret 8, autotune winner
             # adoptable); an explicit value pins the depth
@@ -258,4 +281,6 @@ class PallasSimulation(Simulation):
             "block_cols": getattr(ns, "pallas_block_cols", None),
             "steps_per_call": getattr(ns, "pallas_steps_per_call", None),
             "dtype": getattr(ns, "pallas_dtype", "float32"),
+            "runtime_params": getattr(
+                ns, "pallas_runtime_params", "on") != "off",
         }

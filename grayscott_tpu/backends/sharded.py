@@ -35,6 +35,7 @@ class ShardedSimulation(Simulation):
         steps_per_call: int | None = None,
         interpret: bool | None = None,
         dtype: str = "float32",
+        runtime_params: bool = True,
         **kwargs,
     ):
         if steps_per_call is None:
@@ -55,6 +56,7 @@ class ShardedSimulation(Simulation):
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
         self.interpret = interpret
+        self.runtime_params = runtime_params  # see backends/pallas.py
         if dtype in (None, "float32", "f32"):
             self.dtype = jnp.float32
         elif dtype in ("bfloat16", "bf16"):  # opt-in fast mode (see pallas)
@@ -100,19 +102,24 @@ class ShardedSimulation(Simulation):
         r, c = shape
         k = self.steps_per_call
         n_full, rem = divmod(steps, k)
+        if self.runtime_params:
+            kernel_params = self.params.structure_only()
+            reaction = ps.reaction_operand(self.params)
+        else:
+            kernel_params, reaction = self.params, None
         common = dict(
             mesh=self.mesh, r_total=r, c_total=c,
             halo=self.halo, chalo=self.chalo,
-            tr=tr, params=self.params,
+            tr=tr, params=kernel_params,
             boundary=self.boundary, interpret=self.interpret,
         )
         if n_full:
             u, v = halo.sharded_run_blocks(
-                u, v, jnp.int32(n_full), steps=k, **common
+                u, v, jnp.int32(n_full), reaction, steps=k, **common
             )
         if rem:
             u, v = halo.sharded_run_blocks(
-                u, v, jnp.int32(1), steps=rem, **common
+                u, v, jnp.int32(1), reaction, steps=rem, **common
             )
         return (u, v, tr)
 
@@ -139,4 +146,6 @@ class ShardedSimulation(Simulation):
             "block_rows": getattr(ns, "pallas_block_rows", None),
             "steps_per_call": k,
             "dtype": getattr(ns, "pallas_dtype", "float32"),
+            "runtime_params": getattr(
+                ns, "pallas_runtime_params", "on") != "off",
         }

@@ -74,7 +74,10 @@ HALO = 8
 #: Bumped on kernel changes that shift the performance landscape, so
 #: persisted autotune winners from older kernels are not trusted.
 #: v2: fresh outputs instead of stale-double-buffer aliasing (+21%).
-KERNEL_VERSION = 2
+#: v3: runtime reaction scalars via SMEM; domain mask folded into a
+#: (W, 1) per-row dt; naive boundary fix-ups as narrow slice updates
+#: instead of full-window selects.
+KERNEL_VERSION = 3
 
 
 def halo_for_steps(k: int) -> int:
@@ -202,7 +205,7 @@ def _left_col_strip(x, w: np.ndarray, ok_s, chalo: int = 0):
 
 def make_window_stepper(
     params: Parameters, boundary: str, w_rows: int, c: int, halo: int = HALO,
-    chalo: int = 0, dtype=Precision,
+    chalo: int = 0, dtype=Precision, reaction=None,
 ):
     """Build the per-window step for one in-VMEM iteration.
 
@@ -219,6 +222,22 @@ def make_window_stepper(
     raw lane rolls whose wrap garbage lands in the column halo ring, and
     out-of-domain columns are re-zeroed each step by the domain mask,
     mirroring the row machinery exactly.
+
+    ``reaction``: optional 5-tuple of traced f32 scalars
+    ``(du_rate, dv_rate, feed, min_feed_kill, dt)`` — the runtime-parameter
+    mode (the ``weights-runtime`` analog for the reaction constants,
+    data/src/parameters.rs:40-53): parameter changes reuse the compiled
+    kernel. ``None`` folds the values from ``params`` at trace time; both
+    modes are bit-identical (same f32 rounding, same op order).
+
+    Masking strategy (single-chip / 1-D sharding, ``chalo == 0``): instead
+    of selecting out-of-domain ROWS to zero after every step (two full
+    (W, C) selects), the domain mask is folded into a (W, 1) per-row time
+    step — out-of-domain rows get dt 0 and keep their input value exactly
+    (0 for true padding; window-ring wrap garbage stays garbage, absorbed
+    by the K-deep halo as before). NOTE the round-1 negative result folded
+    the FULL (row x column) mask into a (W, C) dt field, which blew Mosaic
+    stack liveness; the (W, 1) row form adds one register column.
     """
     plan = params.separable_plan()
     w = params.weights_array()
@@ -301,68 +320,98 @@ def make_window_stepper(
             rok = (ok_top, jnp.ones_like(ok_top), ok_bot)
             return rok[0] * cw[0] + rok[1] * cw[1] + rok[2] * cw[2]
 
-    # weak-typed Python floats: ops inherit the array dtype, and for f32
-    # the trace-time cast is bit-identical to the old Precision() constants
-    du_rate = float(Precision(params.diffusion_rate_u))
-    dv_rate = float(Precision(params.diffusion_rate_v))
-    f = float(Precision(params.feed_rate))
-    mfk = float(params.min_feed_kill())
-    dt = float(Precision(params.time_step))
+    if reaction is None:
+        # weak-typed Python floats: ops inherit the array dtype, and for
+        # f32 the trace-time cast is bit-identical to Precision() constants
+        du_rate = float(Precision(params.diffusion_rate_u))
+        dv_rate = float(Precision(params.diffusion_rate_v))
+        f = float(Precision(params.feed_rate))
+        mfk = float(params.min_feed_kill())
+        dt = float(Precision(params.time_step))
+    else:
+        du_rate, dv_rate, f, mfk, dt = reaction
 
     def precompute(giota, r_total, gcol, c_total):
-        """Loop-invariant context: domain mask, boundary weight-sum field,
-        strip masks — several full-window VPU ops, paid once per window."""
+        """Loop-invariant context: domain mask / per-row dt, boundary
+        weight-sum field, strip masks — several full-window VPU ops, paid
+        once per window."""
         ctx = {
             "b_field": make_b_field(giota, r_total, gcol, c_total),
         }
         rows_in = jnp.logical_and(giota >= 0, giota < r_total)
         if chalo == 0:
-            ctx["dommask"] = rows_in
+            # (W, 1) per-row dt replaces the out-of-domain row selects
+            ctx["dt_row"] = jnp.where(
+                rows_in, jnp.asarray(dt, dtype), jnp.asarray(0.0, dtype)
+            )
         else:
             cols_in = jnp.logical_and(gcol >= 0, gcol < c_total)
             ctx["dommask"] = jnp.logical_and(rows_in, cols_in)
         if boundary == "naive":
             in_dom = jnp.logical_and(giota >= 1, giota < r_total)
-            ctx["col0_mask"] = jnp.logical_and(gcol == 0, in_dom)
-            ctx["top_mask"] = giota == 0
+            if chalo == 0:
+                # global column 0 is static local column 0 on every shard
+                # of a 1-D row decomposition: the quirk fix-ups become
+                # narrow slice updates instead of full-window selects
+                ctx["col0_rows"] = in_dom
+                # global row 0 sits at static window row `halo` iff this
+                # window starts at the true domain top
+                ctx["has_top"] = giota[halo, 0] == 0
+            else:
+                ctx["col0_mask"] = jnp.logical_and(gcol == 0, in_dom)
+                ctx["top_mask"] = giota == 0
             ctx["ok_s"] = (giota <= r_total - 2).astype(dtype)
             ctx["gcol"] = gcol
             ctx["c_total"] = c_total
         return ctx
 
+    def _fix_naive(x, full, ctx):
+        """Apply the clamped-window quirk fix-ups to one species' full."""
+        strip = _left_col_strip(x, w, ctx["ok_s"], chalo)
+        top = _edge_strip_1xc(
+            x[halo : halo + 1, :], x[halo + 1 : halo + 2, :],
+            w[0:2, :], ctx["gcol"], ctx["c_total"], chalo, shift_cols,
+        )
+        if chalo == 0:
+            col0 = jnp.where(ctx["col0_rows"], strip, full[:, :1])
+            fixed = full.at[:, :1].set(col0)
+            row = jnp.where(ctx["has_top"], top, fixed[halo : halo + 1, :])
+            return fixed.at[halo : halo + 1, :].set(row)
+        fixed = jnp.where(ctx["col0_mask"], strip, full)
+        return jnp.where(ctx["top_mask"], top, fixed)
+
     def step(u, v, ctx):
         full_u = laplacian(u, ctx["b_field"])
         full_v = laplacian(v, ctx["b_field"])
         if boundary == "naive":
-            for x, full in ((u, full_u), (v, full_v)):
-                strip = _left_col_strip(x, w, ctx["ok_s"], chalo)
-                fixed = jnp.where(ctx["col0_mask"], strip, full)
-                # top-row quirk: global row 0 sits at static window row
-                # `halo` whenever this window contains it (module doc)
-                top = _edge_strip_1xc(
-                    x[halo : halo + 1, :], x[halo + 1 : halo + 2, :],
-                    w[0:2, :], ctx["gcol"], ctx["c_total"], chalo, shift_cols,
-                )
-                fixed = jnp.where(ctx["top_mask"], top, fixed)
-                if x is u:
-                    full_u = fixed
-                else:
-                    full_v = fixed
+            full_u = _fix_naive(u, full_u, ctx)
+            full_v = _fix_naive(v, full_v, ctx)
         uv_square = u * v * v
         du = du_rate * full_u - uv_square + f * (1.0 - u)
         dv = dv_rate * full_v + uv_square + mfk * v
-        un = u + du * dt
-        vn = v + dv * dt
-        un = jnp.where(ctx["dommask"], un, 0.0)
-        vn = jnp.where(ctx["dommask"], vn, 0.0)
+        if chalo == 0:
+            un = u + du * ctx["dt_row"]
+            vn = v + dv * ctx["dt_row"]
+        else:
+            un = u + du * dt
+            vn = v + dv * dt
+            un = jnp.where(ctx["dommask"], un, 0.0)
+            vn = jnp.where(ctx["dommask"], vn, 0.0)
         return un, vn
 
     return precompute, step
 
 
-def _kernel(scal_ref, u_ref, v_ref, uo_ref, vo_ref, *,
+def _kernel(scal_ref, *refs,
             steps: int, tr: int, c: int, halo: int, chalo: int, params,
-            boundary: str, tc: int | None = None):
+            boundary: str, tc: int | None = None,
+            runtime_params: bool = False):
+    if runtime_params:
+        react_ref, u_ref, v_ref, uo_ref, vo_ref = refs
+        reaction = tuple(react_ref[0, i] for i in range(5))
+    else:
+        u_ref, v_ref, uo_ref, vo_ref = refs
+        reaction = None
     w_rows = tr + 2 * halo
     # Reduced-precision modes are STORAGE modes: state rides HBM (and the
     # window DMAs) in bf16, halving memory traffic and footprint, but the
@@ -373,7 +422,8 @@ def _kernel(scal_ref, u_ref, v_ref, uo_ref, vo_ref, *,
     # K-step block (on store), not per step.
     store_dtype = u_ref.dtype
     precompute, step = make_window_stepper(
-        params, boundary, w_rows, c, halo, chalo, dtype=jnp.float32
+        params, boundary, w_rows, c, halo, chalo, dtype=jnp.float32,
+        reaction=reaction,
     )
     origin = scal_ref[0, 0]
     r_total = scal_ref[0, 1]
@@ -404,9 +454,23 @@ def _kernel(scal_ref, u_ref, v_ref, uo_ref, vo_ref, *,
         vo_ref[:] = v[halo : halo + tr, chalo : chalo + tc]
 
 
+def reaction_operand(params: Parameters) -> np.ndarray:
+    """(1, 5) f32 runtime-parameter operand for the kernel's SMEM input:
+    ``[du_rate, dv_rate, feed, min_feed_kill, dt]``, rounded to f32 the
+    same way the static trace-time constants are (bit-parity between the
+    two modes)."""
+    return np.asarray(
+        [[Precision(params.diffusion_rate_u),
+          Precision(params.diffusion_rate_v),
+          Precision(params.feed_rate),
+          params.min_feed_kill(),
+          Precision(params.time_step)]], dtype=Precision,
+    )
+
+
 def multistep_impl(
     u_pad, v_pad, origin, r_total,
-    origin_c=0, c_total=None,
+    origin_c=0, c_total=None, reaction=None,
     *, steps: int, tr: int, params: Parameters, boundary: str,
     halo: int = HALO, chalo: int = 0, interpret: bool = False,
     vmem_limit_bytes: int | None = None, zero_padding: bool = True,
@@ -493,16 +557,25 @@ def multistep_impl(
     kernel = functools.partial(
         _kernel, steps=steps, tr=tr, c=w_cols, halo=halo, chalo=chalo,
         params=params, boundary=boundary, tc=tc,
+        runtime_params=reaction is not None,
     )
     zero_map = (lambda i: (0, 0)) if tc is None else (lambda i, j: (0, 0))
+    in_specs = [pl.BlockSpec((1, 4), zero_map, memory_space=pltpu.SMEM)]
+    operands = [scalars]
+    if reaction is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 5), zero_map, memory_space=pltpu.SMEM)
+        )
+        operands.append(jnp.asarray(reaction, jnp.float32).reshape(1, 5))
+    in_specs += [
+        pl.BlockSpec(in_block, in_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(in_block, in_map, memory_space=pltpu.VMEM),
+    ]
+    operands += [u_pad, v_pad]
     out_u, out_v = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 4), zero_map, memory_space=pltpu.SMEM),
-            pl.BlockSpec(in_block, in_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec(in_block, in_map, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(out_block, out_map, memory_space=pltpu.VMEM),
             pl.BlockSpec(out_block, out_map, memory_space=pltpu.VMEM),
@@ -517,7 +590,7 @@ def multistep_impl(
             vmem_limit_bytes=vmem_limit_bytes,
         ),
         interpret=interpret,
-    )(scalars, u_pad, v_pad)
+    )(*operands)
     if zero_padding:
         zrow = jnp.zeros((halo, c), dtype=u_pad.dtype)
         out_u = out_u.at[:halo].set(zrow).at[rp_full - halo:].set(zrow)
@@ -546,7 +619,7 @@ multistep = jax.jit(
 )
 def run_blocks(
     u_pad, v_pad, origin, r_total, n_blocks,
-    origin_c=0, c_total=None,
+    origin_c=0, c_total=None, reaction=None,
     *, steps: int, tr: int, params: Parameters, boundary: str,
     halo: int = HALO, chalo: int = 0, interpret: bool = False,
     vmem_limit_bytes: int | None = None, zero_padding: bool = True,
@@ -554,16 +627,16 @@ def run_blocks(
 ):
     """Run ``n_blocks`` successive K-step kernel calls in ONE executable.
 
-    ``n_blocks`` is a traced operand (changing it does not recompile). The
-    double-buffer flip is the loop carry (XLA reuses the donated HBM
-    buffers in place). This is the analog of the reference recording every
-    step into one command buffer and submitting once
-    (compute/gpu/naive/src/lib.rs:117-128).
+    ``n_blocks`` is a traced operand (changing it does not recompile; nor
+    does ``reaction`` in runtime-parameter mode). The double-buffer flip
+    is the loop carry (XLA reuses the donated HBM buffers in place). This
+    is the analog of the reference recording every step into one command
+    buffer and submitting once (compute/gpu/naive/src/lib.rs:117-128).
     """
 
     def body(_, carry):
         return multistep_impl(
-            *carry, origin, r_total, origin_c, c_total,
+            *carry, origin, r_total, origin_c, c_total, reaction,
             steps=steps, tr=tr, params=params, boundary=boundary,
             halo=halo, chalo=chalo, interpret=interpret,
             vmem_limit_bytes=vmem_limit_bytes, zero_padding=zero_padding,

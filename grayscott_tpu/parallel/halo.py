@@ -86,7 +86,7 @@ def _exchange_cols(x, c_loc: int, chalo: int):
     donate_argnames=("u", "v"),
 )
 def sharded_run_blocks(
-    u, v, n_blocks, *,
+    u, v, n_blocks, reaction=None, *,
     mesh: Mesh, r_total: int, steps: int, tr: int,
     params: Parameters, boundary: str, c_total: int | None = None,
     halo: int = ps.HALO, chalo: int = 0, interpret: bool = False,
@@ -110,8 +110,9 @@ def sharded_run_blocks(
         # f32 in VMEM, so live temporaries are f32 regardless of storage
         vmem_limit_bytes = ps.choose_vmem_limit(tr, halo, wp, 4, boundary)
 
-    def local(u, v, n_blocks):
+    def local(u, v, n_blocks, *maybe_reaction):
         u, v = u[0, 0], v[0, 0]
+        reaction = maybe_reaction[0] if maybe_reaction else None
         row_start = jax.lax.axis_index(ROWS).astype(jnp.int32) * r_loc
         origin = row_start - halo
         col_start = jax.lax.axis_index(COLS).astype(jnp.int32) * c_loc
@@ -127,7 +128,7 @@ def sharded_run_blocks(
             # padding is rewritten by the exchange each block, so the
             # kernel can skip its own padding re-zero
             return ps.multistep_impl(
-                a, b, origin, r_total, origin_c, c_total,
+                a, b, origin, r_total, origin_c, c_total, reaction,
                 steps=steps, tr=tr, params=params, boundary=boundary,
                 halo=halo, chalo=chalo, interpret=interpret,
                 zero_padding=False, vmem_limit_bytes=vmem_limit_bytes,
@@ -137,15 +138,16 @@ def sharded_run_blocks(
         return tuple(x[None, None] for x in out)
 
     spec = P(ROWS, COLS, None, None)
+    extra = () if reaction is None else (jnp.asarray(reaction),)
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(spec, spec, P()),
+        in_specs=(spec, spec, P()) + tuple(P() for _ in extra),
         out_specs=(spec, spec),
         # pallas_call inside shard_map cannot declare varying-mesh-axes
         # metadata on its outputs yet; skip the vma check.
         check_vma=False,
-    )(u, v, n_blocks)
+    )(u, v, n_blocks, *extra)
 
 
 def shard_extents(shape, mesh: Mesh, tr: int) -> Tuple[int, int]:

@@ -123,6 +123,14 @@ class Parameters:
         (reference: data/src/parameters.rs:67-69)."""
         return Precision(-(Precision(self.feed_rate) + Precision(self.kill_rate)))
 
+    def structure_only(self) -> "Parameters":
+        """A copy with all reaction/integration fields at their defaults,
+        keeping only the weights. Backends in runtime-parameter mode use
+        this as the static (executable-keying) value so that feed/kill/dt
+        changes hit the same compiled kernel — the whole point of passing
+        the reaction scalars as a traced operand."""
+        return Parameters(weights=self.weights)
+
     def stencil_name(self) -> str:
         for name, w in STENCILS.items():
             if w == self.weights:

@@ -116,3 +116,26 @@ def test_web_controls():
     state = _get_json(port, "/reset")
     u, v = src.species.uv_host()
     assert u.max() == 1.0 and float(v.sum()) > 0  # standard init box
+
+
+def test_set_params_reuses_pallas_executable():
+    """Parameter sliders on the pallas backend must not recompile the
+    kernel (round-1 weakness: every feed/kill/dt change cost a fresh
+    Mosaic compile — minutes over a remote compiler)."""
+    from grayscott_tpu.ops import pallas_stencil as ps
+
+    args = livesim.build_parser().parse_args(
+        ["-r", "16", "-c", "16", "--backend", "pallas",
+         "--pallas-block-rows", "8"]
+    )
+    src = livesim.FrameSource(args)
+    src.next_rgb()
+    before = src.species.result_host().copy()
+    sizes = (ps.multistep._cache_size(), ps.run_blocks._cache_size())
+    src.set_params(feedrate=0.03, killrate=0.06, deltat=0.9)
+    src.next_rgb()
+    after = (ps.multistep._cache_size(), ps.run_blocks._cache_size())
+    assert after == sizes, f"slider change recompiled: {sizes} -> {after}"
+    # the state carried over and the new physics actually applies
+    assert src.species.steps_performed == 2
+    assert not np.array_equal(src.species.result_host(), before)

@@ -175,3 +175,54 @@ def test_choose_block_rows_minimizes_window_volume():
     assert choose_block_rows(8192, 8192, boundary="zero") == 120
     # a domain shorter than one tile clamps to its padded height
     assert choose_block_rows(24, 32) == 24
+
+
+@pytest.mark.parametrize("boundary", ["naive", "zero"])
+def test_runtime_params_bit_identical_to_static(rng, boundary):
+    """The SMEM runtime-parameter mode is bit-identical to trace-time
+    constant folding (same f32 rounding, same op order)."""
+    p = Parameters(feed_rate=0.029, kill_rate=0.057, time_step=0.8)
+    u, v = random_uv(rng, (24, 16))
+    ru, rv = run_pallas(u, v, p, boundary, 7, block_rows=8,
+                        runtime_params=True)
+    su, sv = run_pallas(u, v, p, boundary, 7, block_rows=8,
+                        runtime_params=False)
+    np.testing.assert_array_equal(ru, su)
+    np.testing.assert_array_equal(rv, sv)
+
+
+def test_runtime_params_reuse_executable(rng, params):
+    """Changing feed/kill/dt must NOT build a new kernel executable in
+    runtime-parameter mode (the livesim-slider recompile fix): the jit
+    caches of multistep/run_blocks stay flat across parameter changes."""
+    from grayscott_tpu.ops import pallas_stencil as ps
+
+    u, v = random_uv(rng, (16, 16))
+    variants = [
+        Parameters(),
+        Parameters(feed_rate=0.03),
+        Parameters(feed_rate=0.045, kill_rate=0.06),
+        Parameters(time_step=0.5),
+    ]
+    sizes = None
+    for p in variants:
+        sim = PallasSimulation(p, boundary="naive", interpret=True,
+                               block_rows=8, runtime_params=True)
+        species = sim.make_species(u.shape)
+        species.storage = sim.build_storage(u, v)
+        sim.perform_steps(species, 17)  # exercises run_blocks AND multistep
+        now = (ps.multistep._cache_size(), ps.run_blocks._cache_size())
+        if sizes is None:
+            sizes = now  # first variant pays the compiles
+        else:
+            assert now == sizes, (
+                f"parameter change recompiled the kernel: {sizes} -> {now}"
+            )
+    # a structural change (different stencil) SHOULD recompile
+    sim = PallasSimulation(Parameters.with_stencil("5points"),
+                           boundary="naive", interpret=True, block_rows=8,
+                           runtime_params=True)
+    species = sim.make_species(u.shape)
+    species.storage = sim.build_storage(u, v)
+    sim.perform_steps(species, 17)
+    assert ps.multistep._cache_size() > sizes[0]
