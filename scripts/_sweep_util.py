@@ -28,6 +28,7 @@ sim = PallasSimulation(
     block_cols=cfg.get("tc"),
     dtype=cfg.get("dtype", "float32"),
     vmem_limit_bytes=cfg.get("limit"),
+    runtime_params=cfg.get("rt", True),
 )
 steps = cfg.get("steps", max(64 * cfg["k"], 256))
 res = run_one(sim, shape, steps, "compute", reps=3)
