@@ -36,6 +36,7 @@ class ShardedSimulation(Simulation):
         interpret: bool | None = None,
         dtype: str = "float32",
         runtime_params: bool = True,
+        overlap: bool = False,
         **kwargs,
     ):
         if steps_per_call is None:
@@ -57,6 +58,10 @@ class ShardedSimulation(Simulation):
             interpret = jax.devices()[0].platform != "tpu"
         self.interpret = interpret
         self.runtime_params = runtime_params  # see backends/pallas.py
+        # split interior/edge kernels so halo exchange overlaps interior
+        # compute (parallel/halo.py); pays on high-latency links, costs
+        # two extra fixed-overhead kernel launches per block on ICI
+        self.overlap = overlap
         if dtype in (None, "float32", "f32"):
             self.dtype = jnp.float32
         elif dtype in ("bfloat16", "bf16"):  # opt-in fast mode (see pallas)
@@ -112,6 +117,7 @@ class ShardedSimulation(Simulation):
             halo=self.halo, chalo=self.chalo,
             tr=tr, params=kernel_params,
             boundary=self.boundary, interpret=self.interpret,
+            overlap=self.overlap,
         )
         if n_full:
             u, v = halo.sharded_run_blocks(
@@ -136,6 +142,13 @@ class ShardedSimulation(Simulation):
             help="Mesh columns for 2-D spatial decomposition (default 1 = "
             "row sharding only)",
         )
+        parser.add_argument(
+            "--sharded-overlap", choices=["on", "off"],
+            default=env_default("GRAYSCOTT_SHARDED_OVERLAP", "off"),
+            help="Overlap halo exchange with interior compute by splitting "
+            "the per-shard kernel (1-D meshes; pays on high-latency DCN "
+            "links, costs two extra kernel launches per block on ICI)",
+        )
 
     @classmethod
     def args_from_namespace(cls, ns: argparse.Namespace):
@@ -148,4 +161,5 @@ class ShardedSimulation(Simulation):
             "dtype": getattr(ns, "pallas_dtype", "float32"),
             "runtime_params": getattr(
                 ns, "pallas_runtime_params", "on") != "off",
+            "overlap": getattr(ns, "sharded_overlap", "off") == "on",
         }

@@ -74,9 +74,8 @@ HALO = 8
 #: Bumped on kernel changes that shift the performance landscape, so
 #: persisted autotune winners from older kernels are not trusted.
 #: v2: fresh outputs instead of stale-double-buffer aliasing (+21%).
-#: v3: runtime reaction scalars via SMEM; domain mask folded into a
-#: (W, 1) per-row dt; naive boundary fix-ups as narrow slice updates
-#: instead of full-window selects.
+#: v3: runtime reaction scalars via SMEM; naive boundary fix-ups as
+#: narrow slice updates instead of full-window selects.
 KERNEL_VERSION = 3
 
 
@@ -230,14 +229,13 @@ def make_window_stepper(
     kernel. ``None`` folds the values from ``params`` at trace time; both
     modes are bit-identical (same f32 rounding, same op order).
 
-    Masking strategy (single-chip / 1-D sharding, ``chalo == 0``): instead
-    of selecting out-of-domain ROWS to zero after every step (two full
-    (W, C) selects), the domain mask is folded into a (W, 1) per-row time
-    step — out-of-domain rows get dt 0 and keep their input value exactly
-    (0 for true padding; window-ring wrap garbage stays garbage, absorbed
-    by the K-deep halo as before). NOTE the round-1 negative result folded
-    the FULL (row x column) mask into a (W, C) dt field, which blew Mosaic
-    stack liveness; the (W, 1) row form adds one register column.
+    Masking: out-of-domain rows are re-zeroed each step by a (W, 1)
+    row-predicate select (columns too when ``chalo > 0``). Folding the
+    mask into a per-row dt vector to save the selects is a measured
+    negative BOTH ways: a (W, C) dt field (round 1) and a (W, 1) dt row
+    (round 2) each add ~9.5 MB of Mosaic stack liveness — the compiler
+    materializes broadcast multiplicands at full window size — and OOM
+    the scoped-VMEM budget at the production tile sizes.
     """
     plan = params.separable_plan()
     w = params.weights_array()
@@ -340,10 +338,12 @@ def make_window_stepper(
         }
         rows_in = jnp.logical_and(giota >= 0, giota < r_total)
         if chalo == 0:
-            # (W, 1) per-row dt replaces the out-of-domain row selects
-            ctx["dt_row"] = jnp.where(
-                rows_in, jnp.asarray(dt, dtype), jnp.asarray(0.0, dtype)
-            )
+            # (W, 1) predicate select: measured on v5e, folding the mask
+            # into a per-row dt VECTOR instead (saving the two selects)
+            # blows Mosaic stack liveness by ~9.5 MB — the compiler
+            # materializes the broadcast multiplicand at full window
+            # size, same failure as round 1's (W, C) dt_field fold
+            ctx["dommask"] = rows_in
         else:
             cols_in = jnp.logical_and(gcol >= 0, gcol < c_total)
             ctx["dommask"] = jnp.logical_and(rows_in, cols_in)
@@ -373,10 +373,13 @@ def make_window_stepper(
             w[0:2, :], ctx["gcol"], ctx["c_total"], chalo, shift_cols,
         )
         if chalo == 0:
+            # lax.dynamic_update_slice, NOT jnp .at[].set: the indexing
+            # machinery lowers .at updates to `scatter`, which Mosaic has
+            # no TPU lowering for
             col0 = jnp.where(ctx["col0_rows"], strip, full[:, :1])
-            fixed = full.at[:, :1].set(col0)
+            fixed = jax.lax.dynamic_update_slice(full, col0, (0, 0))
             row = jnp.where(ctx["has_top"], top, fixed[halo : halo + 1, :])
-            return fixed.at[halo : halo + 1, :].set(row)
+            return jax.lax.dynamic_update_slice(fixed, row, (halo, 0))
         fixed = jnp.where(ctx["col0_mask"], strip, full)
         return jnp.where(ctx["top_mask"], top, fixed)
 
@@ -389,14 +392,10 @@ def make_window_stepper(
         uv_square = u * v * v
         du = du_rate * full_u - uv_square + f * (1.0 - u)
         dv = dv_rate * full_v + uv_square + mfk * v
-        if chalo == 0:
-            un = u + du * ctx["dt_row"]
-            vn = v + dv * ctx["dt_row"]
-        else:
-            un = u + du * dt
-            vn = v + dv * dt
-            un = jnp.where(ctx["dommask"], un, 0.0)
-            vn = jnp.where(ctx["dommask"], vn, 0.0)
+        un = u + du * dt
+        vn = v + dv * dt
+        un = jnp.where(ctx["dommask"], un, 0.0)
+        vn = jnp.where(ctx["dommask"], vn, 0.0)
         return un, vn
 
     return precompute, step

@@ -57,12 +57,8 @@ def make_mesh(n_devices: int | None = None, n_cols: int = 1) -> Mesh:
 
 def _exchange_rows(x, r_loc: int, halo: int):
     """Fill the halo padding rows of a local block from row neighbors."""
+    top_halo, bot_halo = _exchange_start(x, r_loc, halo)
     h = halo
-    n = jax.lax.axis_size(ROWS)
-    down = [(i, i + 1) for i in range(n - 1)]  # my bottom rows -> next shard
-    up = [(i + 1, i) for i in range(n - 1)]    # my top rows -> previous shard
-    top_halo = jax.lax.ppermute(x[h + r_loc - h : h + r_loc], ROWS, down)
-    bot_halo = jax.lax.ppermute(x[h : h + h], ROWS, up)
     return jax.lax.concatenate([top_halo, x[h : h + r_loc], bot_halo], 0)
 
 
@@ -78,11 +74,24 @@ def _exchange_cols(x, c_loc: int, chalo: int):
     return jax.lax.concatenate([west_halo, x[:, ch : ch + c_loc], east_halo], 1)
 
 
+def _exchange_start(x, r_loc: int, halo: int):
+    """Issue the row-halo permutes WITHOUT consuming them: returns the
+    (top_halo, bot_halo) arrivals so callers can schedule independent
+    work between start and use (overlap mode)."""
+    h = halo
+    n = jax.lax.axis_size(ROWS)
+    down = [(i, i + 1) for i in range(n - 1)]
+    up = [(i + 1, i) for i in range(n - 1)]
+    top = jax.lax.ppermute(x[h + r_loc - h : h + r_loc], ROWS, down)
+    bot = jax.lax.ppermute(x[h : h + h], ROWS, up)
+    return top, bot
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "r_total", "c_total", "steps", "tr", "params",
                      "boundary", "halo", "chalo", "interpret",
-                     "vmem_limit_bytes"),
+                     "vmem_limit_bytes", "overlap"),
     donate_argnames=("u", "v"),
 )
 def sharded_run_blocks(
@@ -90,13 +99,25 @@ def sharded_run_blocks(
     mesh: Mesh, r_total: int, steps: int, tr: int,
     params: Parameters, boundary: str, c_total: int | None = None,
     halo: int = ps.HALO, chalo: int = 0, interpret: bool = False,
-    vmem_limit_bytes: int | None = None,
+    vmem_limit_bytes: int | None = None, overlap: bool = False,
 ):
     """Run ``n_blocks`` K-step kernel blocks on mesh-sharded state.
 
     State arrays have shape (n_row_shards, n_col_shards, HALO + R_loc +
     HALO, CHALO + C_loc + CHALO), sharded on the first two axes. Between
     blocks, halo rows (and columns on 2-D meshes) are exchanged over ICI.
+
+    ``overlap=True`` (1-D meshes with >= 3 row tiles per shard) splits the
+    per-shard kernel into interior tiles + two edge slabs so the interior
+    — which reads no exchanged data — carries no dependency on the
+    ppermutes and XLA's latency-hiding scheduler can run it while the
+    exchange is in flight (the analog of the reference's fork-join split
+    keeping all rayon workers busy, compute/parallel/src/lib.rs:100-120).
+    Results are bit-identical to the serialized path (same windows, same
+    order). Trade-off, measured on v5e: each extra pallas_call costs
+    ~0.6 ms fixed, while a K-deep row halo is only ~100s of KB over ICI
+    (~µs), so overlap pays on high-latency links (DCN/multi-host slices),
+    not single-slice ICI — hence opt-in.
     """
     hp = u.shape[2]
     wp = u.shape[3]
@@ -110,6 +131,8 @@ def sharded_run_blocks(
         # f32 in VMEM, so live temporaries are f32 regardless of storage
         vmem_limit_bytes = ps.choose_vmem_limit(tr, halo, wp, 4, boundary)
 
+    use_overlap = overlap and chalo == 0 and r_loc // tr >= 3
+
     def local(u, v, n_blocks, *maybe_reaction):
         u, v = u[0, 0], v[0, 0]
         reaction = maybe_reaction[0] if maybe_reaction else None
@@ -117,6 +140,11 @@ def sharded_run_blocks(
         origin = row_start - halo
         col_start = jax.lax.axis_index(COLS).astype(jnp.int32) * c_loc
         origin_c = col_start - chalo
+        kern = dict(
+            steps=steps, tr=tr, params=params, boundary=boundary,
+            halo=halo, interpret=interpret,
+            zero_padding=False, vmem_limit_bytes=vmem_limit_bytes,
+        )
 
         def body(_, carry):
             a, b = carry
@@ -129,12 +157,50 @@ def sharded_run_blocks(
             # kernel can skip its own padding re-zero
             return ps.multistep_impl(
                 a, b, origin, r_total, origin_c, c_total, reaction,
-                steps=steps, tr=tr, params=params, boundary=boundary,
-                halo=halo, chalo=chalo, interpret=interpret,
-                zero_padding=False, vmem_limit_bytes=vmem_limit_bytes,
+                chalo=chalo, **kern,
             )
 
-        out = jax.lax.fori_loop(0, n_blocks, body, (u, v))
+        def body_overlap(_, carry):
+            a, b = carry
+            h = halo
+            # 1) start the permutes...
+            a_top, a_bot = _exchange_start(a, r_loc, h)
+            b_top, b_bot = _exchange_start(b, r_loc, h)
+            # 2) ...interior tiles depend only on local rows, so this
+            # kernel call is schedulable while the exchange is in flight
+            # (its "halo" input rows are the real rows bordering the slab)
+            am, bm = ps.multistep_impl(
+                a[tr : r_loc - tr + 2 * h], b[tr : r_loc - tr + 2 * h],
+                origin + tr, r_total, 0, c_total, reaction, **kern,
+            )
+            # 3) edge slabs consume the arrivals
+            at, bt = ps.multistep_impl(
+                jnp.concatenate([a_top, a[h : h + tr + h]], 0),
+                jnp.concatenate([b_top, b[h : h + tr + h]], 0),
+                origin, r_total, 0, c_total, reaction, **kern,
+            )
+            lo = h + r_loc - tr - h
+            ab, bb = ps.multistep_impl(
+                jnp.concatenate([a[lo : h + r_loc], a_bot], 0),
+                jnp.concatenate([b[lo : h + r_loc], b_bot], 0),
+                origin + (r_loc - tr), r_total, 0, c_total, reaction,
+                **kern,
+            )
+            # 4) assemble in place (donated carry: in-place slab writes)
+            def put(x, top, mid, bot):
+                x = jax.lax.dynamic_update_slice(x, top[h : h + tr], (h, 0))
+                x = jax.lax.dynamic_update_slice(
+                    x, mid[h : h + r_loc - 2 * tr], (h + tr, 0)
+                )
+                return jax.lax.dynamic_update_slice(
+                    x, bot[h : h + tr], (h + r_loc - tr, 0)
+                )
+
+            return put(a, at, am, ab), put(b, bt, bm, bb)
+
+        out = jax.lax.fori_loop(
+            0, n_blocks, body_overlap if use_overlap else body, (u, v)
+        )
         return tuple(x[None, None] for x in out)
 
     spec = P(ROWS, COLS, None, None)

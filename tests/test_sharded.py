@@ -160,3 +160,93 @@ def test_sharded_tile_respects_compile_ceiling(params):
     tr = sim._tr((4096, 4096))
     assert ps.window_compile_ok(tr, sim.halo, 4096, "naive", 16)
     assert tr <= 208
+
+
+@pytest.mark.parametrize("boundary", ["naive", "zero"])
+def test_overlap_mode_bit_identical(rng, params, boundary):
+    """The interior/edge kernel split (halo-exchange overlap) computes
+    exactly the same windows in the same order: bit-identical to the
+    serialized path, and oracle-exact."""
+    u, v = random_uv(rng, (96, 16))  # 48 rows/shard = 6 tiles of 8
+    base_u, base_v = run_sharded(u, v, params, boundary, 9, 2,
+                                 block_rows=8, steps_per_call=4)
+    ov_u, ov_v = run_sharded(u, v, params, boundary, 9, 2,
+                             block_rows=8, steps_per_call=4, overlap=True)
+    np.testing.assert_array_equal(ov_u, base_u)
+    np.testing.assert_array_equal(ov_v, base_v)
+    ou, _ = oracle.run(u, v, params, 9, boundary)
+    np.testing.assert_allclose(ov_u, ou, rtol=0, atol=1e-6)
+
+
+def test_overlap_falls_back_when_too_few_tiles(rng, params):
+    """Shards of < 3 tiles cannot split; the mode silently serializes."""
+    u, v = random_uv(rng, (32, 16))  # 16 rows/shard = 2 tiles of 8
+    a = run_sharded(u, v, params, "naive", 4, 2, block_rows=8,
+                    steps_per_call=4, overlap=True)
+    b = run_sharded(u, v, params, "naive", 4, 2, block_rows=8,
+                    steps_per_call=4)
+    np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_overlap_interior_kernel_independent_of_permutes(params):
+    """The enabling property, asserted on the jaxpr: at least one
+    pallas_call per block (the interior tiles) has NO transitive data
+    dependency on any ppermute output — XLA is therefore free to schedule
+    it while the exchange is in flight."""
+    import jax.numpy as jnp
+
+    from grayscott_tpu.parallel import halo as H
+
+    mesh = H.make_mesh(2, 1)
+    h = 8
+    r_loc, c = 48, 16
+    u = jnp.zeros((2, 1, h + r_loc + h, c), jnp.float32)
+    v = jnp.zeros_like(u)
+
+    def fn(u, v):
+        return H.sharded_run_blocks(
+            u, v, jnp.int32(1), None, mesh=mesh, r_total=96, steps=4,
+            tr=8, params=params, boundary="naive", halo=h, interpret=True,
+            overlap=True,
+        )
+
+    jaxpr = jax.make_jaxpr(fn)(u, v)
+
+    def subjaxprs(params):
+        for val in params.values():
+            stack = [val]
+            while stack:
+                item = stack.pop()
+                if hasattr(item, "jaxpr") and hasattr(item, "consts"):
+                    yield item.jaxpr  # ClosedJaxpr
+                elif hasattr(item, "eqns"):
+                    yield item
+                elif isinstance(item, (tuple, list)):
+                    stack.extend(item)
+
+    def check(jx):
+        """Returns (found_any_pallas, found_independent_pallas)."""
+        tainted = set()
+        found, independent = False, False
+        for eqn in jx.eqns:
+            in_tainted = any(
+                hasattr(x, "count") and x in tainted for x in eqn.invars
+            )
+            name = eqn.primitive.name
+            for sub in subjaxprs(eqn.params):
+                f, i = check(sub)
+                found |= f
+                independent |= i
+            if name == "ppermute" or in_tainted:
+                tainted.update(eqn.outvars)
+            if name == "pallas_call":
+                found = True
+                if not in_tainted:
+                    independent = True
+        return found, independent
+
+    found, independent = check(jaxpr.jaxpr)
+    assert found, "no pallas_call found in the overlap jaxpr"
+    assert independent, (
+        "every pallas_call depends on a ppermute: no overlap is possible"
+    )
