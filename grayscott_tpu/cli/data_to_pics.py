@@ -78,13 +78,30 @@ def main(argv=None) -> int:
     width = int(math.log10(max(num_images, 1))) + 1
     progress = ProgressBar("Generating image", num_images)
 
+    n_writers = max(args.output_threads, 1)
     in_q: queue.Queue = queue.Queue(maxsize=max(args.input_buffer, 1))
     out_q: queue.Queue = queue.Queue(maxsize=max(args.output_buffer, 1))
+    # buffer-recycling return channels (the reference recycles snapshot
+    # and image buffers the same way, data-to-pics/src/main.rs:80-110):
+    # float input frames flow reader -> colorize -> back to the reader;
+    # RGB frames flow colorize -> PNG writer -> back to colorize. Buffer
+    # count is bounded by queue depth + pipeline stages in flight.
+    in_free: queue.Queue = queue.Queue()
+    rgb_free: queue.Queue = queue.Queue()
     errors: list[BaseException] = []
+
+    def recycled(free_q: queue.Queue):
+        try:
+            return free_q.get_nowait()
+        except queue.Empty:
+            return None
 
     def read_thread() -> None:
         try:
-            for img in reader:
+            while True:
+                img = reader.read(out=recycled(in_free))
+                if img is None:
+                    break
                 in_q.put(img)
         except BaseException as e:  # pragma: no cover
             errors.append(e)
@@ -107,6 +124,7 @@ def main(argv=None) -> int:
                     from PIL import Image as PILImage
 
                     PILImage.fromarray(rgb, "RGB").save(path)
+                rgb_free.put(rgb)
                 progress.inc(1)
         except BaseException as e:  # pragma: no cover
             errors.append(e)
@@ -136,7 +154,9 @@ def main(argv=None) -> int:
         img = in_q.get()
         if img is None or errors:
             break
-        if not put_checked((idx, colorize(img))):
+        rgb = colorize(img, out=recycled(rgb_free))
+        in_free.put(img)  # colorize consumed it; back to the reader
+        if not put_checked((idx, rgb)):
             break
         idx += 1
     for _ in writers:

@@ -79,10 +79,18 @@ class Reader:
     def num_images(self) -> int:
         return self._dataset.shape[0]
 
-    def read(self) -> Optional[np.ndarray]:
+    def read(self, out: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
+        """Next snapshot, or None at the end. ``out``: optional recycled
+        destination buffer (the buffer-recycling channel pattern of the
+        reference's pipelines, data-to-pics/src/main.rs:80-110) — must
+        match the image shape and dtype; decoded directly into it."""
         if self._position >= self.num_images:
             return None
-        out = np.asarray(self._dataset[self._position], dtype=Precision)
+        if out is not None and out.shape == self.image_shape \
+                and out.dtype == np.dtype(Precision):
+            self._dataset.read_direct(out, source_sel=np.s_[self._position])
+        else:
+            out = np.asarray(self._dataset[self._position], dtype=Precision)
         self._position += 1
         return out
 

@@ -23,6 +23,7 @@ _LIB_PATH = os.path.join(_DIR, "_gs_native.so")
 _lock = threading.Lock()
 _lib = None
 _tried = False
+_png_scratch = threading.local()
 
 
 def _build() -> bool:
@@ -130,7 +131,11 @@ def png_encode(rgb: np.ndarray, level: int = 6) -> bytes | None:
         raise ValueError(f"expected (H, W, 3) uint8, got {img.shape}")
     h, w = img.shape[:2]
     cap = int(lib.gs_png_bound(w, h))
-    out = np.empty(cap, dtype=np.uint8)
+    # recycled per-thread scratch (the encoder runs on N writer threads)
+    out = getattr(_png_scratch, "buf", None)
+    if out is None or out.size < cap:
+        out = np.empty(cap, dtype=np.uint8)
+        _png_scratch.buf = out
     n = lib.gs_png_encode(
         img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_int(w), ctypes.c_int(h), ctypes.c_int(level),
@@ -143,14 +148,20 @@ def png_encode(rgb: np.ndarray, level: int = 6) -> bytes | None:
 
 
 def colorize(values: np.ndarray, lut: np.ndarray, scale: float,
-             num_threads: int | None = None) -> np.ndarray | None:
-    """Native colorize; returns None if the library is unavailable."""
+             num_threads: int | None = None,
+             out: np.ndarray | None = None) -> np.ndarray | None:
+    """Native colorize; returns None if the library is unavailable.
+    ``out``: optional recycled destination (shape + (3,), uint8,
+    C-contiguous) — the buffer-recycling channel pattern of the
+    reference's pipelines (data-to-pics/src/main.rs:80-110)."""
     lib = load()
     if lib is None:
         return None
     v = np.ascontiguousarray(values, dtype=np.float32)
     lut8 = np.ascontiguousarray(lut, dtype=np.uint8)
-    out = np.empty(v.shape + (3,), dtype=np.uint8)
+    if out is None or out.shape != v.shape + (3,) or out.dtype != np.uint8 \
+            or not out.flags.c_contiguous:
+        out = np.empty(v.shape + (3,), dtype=np.uint8)
     if num_threads is None:
         num_threads = min(os.cpu_count() or 1, 8)
     lib.gs_colorize(

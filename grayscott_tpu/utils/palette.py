@@ -33,19 +33,21 @@ def inferno_lut(resolution: int = 256) -> np.ndarray:
     return _LUTS[resolution]
 
 
-def colorize(values: np.ndarray, scale: float = AMPLITUDE_SCALE) -> np.ndarray:
+def colorize(values: np.ndarray, scale: float = AMPLITUDE_SCALE,
+             out: np.ndarray | None = None) -> np.ndarray:
     """Map float concentrations to RGB8 via the INFERNO gradient.
 
     Equivalent to colorous ``Gradient::eval_continuous(scale * v)``: the
     input is clamped to [0, 1] and linearly interpolated in the 256-color
     table. Returns an (..., 3) uint8 array. Uses the multithreaded native
     C++ kernel (grayscott_tpu/native) when available, NumPy otherwise.
+    ``out``: optional recycled (..., 3) uint8 destination buffer.
     """
     from .. import native
 
-    out = native.colorize(np.asarray(values), inferno_lut(), scale)
-    if out is not None:
-        return out
+    res = native.colorize(np.asarray(values), inferno_lut(), scale, out=out)
+    if res is not None:
+        return res
     lut = inferno_lut().astype(np.float32)
     n = len(lut)
     t = np.clip(values * np.float32(scale), 0.0, 1.0).astype(np.float32)
@@ -54,4 +56,9 @@ def colorize(values: np.ndarray, scale: float = AMPLITUDE_SCALE) -> np.ndarray:
     hi = np.minimum(lo + 1, n - 1)
     frac = (x - lo)[..., None]
     rgb = lut[lo] * (1.0 - frac) + lut[hi] * frac
-    return (rgb + 0.5).astype(np.uint8)
+    rgb += 0.5
+    if out is not None and out.shape == rgb.shape \
+            and out.dtype == np.uint8:
+        np.copyto(out, rgb, casting="unsafe")
+        return out
+    return rgb.astype(np.uint8)

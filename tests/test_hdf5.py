@@ -41,3 +41,26 @@ def test_reader_rejects_wrong_rank(tmp_path):
 
     with pytest.raises(ValueError):
         Reader(path)
+
+
+def test_reader_recycled_buffer(tmp_path):
+    """Reader.read(out=...) decodes into the recycled buffer."""
+    import numpy as np
+
+    from grayscott_tpu.io.hdf5 import Reader, Writer
+
+    path = tmp_path / "r.h5"
+    imgs = [np.full((4, 6), i, np.float32) for i in range(3)]
+    with Writer(path, (4, 6), 3) as w:
+        for im in imgs:
+            w.write(im)
+    with Reader(path) as r:
+        buf = np.empty((4, 6), np.float32)
+        first = r.read(out=buf)
+        assert first is buf
+        np.testing.assert_array_equal(first, imgs[0])
+        # wrong-shape recycled buffer falls back to allocation
+        out = r.read(out=np.empty((2, 2), np.float32))
+        np.testing.assert_array_equal(out, imgs[1])
+        np.testing.assert_array_equal(r.read(), imgs[2])
+        assert r.read() is None

@@ -115,3 +115,21 @@ def test_stale_library_rebuilt(tmp_path, monkeypatch):
     lib = native.load()
     assert lib is not None, "ABI-mismatched library was not rebuilt"
     assert lib.gs_native_abi_version() == 2
+
+
+def test_colorize_out_recycling(rng):
+    """colorize(out=...) writes into the recycled buffer and matches the
+    allocating path bit-for-bit (native and NumPy fallback)."""
+    from grayscott_tpu.utils.palette import colorize
+
+    v = rng.uniform(-0.1, 1.1, (45, 67)).astype(np.float32)
+    fresh = colorize(v)
+    buf = np.zeros_like(fresh)
+    got = colorize(v, out=buf)
+    assert got is buf
+    np.testing.assert_array_equal(got, fresh)
+    # mismatched recycled buffer is ignored, not corrupted
+    bad = np.zeros((3, 3, 3), np.uint8)
+    got2 = colorize(v, out=bad)
+    assert got2 is not bad
+    np.testing.assert_array_equal(got2, fresh)
