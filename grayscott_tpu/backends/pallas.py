@@ -203,17 +203,20 @@ class PallasSimulation(Simulation):
         r, c = shape
         n_full, rem = divmod(steps, k)
         if self.runtime_params:
-            # executable keyed on weights only; the reaction scalars are a
-            # traced SMEM operand, so parameter changes do not recompile
+            # executable keyed on the weights plus ONE predicate (is dt
+            # exactly 1.0, the default — worth 2 folded multiplies/step);
+            # the reaction scalars ride a traced SMEM operand, so f/k/Du/
+            # Dv changes never recompile and a dt change recompiles once
             kernel_params = self.params.structure_only()
             reaction = ps.reaction_operand(self.params)
+            dt_is_one = bool(reaction[0, 4] == np.float32(1.0))
         else:
-            kernel_params, reaction = self.params, None
+            kernel_params, reaction, dt_is_one = self.params, None, False
         common = dict(
             tr=tr, tc=tc, chalo=chalo, params=kernel_params,
             boundary=self.boundary, halo=halo,
             interpret=self.interpret,
-            reaction=reaction,
+            reaction=reaction, dt_is_one=dt_is_one,
             # liveness scales with the f32 compute copies even when HBM
             # storage is bf16, so always budget at 4 bytes/element
             vmem_limit_bytes=self._vmem_limit(tr, tc, chalo, c, halo, 4),

@@ -110,14 +110,15 @@ class ShardedSimulation(Simulation):
         if self.runtime_params:
             kernel_params = self.params.structure_only()
             reaction = ps.reaction_operand(self.params)
+            dt_is_one = bool(reaction[0, 4] == np.float32(1.0))
         else:
-            kernel_params, reaction = self.params, None
+            kernel_params, reaction, dt_is_one = self.params, None, False
         common = dict(
             mesh=self.mesh, r_total=r, c_total=c,
             halo=self.halo, chalo=self.chalo,
             tr=tr, params=kernel_params,
             boundary=self.boundary, interpret=self.interpret,
-            overlap=self.overlap,
+            overlap=self.overlap, dt_is_one=dt_is_one,
         )
         if n_full:
             u, v = halo.sharded_run_blocks(

@@ -223,12 +223,16 @@ def make_window_stepper(
     out-of-domain columns are re-zeroed each step by the domain mask,
     mirroring the row machinery exactly.
 
-    ``reaction``: optional 5-tuple of traced f32 scalars
-    ``(du_rate, dv_rate, feed, min_feed_kill, dt)`` — the runtime-parameter
-    mode (the ``weights-runtime`` analog for the reaction constants,
-    data/src/parameters.rs:40-53): parameter changes reuse the compiled
-    kernel. ``None`` folds the values from ``params`` at trace time; both
-    modes are bit-identical (same f32 rounding, same op order).
+    ``reaction``: optional ``(du_rate, dv_rate, feed, min_feed_kill, dt,
+    dt_is_one)`` — five traced f32 scalars plus one STATIC bool — the
+    runtime-parameter mode (the ``weights-runtime`` analog for the
+    reaction constants, data/src/parameters.rs:40-53): parameter changes
+    reuse the compiled kernel. ``dt_is_one`` statically elides the two
+    ``du*dt``/``dv*dt`` multiplies when dt is exactly 1.0 (the default),
+    recovering what constant folding gave the static mode (2 of ~45
+    full-window ops/step, measured 3.5%). ``None`` folds everything from
+    ``params`` at trace time; all modes are bit-identical (same f32
+    rounding, same op order; ``x * 1.0 == x`` bitwise).
 
     Masking: out-of-domain rows are re-zeroed each step by a (W, 1)
     row-predicate select (columns too when ``chalo > 0``). Folding the
@@ -327,8 +331,9 @@ def make_window_stepper(
         f = float(Precision(params.feed_rate))
         mfk = float(params.min_feed_kill())
         dt = float(Precision(params.time_step))
+        dt_is_one = dt == 1.0
     else:
-        du_rate, dv_rate, f, mfk, dt = reaction
+        du_rate, dv_rate, f, mfk, dt, dt_is_one = reaction
 
     def precompute(giota, r_total, gcol, c_total):
         """Loop-invariant context: domain mask / per-row dt, boundary
@@ -385,8 +390,18 @@ def make_window_stepper(
         uv_square = u * v * v
         du = du_rate * full_u - uv_square + f * (1.0 - u)
         dv = dv_rate * full_v + uv_square + mfk * v
-        un = u + du * dt
-        vn = v + dv * dt
+        if dt_is_one:
+            # x * 1.0 == x bitwise: skipping the multiply is what static
+            # constant folding did, and it is worth 2 of the ~45 full-
+            # window ops/step (measured -3.5% when lost). The runtime-
+            # parameter mode therefore specializes on THIS predicate
+            # only: f/k/Du/Dv changes never recompile; a dt change away
+            # from the 1.0 default recompiles once to the general form.
+            un = u + du
+            vn = v + dv
+        else:
+            un = u + du * dt
+            vn = v + dv * dt
         un = jnp.where(ctx["dommask"], un, 0.0)
         vn = jnp.where(ctx["dommask"], vn, 0.0)
         return un, vn
@@ -397,10 +412,10 @@ def make_window_stepper(
 def _kernel(scal_ref, *refs,
             steps: int, tr: int, c: int, halo: int, chalo: int, params,
             boundary: str, tc: int | None = None,
-            runtime_params: bool = False):
+            runtime_params: bool = False, dt_is_one: bool = False):
     if runtime_params:
         react_ref, u_ref, v_ref, uo_ref, vo_ref = refs
-        reaction = tuple(react_ref[0, i] for i in range(5))
+        reaction = tuple(react_ref[0, i] for i in range(5)) + (dt_is_one,)
     else:
         u_ref, v_ref, uo_ref, vo_ref = refs
         reaction = None
@@ -466,7 +481,7 @@ def multistep_impl(
     *, steps: int, tr: int, params: Parameters, boundary: str,
     halo: int = HALO, chalo: int = 0, interpret: bool = False,
     vmem_limit_bytes: int | None = None, zero_padding: bool = True,
-    tc: int | None = None,
+    tc: int | None = None, dt_is_one: bool = False,
 ):
     """Advance padded state by ``steps`` (<= halo) simulation steps.
 
@@ -549,7 +564,7 @@ def multistep_impl(
     kernel = functools.partial(
         _kernel, steps=steps, tr=tr, c=w_cols, halo=halo, chalo=chalo,
         params=params, boundary=boundary, tc=tc,
-        runtime_params=reaction is not None,
+        runtime_params=reaction is not None, dt_is_one=dt_is_one,
     )
     zero_map = (lambda i: (0, 0)) if tc is None else (lambda i, j: (0, 0))
     in_specs = [pl.BlockSpec((1, 4), zero_map, memory_space=pltpu.SMEM)]
@@ -595,7 +610,8 @@ def multistep_impl(
 
 
 _STATIC = ("steps", "tr", "params", "boundary", "halo", "chalo",
-           "interpret", "vmem_limit_bytes", "zero_padding", "tc")
+           "interpret", "vmem_limit_bytes", "zero_padding", "tc",
+           "dt_is_one")
 
 multistep = jax.jit(
     multistep_impl,
@@ -615,7 +631,7 @@ def run_blocks(
     *, steps: int, tr: int, params: Parameters, boundary: str,
     halo: int = HALO, chalo: int = 0, interpret: bool = False,
     vmem_limit_bytes: int | None = None, zero_padding: bool = True,
-    tc: int | None = None,
+    tc: int | None = None, dt_is_one: bool = False,
 ):
     """Run ``n_blocks`` successive K-step kernel calls in ONE executable.
 
@@ -632,7 +648,7 @@ def run_blocks(
             steps=steps, tr=tr, params=params, boundary=boundary,
             halo=halo, chalo=chalo, interpret=interpret,
             vmem_limit_bytes=vmem_limit_bytes, zero_padding=zero_padding,
-            tc=tc,
+            tc=tc, dt_is_one=dt_is_one,
         )
 
     return jax.lax.fori_loop(0, n_blocks, body, (u_pad, v_pad))

@@ -91,7 +91,7 @@ def _exchange_start(x, r_loc: int, halo: int):
     jax.jit,
     static_argnames=("mesh", "r_total", "c_total", "steps", "tr", "params",
                      "boundary", "halo", "chalo", "interpret",
-                     "vmem_limit_bytes", "overlap"),
+                     "vmem_limit_bytes", "overlap", "dt_is_one"),
     donate_argnames=("u", "v"),
 )
 def sharded_run_blocks(
@@ -100,6 +100,7 @@ def sharded_run_blocks(
     params: Parameters, boundary: str, c_total: int | None = None,
     halo: int = ps.HALO, chalo: int = 0, interpret: bool = False,
     vmem_limit_bytes: int | None = None, overlap: bool = False,
+    dt_is_one: bool = False,
 ):
     """Run ``n_blocks`` K-step kernel blocks on mesh-sharded state.
 
@@ -145,6 +146,7 @@ def sharded_run_blocks(
             steps=steps, tr=tr, params=params, boundary=boundary,
             halo=halo, interpret=interpret,
             zero_padding=False, vmem_limit_bytes=vmem_limit_bytes,
+            dt_is_one=dt_is_one,
         )
 
         def body(_, carry):

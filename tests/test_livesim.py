@@ -132,10 +132,19 @@ def test_set_params_reuses_pallas_executable():
     src.next_rgb()
     before = src.species.result_host().copy()
     sizes = (ps.multistep._cache_size(), ps.run_blocks._cache_size())
-    src.set_params(feedrate=0.03, killrate=0.06, deltat=0.9)
+    src.set_params(feedrate=0.03, killrate=0.06)
     src.next_rgb()
     after = (ps.multistep._cache_size(), ps.run_blocks._cache_size())
     assert after == sizes, f"slider change recompiled: {sizes} -> {after}"
     # the state carried over and the new physics actually applies
     assert src.species.steps_performed == 2
     assert not np.array_equal(src.species.result_host(), before)
+    # the dt slider moving off 1.0 recompiles once (dt_is_one
+    # specialization), then all three sliders reuse that executable
+    src.set_params(deltat=0.9)
+    src.next_rgb()
+    grown = (ps.multistep._cache_size(), ps.run_blocks._cache_size())
+    src.set_params(deltat=0.8, feedrate=0.04)
+    src.next_rgb()
+    assert (ps.multistep._cache_size(),
+            ps.run_blocks._cache_size()) == grown

@@ -198,26 +198,28 @@ def test_runtime_params_reuse_executable(rng, params):
     from grayscott_tpu.ops import pallas_stencil as ps
 
     u, v = random_uv(rng, (16, 16))
-    variants = [
-        Parameters(),
-        Parameters(feed_rate=0.03),
-        Parameters(feed_rate=0.045, kill_rate=0.06),
-        Parameters(time_step=0.5),
-    ]
-    sizes = None
-    for p in variants:
+
+    def run(p):
         sim = PallasSimulation(p, boundary="naive", interpret=True,
                                block_rows=8, runtime_params=True)
         species = sim.make_species(u.shape)
         species.storage = sim.build_storage(u, v)
         sim.perform_steps(species, 17)  # exercises run_blocks AND multistep
-        now = (ps.multistep._cache_size(), ps.run_blocks._cache_size())
-        if sizes is None:
-            sizes = now  # first variant pays the compiles
-        else:
-            assert now == sizes, (
-                f"parameter change recompiled the kernel: {sizes} -> {now}"
-            )
+        return (ps.multistep._cache_size(), ps.run_blocks._cache_size())
+
+    sizes = run(Parameters())  # first variant pays the compiles
+    for p in (Parameters(feed_rate=0.03),
+              Parameters(feed_rate=0.045, kill_rate=0.06)):
+        now = run(p)
+        assert now == sizes, (
+            f"parameter change recompiled the kernel: {sizes} -> {now}"
+        )
+    # dt moving off the 1.0 default recompiles ONCE (the dt_is_one
+    # specialization loses its folded multiplies) ...
+    sizes_dt = run(Parameters(time_step=0.5))
+    assert sizes_dt > sizes
+    # ... and further dt/f/k changes reuse the general executable
+    assert run(Parameters(time_step=0.25, feed_rate=0.02)) == sizes_dt
     # a structural change (different stencil) SHOULD recompile
     sim = PallasSimulation(Parameters.with_stencil("5points"),
                            boundary="naive", interpret=True, block_rows=8,
