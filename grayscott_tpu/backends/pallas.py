@@ -46,6 +46,7 @@ class PallasSimulation(Simulation):
         vmem_limit_bytes: int | None = None,
         dtype: str = "float32",
         runtime_params: bool = True,
+        resident: str = "auto",
         **kwargs,
     ):
         self._explicit_k = steps_per_call is not None
@@ -74,6 +75,14 @@ class PallasSimulation(Simulation):
         # only, so feed/kill/dt changes (livesim sliders, parameter scans)
         # reuse the compiled kernel. Bit-identical to the static mode.
         self.runtime_params = runtime_params
+        # VMEM-resident fast path for small domains (ops.pallas_stencil
+        # .resident_multistep): 'auto' uses it on TPU f32 runs whose state
+        # fits the budget, unless the user pinned tile geometry (pins mean
+        # "I want THE windowed kernel with these tiles" — also what the
+        # autotuner relies on)
+        if resident not in ("auto", "on", "off"):
+            raise ValueError(f"resident must be auto/on/off, got {resident!r}")
+        self.resident = resident
         # opt-in bf16 STORAGE mode (beyond-reference capability): state
         # rides HBM in bf16 — half the memory traffic and footprint (wins
         # on memory-bound configs and doubles the max domain per chip) —
@@ -164,7 +173,29 @@ class PallasSimulation(Simulation):
                 k = int(tk)
         return k, ps.halo_for_steps(k)
 
+    def _use_resident(self, shape) -> bool:
+        if self.resident == "on":
+            return True
+        return (
+            self.resident == "auto"
+            and not self.interpret  # keep CPU/test runs on the windowed path
+            and self.dtype == jnp.float32
+            and ps.resident_ok(shape)
+            and self.block_rows is None
+            and self.block_cols is None
+            and not self._explicit_k
+        )
+
     def build_storage(self, u: np.ndarray, v: np.ndarray):
+        if self._use_resident(u.shape):
+            rp = -(-u.shape[0] // 8) * 8
+            cp = -(-u.shape[1] // 128) * 128
+            out = []
+            for x in (u, v):
+                buf = np.zeros((rp, cp), dtype=np.float32)
+                buf[: u.shape[0], : u.shape[1]] = x
+                out.append(jnp.asarray(buf))
+            return ("resident", out[0], out[1])
         tuned = self._lookup_tuned(u.shape)
         k, halo = self._tuned_k(tuned)
         tr, tc, chalo = self._tiles(u.shape, tuned, halo)
@@ -174,8 +205,11 @@ class PallasSimulation(Simulation):
                 halo, k)
 
     def extract_uv(self, storage, shape) -> Tuple[jax.Array, jax.Array]:
-        u_pad, v_pad, _, _, chalo, h, _ = storage
         r, c = shape
+        if storage[0] == "resident":
+            _, u_res, v_res = storage
+            return u_res[:r, :c], v_res[:r, :c]
+        u_pad, v_pad, _, _, chalo, h, _ = storage
         u = u_pad[h : h + r, chalo : chalo + c]
         v = v_pad[h : h + r, chalo : chalo + c]
         if self.dtype != jnp.float32:  # consumers (HDF5, views) expect f32
@@ -198,20 +232,32 @@ class PallasSimulation(Simulation):
             tr, halo, w_cols, dtype_bytes, self.boundary
         )
 
-    def run_steps(self, storage, shape, steps: int):
-        u, v, tr, tc, chalo, halo, k = storage
-        r, c = shape
-        n_full, rem = divmod(steps, k)
+    def _reaction(self):
+        """(kernel_params, reaction operand, dt_is_one) per the mode."""
         if self.runtime_params:
-            # executable keyed on the weights plus ONE predicate (is dt
-            # exactly 1.0, the default — worth 2 folded multiplies/step);
-            # the reaction scalars ride a traced SMEM operand, so f/k/Du/
-            # Dv changes never recompile and a dt change recompiles once
-            kernel_params = self.params.structure_only()
             reaction = ps.reaction_operand(self.params)
-            dt_is_one = bool(reaction[0, 4] == np.float32(1.0))
-        else:
-            kernel_params, reaction, dt_is_one = self.params, None, False
+            return (self.params.structure_only(), reaction,
+                    bool(reaction[0, 4] == np.float32(1.0)))
+        return self.params, None, False
+
+    def run_steps(self, storage, shape, steps: int):
+        r, c = shape
+        if storage[0] == "resident":
+            _, u, v = storage
+            kernel_params, reaction, dt_is_one = self._reaction()
+            u, v = ps.resident_multistep(
+                u, v, jnp.int32(steps), reaction,
+                r=r, c=c, params=kernel_params, boundary=self.boundary,
+                interpret=self.interpret, dt_is_one=dt_is_one,
+            )
+            return ("resident", u, v)
+        u, v, tr, tc, chalo, halo, k = storage
+        n_full, rem = divmod(steps, k)
+        # runtime mode: executable keyed on the weights plus ONE predicate
+        # (is dt exactly 1.0, the default — worth 2 folded multiplies per
+        # step); the reaction scalars ride a traced SMEM operand, so f/k/
+        # Du/Dv changes never recompile and a dt change recompiles once
+        kernel_params, reaction, dt_is_one = self._reaction()
         common = dict(
             tr=tr, tc=tc, chalo=chalo, params=kernel_params,
             boundary=self.boundary, halo=halo,
@@ -259,6 +305,12 @@ class PallasSimulation(Simulation):
             "semantics",
         )
         parser.add_argument(
+            "--pallas-resident", choices=["auto", "on", "off"],
+            default=env_default("GRAYSCOTT_PALLAS_RESIDENT", "auto"),
+            help="VMEM-resident whole-domain fast path for small domains "
+            "(auto: on TPU when the f32 state fits and no tile is pinned)",
+        )
+        parser.add_argument(
             "--pallas-runtime-params",
             choices=["on", "off"],
             default=env_default("GRAYSCOTT_PALLAS_RUNTIME_PARAMS", "on"),
@@ -286,4 +338,5 @@ class PallasSimulation(Simulation):
             "dtype": getattr(ns, "pallas_dtype", "float32"),
             "runtime_params": getattr(
                 ns, "pallas_runtime_params", "on") != "off",
+            "resident": getattr(ns, "pallas_resident", "auto"),
         }

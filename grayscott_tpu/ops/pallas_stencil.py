@@ -206,6 +206,8 @@ def _left_col_strip(x, w: np.ndarray, ok_s, chalo: int = 0):
 def make_window_stepper(
     params: Parameters, boundary: str, w_rows: int, c: int, halo: int = HALO,
     chalo: int = 0, dtype=Precision, reaction=None,
+    zero_fill_rows: bool = False, mask_rows: bool = True,
+    mask_cols: bool | None = None,
 ):
     """Build the per-window step for one in-VMEM iteration.
 
@@ -253,13 +255,24 @@ def make_window_stepper(
             s = d if d >= 0 else x.shape[1] + d
             return pltpu.roll(x, s, axis=1)
 
+    if zero_fill_rows:
+        # resident (halo-free) layout: row edges are true domain edges,
+        # so row shifts zero-fill like the column shifts do
+        def shift_rows(x, d):
+            n = x.shape[0]
+            rolled = pltpu.roll(x, d if d >= 0 else n + d, axis=0)
+            ri = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+            return jnp.where(ri == (0 if d == 1 else n - 1), 0.0, rolled)
+    else:
+        shift_rows = _shift_rows  # wrap garbage absorbed by the halo ring
+
     if plan[0] == "separable":
         _, h, alpha = plan
         h0, h1 = float(h[0]), float(h[1])
 
         def laplacian(x, b_field):
             t = h1 * x + h0 * (shift_cols(x, 1) + shift_cols(x, -1))
-            s = h1 * t + h0 * (_shift_rows(t, 1) + _shift_rows(t, -1))
+            s = h1 * t + h0 * (shift_rows(t, 1) + shift_rows(t, -1))
             if boundary == "zero":
                 return s - float(alpha) * x
             return s - x * b_field
@@ -284,7 +297,7 @@ def make_window_stepper(
             for i in range(3):
                 for j in range(3):
                     src = (xw, x, xe)[j]
-                    out[(i, j)] = src if i == 1 else _shift_rows(src, 1 - i)
+                    out[(i, j)] = src if i == 1 else shift_rows(src, 1 - i)
             return out
 
         def laplacian(x, b_field):
@@ -342,17 +355,23 @@ def make_window_stepper(
         ctx = {
             "b_field": make_b_field(giota, r_total, gcol, c_total),
         }
-        rows_in = jnp.logical_and(giota >= 0, giota < r_total)
-        if chalo == 0:
-            # (W, 1) predicate select: measured on v5e, folding the mask
-            # into a per-row dt VECTOR instead (saving the two selects)
-            # blows Mosaic stack liveness by ~9.5 MB — the compiler
-            # materializes the broadcast multiplicand at full window
-            # size, same failure as round 1's (W, C) dt_field fold
-            ctx["dommask"] = rows_in
-        else:
+        # Out-of-domain cells are re-zeroed each step by a predicate
+        # select ((W, 1) row predicate for full-width windows; joined
+        # with a column predicate for column-haloed/column-padded
+        # layouts; None for exact-fit resident layouts, saving 2 full-
+        # window selects/step). Measured on v5e: folding the mask into a
+        # per-row dt VECTOR instead blows Mosaic stack liveness by
+        # ~9.5 MB — the compiler materializes broadcast multiplicands at
+        # full window size, same failure as round 1's (W, C) dt_field.
+        need_cols = (chalo > 0) if mask_cols is None else mask_cols
+        mask = None
+        if mask_rows:
+            mask = jnp.logical_and(giota >= 0, giota < r_total)
+        if need_cols:
             cols_in = jnp.logical_and(gcol >= 0, gcol < c_total)
-            ctx["dommask"] = jnp.logical_and(rows_in, cols_in)
+            mask = cols_in if mask is None else \
+                jnp.logical_and(mask, cols_in)
+        ctx["dommask"] = mask
         if boundary == "naive":
             in_dom = jnp.logical_and(giota >= 1, giota < r_total)
             ctx["col0_mask"] = jnp.logical_and(gcol == 0, in_dom)
@@ -402,8 +421,9 @@ def make_window_stepper(
         else:
             un = u + du * dt
             vn = v + dv * dt
-        un = jnp.where(ctx["dommask"], un, 0.0)
-        vn = jnp.where(ctx["dommask"], vn, 0.0)
+        if ctx["dommask"] is not None:
+            un = jnp.where(ctx["dommask"], un, 0.0)
+            vn = jnp.where(ctx["dommask"], vn, 0.0)
         return un, vn
 
     return precompute, step
@@ -652,6 +672,112 @@ def run_blocks(
         )
 
     return jax.lax.fori_loop(0, n_blocks, body, (u_pad, v_pad))
+
+
+def _resident_kernel(scal_ref, *refs, rp: int, cp: int, r: int, c: int,
+                     params, boundary: str, runtime_params: bool,
+                     dt_is_one: bool):
+    if runtime_params:
+        react_ref, u_ref, v_ref, uo_ref, vo_ref = refs
+        reaction = tuple(react_ref[0, i] for i in range(5)) + (dt_is_one,)
+    else:
+        u_ref, v_ref, uo_ref, vo_ref = refs
+        reaction = None
+    precompute, step = make_window_stepper(
+        params, boundary, rp, cp, halo=0, chalo=0, dtype=jnp.float32,
+        reaction=reaction, zero_fill_rows=True,
+        mask_rows=(rp != r), mask_cols=(cp != c),
+    )
+    giota = jax.lax.broadcasted_iota(jnp.int32, (rp, 1), 0)
+    gcol = _col_iota(cp)
+    ctx = precompute(giota, r, gcol, c)
+    n_steps = scal_ref[0, 0]
+
+    def body(_, uv):
+        return step(uv[0], uv[1], ctx)
+
+    u, v = jax.lax.fori_loop(0, n_steps, body, (u_ref[:], v_ref[:]))
+    uo_ref[:] = u
+    vo_ref[:] = v
+
+
+#: Largest per-species state (bytes) the resident kernel auto-selects:
+#: the whole domain plus the step loop's live temporaries must fit VMEM
+#: (128 MB physical). At 9 MB/array the measured stack-liveness ratio
+#: (~13x one array) stays under the 120 MB scoped tier with margin.
+RESIDENT_MAX_BYTES = 9 << 20
+
+
+def resident_ok(shape, dtype_bytes: int = 4) -> bool:
+    r, c = shape
+    rp = -(-r // 8) * 8
+    cp = -(-c // 128) * 128
+    return rp * cp * dtype_bytes <= RESIDENT_MAX_BYTES
+
+
+def resident_multistep_impl(
+    u_res, v_res, n_steps, reaction=None,
+    *, r: int, c: int, params: Parameters, boundary: str,
+    interpret: bool = False, vmem_limit_bytes: int | None = None,
+    dt_is_one: bool = False,
+):
+    """Advance a VMEM-RESIDENT domain by ``n_steps`` (traced!) steps.
+
+    The small-domain fast path (the reference-default 1080x1920 is
+    8.3 MB/species): the whole padded (Rp, Cp) state loads into VMEM
+    once, a ``lax.fori_loop`` inside the kernel runs ALL requested steps
+    — no halo windows, no redundant overlap compute, no per-K-block
+    fixed cost, one kernel launch per ``prepare_steps`` — and the result
+    stores once. Row shifts zero-fill like column shifts (no halo ring
+    exists), and exact-fit domains skip the domain mask entirely, so the
+    per-step op count is the windowed kernel's minus its masking. The
+    step count rides SMEM: snapshot cadences and step totals never
+    recompile. This is the regime the reference's `block` backend
+    reaches when the grid fits L2 (compute/block/src/lib.rs:30-111) —
+    on TPU the "cache" is 128 MB of software-managed VMEM, so the
+    entire flagship workload fits.
+    """
+    rp, cp = u_res.shape
+    scalars = jnp.asarray(n_steps, jnp.int32).reshape(1, 1)
+    kernel = functools.partial(
+        _resident_kernel, rp=rp, cp=cp, r=r, c=c, params=params,
+        boundary=boundary, runtime_params=reaction is not None,
+        dt_is_one=dt_is_one,
+    )
+    zero_map = lambda: (0, 0)  # noqa: E731
+    in_specs = [pl.BlockSpec((1, 1), zero_map, memory_space=pltpu.SMEM)]
+    operands = [scalars]
+    if reaction is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 5), zero_map, memory_space=pltpu.SMEM)
+        )
+        operands.append(jnp.asarray(reaction, jnp.float32).reshape(1, 5))
+    full = pl.BlockSpec((rp, cp), zero_map, memory_space=pltpu.VMEM)
+    in_specs += [full, full]
+    operands += [u_res, v_res]
+    return pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=[full, full],
+        out_shape=[
+            jax.ShapeDtypeStruct(u_res.shape, u_res.dtype),
+            jax.ShapeDtypeStruct(v_res.shape, v_res.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes or (120 << 20),
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+_RESIDENT_STATIC = ("r", "c", "params", "boundary", "interpret",
+                    "vmem_limit_bytes", "dt_is_one")
+
+resident_multistep = jax.jit(
+    resident_multistep_impl,
+    static_argnames=_RESIDENT_STATIC,
+    donate_argnames=("u_res", "v_res"),
+)
 
 
 def pad_state(

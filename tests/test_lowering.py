@@ -58,3 +58,24 @@ def test_column_tiled_lowers_for_tpu():
 def test_bf16_storage_lowers_for_tpu():
     exp = _export_multistep("zero", True, dtype=jnp.bfloat16)
     assert "tpu_custom_call" in exp.mlir_module()
+
+
+@pytest.mark.parametrize("boundary", ["naive", "zero"])
+def test_resident_kernel_lowers_for_tpu(boundary):
+    """The VMEM-resident kernel (in-kernel fori_loop, zero-filled row
+    shifts) must lower to Mosaic, for exact-fit and padded domains."""
+    params = Parameters()
+    for r, c in ((64, 256), (60, 250)):
+        rp, cp = -(-r // 8) * 8, -(-c // 128) * 128
+        u = jnp.zeros((rp, cp), jnp.float32)
+        v = jnp.ones_like(u)
+
+        def fn(u, v):
+            return ps.resident_multistep_impl(
+                u, v, jnp.int32(32), ps.reaction_operand(params),
+                r=r, c=c, params=params.structure_only(),
+                boundary=boundary, dt_is_one=True,
+            )
+
+        exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(u, v)
+        assert "tpu_custom_call" in exp.mlir_module()

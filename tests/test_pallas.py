@@ -228,3 +228,53 @@ def test_runtime_params_reuse_executable(rng, params):
     species.storage = sim.build_storage(u, v)
     sim.perform_steps(species, 17)
     assert ps.multistep._cache_size() > sizes[0]
+
+
+@pytest.mark.parametrize("boundary", ["naive", "zero"])
+@pytest.mark.parametrize("shape", [(24, 16), (17, 23)])
+def test_resident_kernel_parity(rng, params, boundary, shape):
+    """The VMEM-resident whole-domain kernel (zero-filled row shifts,
+    in-kernel fori_loop, optional domain-mask skip on exact-fit shapes)
+    matches the oracle for aligned AND unaligned domains."""
+    u, v = random_uv(rng, shape)
+    ou, ov = oracle.run(u, v, params, 7, boundary)
+    gu, gv = run_pallas(u, v, params, boundary, 7, resident="on")
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_resident_step_count_is_traced(rng, params):
+    """Different step counts (snapshot cadences) reuse one executable."""
+    from grayscott_tpu.ops import pallas_stencil as ps
+
+    u, v = random_uv(rng, (16, 16))
+    sim = PallasSimulation(params, boundary="naive", interpret=True,
+                           resident="on")
+    species = sim.make_species(u.shape)
+    species.storage = sim.build_storage(u, v)
+    sim.perform_steps(species, 3)
+    size = ps.resident_multistep._cache_size()
+    sim.perform_steps(species, 11)
+    sim.perform_steps(species, 1)
+    assert ps.resident_multistep._cache_size() == size
+    ou, ov = oracle.run(u, v, params, 15, "naive")
+    gu, gv = species.uv_host()
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+
+
+def test_resident_auto_selection(params):
+    """'auto' picks resident only on hardware-like settings with no pins;
+    pins and big domains keep the windowed kernel."""
+    from grayscott_tpu.ops import pallas_stencil as ps
+
+    sim = PallasSimulation(params, interpret=False)
+    sim.interpret = False
+    assert sim._use_resident((1080, 1920))
+    assert not sim._use_resident((4096, 4096))  # state > budget
+    assert ps.resident_ok((1080, 1920)) and not ps.resident_ok((2048, 2048))
+    pinned = PallasSimulation(params, block_rows=256, interpret=False)
+    pinned.interpret = False
+    assert not pinned._use_resident((1080, 1920))
+    off = PallasSimulation(params, resident="off", interpret=False)
+    off.interpret = False
+    assert not off._use_resident((64, 64))
