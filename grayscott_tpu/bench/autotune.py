@@ -87,7 +87,7 @@ def _wide_domain_candidates(
     # column-tiled naive candidate is later rejected by _guard_ok and
     # tuning degrades to the fallback configs
     ceiling = ps.COMPILE_CEILING_CELL_STEPS / (
-        1.25 if boundary == "naive" else 1.0
+        ps.NAIVE_COMPILE_DERATE if boundary == "naive" else 1.0
     )
     for cfg in base:
         halo = ps.halo_for_steps(cfg["steps_per_call"])

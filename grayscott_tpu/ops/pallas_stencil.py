@@ -813,6 +813,14 @@ def pad_state(
 COMPILE_CEILING_CELL_STEPS = 20_000_000
 
 
+#: Naive-boundary compile-cost derate. Round 1 measured 1.25 on the v2
+#: kernel ((288, 4096) x16 naive never compiled within 25 min); on the
+#: v3 kernel the same config compiles and runs (56.7 Gcell/s, sweep
+#: r2-v3b), so the derate is down to 1.05 — enough margin to keep the
+#: exact boundary case honest without re-closing the (256, 16) tile.
+NAIVE_COMPILE_DERATE = 1.05
+
+
 def window_compile_ok(
     tr: int, halo: int, w_cols: int, boundary: str = "zero",
     steps: int | None = None,
@@ -822,7 +830,7 @@ def window_compile_ok(
     compile-tractable."""
     cell_steps = (tr + 2 * halo) * w_cols * (steps or halo)
     limit = COMPILE_CEILING_CELL_STEPS / (
-        1.25 if boundary == "naive" else 1.0
+        NAIVE_COMPILE_DERATE if boundary == "naive" else 1.0
     )
     return cell_steps <= limit
 

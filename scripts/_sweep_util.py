@@ -24,13 +24,14 @@ cfg = json.loads(__CFG__)
 shape = tuple(cfg.get("shape", (4096, 4096)))
 sim = PallasSimulation(
     Parameters(), boundary=cfg.get("boundary", "zero"),
-    block_rows=cfg["tr"], steps_per_call=cfg["k"],
+    block_rows=cfg.get("tr"), steps_per_call=cfg.get("k"),
     block_cols=cfg.get("tc"),
     dtype=cfg.get("dtype", "float32"),
     vmem_limit_bytes=cfg.get("limit"),
     runtime_params=cfg.get("rt", True),
+    resident=cfg.get("resident", "auto"),
 )
-steps = cfg.get("steps", max(64 * cfg["k"], 256))
+steps = cfg.get("steps", max(64 * cfg.get("k", 16), 256))
 res = run_one(sim, shape, steps, "compute", reps=3)
 print("RESULT " + json.dumps({"config": cfg, **res.to_json()}), flush=True)
 """

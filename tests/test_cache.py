@@ -163,7 +163,8 @@ def test_per_species_tuned_k_isolation(monkeypatch, tmp_path, params):
         store[key] = {"block_rows": 16, "steps_per_call": k,
                       "block_cols": None}
     c.save_autotune(store)
-    sim = PallasSimulation(params, boundary="zero", interpret=True)
+    sim = PallasSimulation(params, boundary="zero", interpret=True,
+                           resident="off")  # windowed path under test
     sim.interpret = False  # allow k adoption; kernels never run here
     spa = sim.make_species(shape_a)
     spb = sim.make_species(shape_b)

@@ -164,14 +164,14 @@ def test_choose_block_rows_minimizes_window_volume():
     1080 to 1464 rows, ~36% masked compute)."""
     from grayscott_tpu.ops.pallas_stencil import choose_block_rows
 
-    # naive 1080p: tr=544 is past the derated compile ceiling; among the
-    # remaining, the padding-free 360 (3x392 window rows) beats the old
-    # 488 (3x520)
-    assert choose_block_rows(1080, 1920, boundary="naive") == 360
-    # zero-border keeps the measured champions
+    # with the v3-kernel naive derate (1.05; (256,16)x4096-naive compiles
+    # and measures 56.7, sweep r2-v3b) both boundaries share the measured
+    # zero champions; the padding-scored 360 (3x392) would win at 1080p
+    # if 544 were ever re-closed by the ceiling
+    assert choose_block_rows(1080, 1920, boundary="naive") == 544
     assert choose_block_rows(1080, 1920, boundary="zero") == 544
     assert choose_block_rows(4096, 4096, boundary="zero") == 256
-    assert choose_block_rows(4096, 4096, boundary="naive") == 208
+    assert choose_block_rows(4096, 4096, boundary="naive") == 256
     assert choose_block_rows(8192, 8192, boundary="zero") == 120
     # a domain shorter than one tile clamps to its padded height
     assert choose_block_rows(24, 32) == 24
