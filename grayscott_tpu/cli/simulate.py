@@ -51,6 +51,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="Size of the image buffer between the compute and I/O thread",
     )
     parser.add_argument(
+        "--snapshot-dtype", choices=["float32", "bfloat16"],
+        default="float32",
+        help="Precision of the device->host snapshot TRANSFER. bfloat16 "
+        "halves the bytes over bandwidth-starved links (tunneled or "
+        "remote chips); the HDF5 file stays float32 (upcast host-side), "
+        "at ~3 significant digits — visualization-grade, not "
+        "parity-grade",
+    )
+    parser.add_argument(
         "--checkpoint", default=None,
         help="Write full simulation state (U and V) here when done, "
         "for later --resume (capability the reference lacks)",
@@ -139,20 +148,36 @@ def main(argv=None) -> int:
     try:
         import jax.numpy as jnp
 
+        # optional device-side downcast of the snapshot TRANSFER (the
+        # device-to-host link is the bottleneck on tunneled/remote chips:
+        # measured ~43 MB/s vs 66 Gcell/s compute in round 1); the HDF5
+        # layout stays float32 either way
+        transfer_dtype = (
+            jnp.bfloat16 if args.snapshot_dtype == "bfloat16" else None
+        )
+
+        def snap():
+            v = species.result()
+            return v if transfer_dtype is None else v.astype(transfer_dtype)
+
+        def to_host(x):
+            out = dist.fetch(x)
+            return out.astype(np.float32) if transfer_dtype else out
+
         pending = None  # device array whose transfer overlaps the next batch
         for _ in range(args.nbimage):
             # Enqueue the next batch + an independent snapshot copy on the
             # device stream (prepare_steps is asynchronous).
             sim.prepare_steps(species, steps_per_image)
-            snapshot = jnp.copy(species.result())
+            snapshot = jnp.copy(snap())
             if pending is not None:
                 # sync point: previous image only
-                put_checked(dist.fetch(pending))
+                put_checked(to_host(pending))
             pending = snapshot
             if error:
                 raise error[0]
         if pending is not None:
-            put_checked(dist.fetch(pending))
+            put_checked(to_host(pending))
     finally:
         put_checked(None)
         t.join()

@@ -197,3 +197,26 @@ def test_simulate_autotune_flag(tmp_path, monkeypatch):
         __import__("grayscott_tpu.params", fromlist=["Parameters"])
         .Parameters(), (24, 32), "naive",
     )["block_rows"] == 8
+
+
+def test_simulate_snapshot_dtype_bf16(tmp_path):
+    """--snapshot-dtype bfloat16 halves the transfer; the HDF5 file stays
+    float32 and matches the f32 run to bf16 precision."""
+    import h5py
+    import numpy as np
+
+    from grayscott_tpu.cli import simulate
+
+    a = tmp_path / "f32.h5"
+    b = tmp_path / "bf16.h5"
+    base = ["-n", "3", "-r", "24", "-c", "32", "-e", "4",
+            "--backend", "fused"]
+    assert simulate.main(base + ["-o", str(a)]) == 0
+    assert simulate.main(
+        base + ["-o", str(b), "--snapshot-dtype", "bfloat16"]
+    ) == 0
+    with h5py.File(a) as fa, h5py.File(b) as fb:
+        va, vb = fa["matrix"][:], fb["matrix"][:]
+    assert vb.dtype == np.float32
+    np.testing.assert_allclose(va, vb, rtol=0, atol=0.01)
+    assert np.abs(va - vb).max() > 0  # rounding actually happened
