@@ -33,17 +33,18 @@ from ..utils import cache
 Candidate = Union[Tuple[int, int], Mapping]
 
 DEFAULT_CANDIDATES: Tuple[Mapping, ...] = (
-    # (block_rows, steps_per_call); measured on the v2 kernel on v5e:
+    # (block_rows, steps_per_call); measured on the v2/v3 kernels on v5e:
     # the step loop is VPU-bound, so large tiles win on halo redundancy —
-    # (256, 16) -> 65.6 Gcell/s zero-border at 4096^2 (1.28x the
-    # single-step HBM roofline). The taller tiles win on narrower domains
-    # ((544, 16) -> 38.2 at 1080x1920 vs 33.6 for (256, 16)) and are
-    # auto-skipped by the compile-ceiling guard where the window would be
-    # too wide to compile (e.g. at C=4096).
+    # (256, 16) is the champion at 4096^2 for BOTH boundaries since the
+    # v3 naive compile-derate relaxation (65.6 zero / 56.7 naive). Taller
+    # tiles win on narrower domains ((544, 16) -> 38.2 at 1080x1920 vs
+    # 33.6 for (256, 16); the padding-scored 360 beats 488 there when 544
+    # is ceiling-blocked). Candidates past the compile ceiling for a
+    # given width are auto-skipped.
     dict(block_rows=256, steps_per_call=16),
     dict(block_rows=192, steps_per_call=16),
     dict(block_rows=544, steps_per_call=16),
-    dict(block_rows=368, steps_per_call=16),
+    dict(block_rows=360, steps_per_call=16),
     dict(block_rows=96, steps_per_call=8),
 )
 
