@@ -100,3 +100,43 @@ class Simulation(abc.ABC):
     def args_from_namespace(cls, ns: argparse.Namespace) -> Dict[str, Any]:
         """Extract this backend's kwargs from parsed CLI args."""
         return {}
+
+
+class StepwiseSimulation(Simulation):
+    """Shared base for the one-jitted-step-per-host-call rungs (the
+    reference's blanket ``SimulateStep`` loop, compute/shared/src/cpu.rs:
+    30-42): plain (u, v) device storage, stepping via ops.stencil.step.
+    Subclasses choose the formulation with :attr:`exact`."""
+
+    #: use the bit-faithful gather formulation for the naive boundary
+    #: (the oracle's twin) instead of the fused shift algebra
+    exact = False
+
+    def __init__(self, params: Parameters, boundary: str = "naive",
+                 **kwargs):
+        super().__init__(params, boundary)
+        import jax
+
+        from ..ops import stencil
+
+        exact = self.exact and boundary == "naive"
+
+        @jax.jit
+        def _one_step(u, v):
+            return stencil.step(u, v, params, boundary, exact=exact)
+
+        self._one_step = _one_step
+
+    def build_storage(self, u: np.ndarray, v: np.ndarray):
+        import jax.numpy as jnp
+
+        return (jnp.asarray(u), jnp.asarray(v))
+
+    def extract_uv(self, storage: Any, shape) -> Tuple[Any, Any]:
+        return storage
+
+    def run_steps(self, storage: Any, shape, steps: int):
+        u, v = storage
+        for _ in range(steps):
+            u, v = self._one_step(u, v)
+        return (u, v)

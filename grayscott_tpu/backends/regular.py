@@ -14,37 +14,8 @@ Unlike `fused`, each step is a separate device dispatch (the reference's
 
 from __future__ import annotations
 
-from typing import Tuple
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from ..ops import stencil
-from ..params import Parameters
-from .base import Simulation
+from .base import StepwiseSimulation
 
 
-class RegularSimulation(Simulation):
+class RegularSimulation(StepwiseSimulation):
     name = "regular"
-
-    def __init__(self, params: Parameters, boundary: str = "naive", **kwargs):
-        super().__init__(params, boundary)
-
-        @jax.jit
-        def _one_step(u, v):
-            return stencil.step(u, v, params, boundary)
-
-        self._one_step = _one_step
-
-    def build_storage(self, u: np.ndarray, v: np.ndarray):
-        return (jnp.asarray(u), jnp.asarray(v))
-
-    def extract_uv(self, storage, shape) -> Tuple[jax.Array, jax.Array]:
-        return storage
-
-    def run_steps(self, storage, shape, steps: int):
-        u, v = storage
-        for _ in range(steps):
-            u, v = self._one_step(u, v)
-        return (u, v)
