@@ -149,9 +149,10 @@ def test_sharded_bf16(params):
 
 def test_sharded_tile_respects_compile_ceiling(params):
     """The sharded tile heuristic must see boundary/halo so the Mosaic
-    compile-ceiling guard applies to the per-shard window (a naive
-    full-width C=4096 shard at tr=256 is the measured pathological
-    compile)."""
+    compile-ceiling guard applies to the per-shard window. With the v3
+    kernel's 1.05 naive derate (hardware-validated: naive (256,16)@4096
+    compiles and runs, sweep r2-v3b) the naive tile may match the zero
+    tile but must still pass the guard."""
     from grayscott_tpu.backends.sharded import ShardedSimulation
     from grayscott_tpu.ops import pallas_stencil as ps
 
@@ -159,7 +160,7 @@ def test_sharded_tile_respects_compile_ceiling(params):
                             steps_per_call=16)
     tr = sim._tr((4096, 4096))
     assert ps.window_compile_ok(tr, sim.halo, 4096, "naive", 16)
-    assert tr <= 208
+    assert tr <= 256
 
 
 @pytest.mark.parametrize("boundary", ["naive", "zero"])
