@@ -47,6 +47,7 @@ class PallasSimulation(Simulation):
         dtype: str = "float32",
         runtime_params: bool = True,
         resident: str = "auto",
+        fold: str | int = "off",
         **kwargs,
     ):
         self._explicit_k = steps_per_call is not None
@@ -83,6 +84,17 @@ class PallasSimulation(Simulation):
         if resident not in ("auto", "on", "off"):
             raise ValueError(f"resident must be auto/on/off, got {resident!r}")
         self.resident = resident
+        # lane-fold layout for narrow zero-boundary domains (see
+        # ops.pallas_stencil "lane-fold layout"): an int pins the fold
+        # factor F; 'auto' widens narrow domains toward the measured
+        # full-rate lane width; 'off' (default until hardware-validated)
+        # keeps the plain layout
+        if isinstance(fold, str):
+            if fold not in ("auto", "off"):
+                raise ValueError(f"fold must be auto/off/int, got {fold!r}")
+        elif not (isinstance(fold, int) and fold >= 1):
+            raise ValueError(f"fold must be auto/off/int >= 1, got {fold!r}")
+        self.fold = fold
         # opt-in bf16 STORAGE mode (beyond-reference capability): state
         # rides HBM in bf16 — half the memory traffic and footprint (wins
         # on memory-bound configs and doubles the max domain per chip) —
@@ -173,6 +185,31 @@ class PallasSimulation(Simulation):
                 k = int(tk)
         return k, ps.halo_for_steps(k)
 
+    def _fold_factor(self, shape) -> int:
+        """Lane-fold factor F for this domain (1 = plain layout)."""
+        r, c = shape
+        if isinstance(self.fold, int):
+            if self.fold > 1:
+                if self.boundary != "zero":
+                    raise ValueError(
+                        "fold supports the zero boundary only (the naive "
+                        "edge strips are per-panel narrow slices)"
+                    )
+                if self.dtype != jnp.float32 or self.block_cols is not None:
+                    raise ValueError(
+                        "fold excludes bf16 storage and column tiling"
+                    )
+            return self.fold
+        if (
+            self.fold == "off"
+            or self.boundary != "zero"
+            or self.dtype != jnp.float32
+            or self.block_cols is not None
+            or self.interpret  # perf heuristic; tests pin F explicitly
+        ):
+            return 1
+        return ps.choose_fold(r, c, self.halo)
+
     def _use_resident(self, shape) -> bool:
         if self.resident == "on":
             return True
@@ -187,6 +224,17 @@ class PallasSimulation(Simulation):
         )
 
     def build_storage(self, u: np.ndarray, v: np.ndarray):
+        f = self._fold_factor(u.shape)
+        if f > 1:
+            r, c = u.shape
+            k, halo = self.steps_per_call, self.halo
+            tr = self.block_rows or ps.choose_block_rows(
+                -(-r // f), f * c, halo=halo, boundary=self.boundary
+            )
+            rp = ps.fold_geometry(r, f, tr)
+            u_pad, v_pad = ps.fold_state(u, v, f, tr, halo)
+            return ("folded", jnp.asarray(u_pad), jnp.asarray(v_pad),
+                    tr, halo, k, f, rp)
         if self._use_resident(u.shape):
             rp = -(-u.shape[0] // 8) * 8
             cp = -(-u.shape[1] // 128) * 128
@@ -206,6 +254,10 @@ class PallasSimulation(Simulation):
 
     def extract_uv(self, storage, shape) -> Tuple[jax.Array, jax.Array]:
         r, c = shape
+        if storage[0] == "folded":
+            _, u_pad, v_pad, _, halo, _, f, _ = storage
+            return (ps.unfold_state(u_pad, halo, f, c, r),
+                    ps.unfold_state(v_pad, halo, f, c, r))
         if storage[0] == "resident":
             _, u_res, v_res = storage
             return u_res[:r, :c], v_res[:r, :c]
@@ -242,6 +294,32 @@ class PallasSimulation(Simulation):
 
     def run_steps(self, storage, shape, steps: int):
         r, c = shape
+        if storage[0] == "folded":
+            _, u, v, tr, halo, k, f, rp = storage
+            kernel_params, reaction, dt_is_one = self._reaction()
+            common = dict(
+                tr=tr, params=kernel_params, boundary=self.boundary,
+                halo=halo, interpret=self.interpret,
+                dt_is_one=dt_is_one,
+                fold=(f, c, rp),
+                vmem_limit_bytes=self.vmem_limit_bytes
+                or ps.choose_vmem_limit(tr, halo, f * c, 4, self.boundary,
+                                        fold=True),
+            )
+            n_full, rem = divmod(steps, k)
+            if n_full:
+                u, v = ps.run_blocks(
+                    u, v, -halo, r, jnp.int32(n_full), reaction=reaction,
+                    steps=k, **common,
+                )
+            if rem:
+                # the remainder block still needs its halo refresh first,
+                # so it runs through the same folded block loop
+                u, v = ps.run_blocks(
+                    u, v, -halo, r, jnp.int32(1), reaction=reaction,
+                    steps=rem, **common,
+                )
+            return ("folded", u, v, tr, halo, k, f, rp)
         if storage[0] == "resident":
             _, u, v = storage
             kernel_params, reaction, dt_is_one = self._reaction()
@@ -311,6 +389,14 @@ class PallasSimulation(Simulation):
             "(auto: on TPU when the f32 state fits and no tile is pinned)",
         )
         parser.add_argument(
+            "--pallas-fold",
+            default=env_default("GRAYSCOTT_PALLAS_FOLD", "off"),
+            help="Lane-fold factor for narrow zero-boundary domains: an "
+            "integer F computes F row-panels side by side along lanes "
+            "(full VPU rate on narrow domains), 'auto' picks F from the "
+            "domain width, 'off' (default) keeps the plain layout",
+        )
+        parser.add_argument(
             "--pallas-runtime-params",
             choices=["on", "off"],
             default=env_default("GRAYSCOTT_PALLAS_RUNTIME_PARAMS", "on"),
@@ -339,4 +425,11 @@ class PallasSimulation(Simulation):
             "runtime_params": getattr(
                 ns, "pallas_runtime_params", "on") != "off",
             "resident": getattr(ns, "pallas_resident", "auto"),
+            "fold": cls._parse_fold(getattr(ns, "pallas_fold", "off")),
         }
+
+    @staticmethod
+    def _parse_fold(value):
+        if isinstance(value, str) and value not in ("auto", "off"):
+            return int(value)
+        return value

@@ -208,6 +208,7 @@ def make_window_stepper(
     chalo: int = 0, dtype=Precision, reaction=None,
     zero_fill_rows: bool = False, mask_rows: bool = True,
     mask_cols: bool | None = None,
+    fold: Tuple[int, int, int] | None = None,
 ):
     """Build the per-window step for one in-VMEM iteration.
 
@@ -243,11 +244,46 @@ def make_window_stepper(
     (round 2) each add ~9.5 MB of Mosaic stack liveness — the compiler
     materializes broadcast multiplicands at full window size — and OOM
     the scoped-VMEM budget at the production tile sizes.
+
+    ``fold = (F, Cd, Rp)``: the lane-fold layout for narrow domains —
+    ``F`` row-panels of the true ``(R, Cd)`` domain (panel ``p`` = global
+    rows ``[p*Rp, (p+1)*Rp)``) sit side by side along lanes, so the
+    kernel computes on ``F*Cd``-wide windows (VPU per-op throughput at
+    1920-wide windows measured ~58% of 4096-wide at equal window size).
+    Column shifts zero-fill at every panel seam (each panel spans the
+    full column range, so seams ARE the true domain column edges), and
+    the domain-row mask becomes panel-dependent (a (W, F*Cd) predicate).
+    Inter-panel halo rows are refreshed OUTSIDE the kernel every K-step
+    block by :func:`fold_refresh` — the sharded backend's ppermute halo
+    exchange pattern, but across lane space within one chip.
     """
     plan = params.separable_plan()
     w = params.weights_array()
+    if fold is not None:
+        if boundary != "zero" or chalo != 0:
+            raise ValueError(
+                "fold supports the zero boundary without column halos"
+            )
+        fold_f, fold_cd, fold_rp = fold
 
-    if chalo == 0:
+    if fold is not None:
+
+        def shift_cols(x, d):
+            # panel-seam zero fill: column edges of EVERY panel are true
+            # domain column edges. F-1 extra (1, C)-row compares per
+            # shift; the full-window select is the same one the unfolded
+            # path pays.
+            cc = x.shape[1]
+            s = d if d >= 0 else cc + d
+            rolled = pltpu.roll(x, s, axis=1)
+            ci = _col_iota(cc)
+            base = 0 if d == 1 else fold_cd - 1
+            m = ci == base
+            for p in range(1, fold_f):
+                m = jnp.logical_or(m, ci == p * fold_cd + base)
+            return jnp.where(m, 0.0, rolled)
+
+    elif chalo == 0:
         shift_cols = _shift_cols  # zero-fill at the (true global) lane edges
     else:
 
@@ -365,7 +401,24 @@ def make_window_stepper(
         # full window size, same failure as round 1's (W, C) dt_field.
         need_cols = (chalo > 0) if mask_cols is None else mask_cols
         mask = None
-        if mask_rows:
+        if fold is not None:
+            # panel-dependent row validity: window row w of the panel at
+            # column c holds global row (c // Cd)*Rp + w. Express the
+            # in-domain test as (W, 1)-vs-(1, F*Cd) broadcast compares so
+            # no (W, F*Cd) int32 field is materialized — only the boolean
+            # mask (built once per window). Out-of-range cells include
+            # panel 0's top halo rows and everything past R: both are
+            # true domain boundary, kept zero every step. Halo rows of
+            # interior panels map to REAL global rows, so the mask keeps
+            # them live — they hold neighbor-panel data refreshed every
+            # K-step block by fold_refresh.
+            poff = jnp.zeros_like(gcol)
+            for p in range(1, fold_f):
+                poff = poff + jnp.where(
+                    gcol >= p * fold_cd, jnp.int32(fold_rp), jnp.int32(0)
+                )
+            mask = jnp.logical_and(giota >= -poff, giota < r_total - poff)
+        elif mask_rows:
             mask = jnp.logical_and(giota >= 0, giota < r_total)
         if need_cols:
             cols_in = jnp.logical_and(gcol >= 0, gcol < c_total)
@@ -432,7 +485,8 @@ def make_window_stepper(
 def _kernel(scal_ref, *refs,
             steps: int, tr: int, c: int, halo: int, chalo: int, params,
             boundary: str, tc: int | None = None,
-            runtime_params: bool = False, dt_is_one: bool = False):
+            runtime_params: bool = False, dt_is_one: bool = False,
+            fold: Tuple[int, int, int] | None = None):
     if runtime_params:
         react_ref, u_ref, v_ref, uo_ref, vo_ref = refs
         reaction = tuple(react_ref[0, i] for i in range(5)) + (dt_is_one,)
@@ -450,7 +504,7 @@ def _kernel(scal_ref, *refs,
     store_dtype = u_ref.dtype
     precompute, step = make_window_stepper(
         params, boundary, w_rows, c, halo, chalo, dtype=jnp.float32,
-        reaction=reaction,
+        reaction=reaction, fold=fold,
     )
     origin = scal_ref[0, 0]
     r_total = scal_ref[0, 1]
@@ -502,6 +556,7 @@ def multistep_impl(
     halo: int = HALO, chalo: int = 0, interpret: bool = False,
     vmem_limit_bytes: int | None = None, zero_padding: bool = True,
     tc: int | None = None, dt_is_one: bool = False,
+    fold: Tuple[int, int, int] | None = None,
 ):
     """Advance padded state by ``steps`` (<= halo) simulation steps.
 
@@ -538,6 +593,15 @@ def multistep_impl(
     rp = rp_full - 2 * halo
     if rp % tr != 0 or tr % 8 != 0:
         raise ValueError(f"interior rows {rp} must be a multiple of tr={tr} (tr % 8 == 0)")
+    if fold is not None:
+        fold_f, fold_cd, fold_rp = fold
+        if tc is not None or chalo != 0:
+            raise ValueError("fold excludes column tiling/halos")
+        if fold_f * fold_cd != c or fold_rp != rp:
+            raise ValueError(
+                f"fold {fold} inconsistent with padded state "
+                f"({rp_full}, {c})"
+            )
     if c_total is None:
         c_total = c  # single-chip, no column halos
     w_rows = tr + 2 * halo
@@ -585,6 +649,7 @@ def multistep_impl(
         _kernel, steps=steps, tr=tr, c=w_cols, halo=halo, chalo=chalo,
         params=params, boundary=boundary, tc=tc,
         runtime_params=reaction is not None, dt_is_one=dt_is_one,
+        fold=fold,
     )
     zero_map = (lambda i: (0, 0)) if tc is None else (lambda i, j: (0, 0))
     in_specs = [pl.BlockSpec((1, 4), zero_map, memory_space=pltpu.SMEM)]
@@ -631,7 +696,7 @@ def multistep_impl(
 
 _STATIC = ("steps", "tr", "params", "boundary", "halo", "chalo",
            "interpret", "vmem_limit_bytes", "zero_padding", "tc",
-           "dt_is_one")
+           "dt_is_one", "fold")
 
 multistep = jax.jit(
     multistep_impl,
@@ -652,6 +717,7 @@ def run_blocks(
     halo: int = HALO, chalo: int = 0, interpret: bool = False,
     vmem_limit_bytes: int | None = None, zero_padding: bool = True,
     tc: int | None = None, dt_is_one: bool = False,
+    fold: Tuple[int, int, int] | None = None,
 ):
     """Run ``n_blocks`` successive K-step kernel calls in ONE executable.
 
@@ -660,15 +726,25 @@ def run_blocks(
     is the loop carry (XLA reuses the donated HBM buffers in place). This
     is the analog of the reference recording every step into one command
     buffer and submitting once (compute/gpu/naive/src/lib.rs:117-128).
+
+    In the lane-fold layout (``fold``), each iteration starts with the
+    inter-panel halo refresh — a few XLA row copies, fused into the same
+    device dispatch — and the kernel's padding-row re-zeroing is skipped
+    (the next refresh overwrites every padding row).
     """
 
     def body(_, carry):
+        u, v = carry
+        if fold is not None:
+            u = fold_refresh(u, halo, *fold)
+            v = fold_refresh(v, halo, *fold)
         return multistep_impl(
-            *carry, origin, r_total, origin_c, c_total, reaction,
+            u, v, origin, r_total, origin_c, c_total, reaction,
             steps=steps, tr=tr, params=params, boundary=boundary,
             halo=halo, chalo=chalo, interpret=interpret,
-            vmem_limit_bytes=vmem_limit_bytes, zero_padding=zero_padding,
-            tc=tc, dt_is_one=dt_is_one,
+            vmem_limit_bytes=vmem_limit_bytes,
+            zero_padding=zero_padding and fold is None,
+            tc=tc, dt_is_one=dt_is_one, fold=fold,
         )
 
     return jax.lax.fori_loop(0, n_blocks, body, (u_pad, v_pad))
@@ -802,6 +878,98 @@ def pad_state(
     return out[0], out[1]
 
 
+# -- lane-fold layout ---------------------------------------------------------
+#
+# Narrow domains underuse the VPU: at equal window size, per-op throughput
+# on 1920-wide windows measured ~58% of 4096-wide (see BENCHMARKS.md width
+# probe). The fold layout places F row-panels of the (R, Cd) domain side by
+# side along lanes — state (halo + Rp + halo, F*Cd) — so every kernel op
+# runs at the wide-array rate. Panel seams are true domain column edges
+# (each panel spans the full column range); the shared top/bottom padding
+# rows double as inter-panel halos, refreshed every K-step block from the
+# neighboring panel's edge rows (fold_refresh): the sharded backend's halo
+# exchange (parallel/halo.py), but via plain XLA row copies across lane
+# space within one chip. Zero-boundary only; cost = 2*halo/Rp redundant
+# rows plus a few row copies per K steps.
+
+
+def fold_geometry(r: int, f: int, tr: int) -> int:
+    """Panel row stride Rp: ceil(R/F) rounded up so the folded interior
+    (= Rp) is a multiple of the row tile. Panels partition [0, R) by
+    stride; rows past R (last panel only) are out-of-domain, kept zero by
+    the kernel's fold mask."""
+    rp0 = -(-r // f)
+    return -(-rp0 // tr) * tr
+
+
+def fold_state(
+    u: np.ndarray, v: np.ndarray, f: int, tr: int, halo: int = HALO,
+    dtype=Precision,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack (R, C) concentrations into the lane-fold layout
+    ``(halo + Rp + halo, F*C)``. Halo rows start zero — the first
+    :func:`fold_refresh` (every run_blocks iteration starts with one)
+    fills them before the kernel reads them."""
+    r, c = u.shape
+    rp = fold_geometry(r, f, tr)
+    out = []
+    for x in (u, v):
+        flat = np.zeros((f * rp, c), dtype=dtype)
+        flat[:r] = x.astype(dtype)
+        panels = flat.reshape(f, rp, c).transpose(1, 0, 2).reshape(rp, f * c)
+        buf = np.zeros((halo + rp + halo, f * c), dtype=dtype)
+        buf[halo : halo + rp] = panels
+        out.append(buf)
+    return out[0], out[1]
+
+
+def unfold_state(x_pad, halo: int, f: int, cd: int, r: int):
+    """Recover the (R, Cd) domain from lane-fold state (device or host)."""
+    rp = x_pad.shape[0] - 2 * halo
+    interior = x_pad[halo : halo + rp]
+    flat = interior.reshape(rp, f, cd).transpose(1, 0, 2).reshape(f * rp, cd)
+    return flat[:r]
+
+
+def fold_refresh(x, halo: int, f: int, cd: int, rp: int):
+    """Refresh inter-panel halo rows of lane-fold state.
+
+    Panel p's top ``halo`` padding rows get panel p-1's last ``halo``
+    interior rows (global rows [p*Rp - halo, p*Rp)); its bottom padding
+    rows get panel p+1's first ``halo`` interior rows. The outermost
+    panels' outward halos are true domain boundary: zero. A (wr, F*Cd)
+    <-> (wr, F, Cd) reshape is layout-free (lanes stay minor-most), so
+    this is a handful of row copies fused into the surrounding dispatch.
+    """
+    wr = x.shape[0]
+    x3 = x.reshape(wr, f, cd)
+    zeros = jnp.zeros((halo, 1, cd), dtype=x.dtype)
+    # last `halo` interior rows sit at [rp, rp + halo) (interior spans
+    # [halo, halo + rp)); first `halo` interior rows at [halo, 2*halo)
+    top = jnp.concatenate([zeros, x3[rp : rp + halo, : f - 1]], axis=1)
+    bottom = jnp.concatenate([x3[halo : 2 * halo, 1:], zeros], axis=1)
+    x3 = jnp.concatenate([top, x3[halo : halo + rp], bottom], axis=0)
+    return x3.reshape(wr, f * cd)
+
+
+#: Lane width below which folding pays (the width probe's crossover:
+#: 4096-wide windows hit full VPU rate; 1920-wide ~58% of it).
+FOLD_TARGET_LANES = 3840
+
+
+def choose_fold(r: int, c: int, halo: int = 16) -> int:
+    """Fold factor F (1 = don't fold) for a (r, c) zero-boundary domain:
+    widen narrow domains toward :data:`FOLD_TARGET_LANES` lanes while
+    keeping the 2*halo/Rp redundant-row overhead under ~15% and at least
+    two row tiles of interior per panel."""
+    if c >= FOLD_TARGET_LANES:
+        return 1
+    f = min(-(-FOLD_TARGET_LANES // c), 8)
+    while f > 1 and (r // f) < max(14 * halo, 2 * 8):
+        f -= 1
+    return f
+
+
 #: Mosaic compile-tractability ceiling, measured on the v5e remote
 #: compiler. The cost driver is the K-unrolled kernel graph size, i.e.
 #: window cells x fused steps: every config at <= ~19.7M cell-steps
@@ -882,7 +1050,7 @@ COL_HALO = 128
 
 def choose_vmem_limit(
     tr: int, halo: int, w_cols: int, dtype_bytes: int = 4,
-    boundary: str = "zero",
+    boundary: str = "zero", fold: bool = False,
 ) -> int:
     """Scoped-VMEM limit for Mosaic, scaled with the tile footprint.
 
@@ -896,6 +1064,8 @@ def choose_vmem_limit(
     est = anchor * w_rows * w_cols * dtype_bytes
     if boundary == "naive":
         est *= 1.25
+    if fold:
+        est *= 1.10  # the (W, F*Cd) panel-row mask stays live in the loop
     for tier in (64 << 20, 100 << 20, 120 << 20):
         if est <= tier:
             return tier

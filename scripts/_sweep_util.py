@@ -30,6 +30,7 @@ sim = PallasSimulation(
     vmem_limit_bytes=cfg.get("limit"),
     runtime_params=cfg.get("rt", True),
     resident=cfg.get("resident", "auto"),
+    fold=cfg.get("fold", "off"),
 )
 steps = cfg.get("steps", max(64 * cfg.get("k", 16), 256))
 res = run_one(sim, shape, steps, "compute", reps=3)

@@ -1,0 +1,128 @@
+"""Lane-fold layout validation (interpreter mode on CPU) against the
+NumPy oracle.
+
+The fold layout (ops/pallas_stencil.py "lane-fold layout") computes F
+row-panels of a narrow domain side by side along lanes, with inter-panel
+halo rows refreshed every K-step block — the sharded backend's halo
+exchange, but across lane space within one chip. These tests cover the
+refresh cadence (steps spanning several K-blocks), uneven panel
+partitions (dead rows in the last panel), remainder blocks, and the
+fold/unfold round trip.
+"""
+
+import numpy as np
+import pytest
+
+from grayscott_tpu import oracle
+from grayscott_tpu.backends.pallas import PallasSimulation
+from grayscott_tpu.ops import pallas_stencil as ps
+from grayscott_tpu.params import Parameters
+
+from conftest import random_uv
+
+
+def run_folded(u, v, params, steps, fold, **kw):
+    sim = PallasSimulation(params, boundary="zero", interpret=True,
+                           fold=fold, **kw)
+    species = sim.make_species(u.shape)
+    species.storage = sim.build_storage(u, v)
+    assert species.storage[0] == "folded"
+    sim.perform_steps(species, steps)
+    return species.uv_host()
+
+
+def test_fold_state_round_trip(rng):
+    u, v = random_uv(rng, (37, 24))
+    uf, vf = ps.fold_state(u, v, 3, 8, halo=8)
+    rp = ps.fold_geometry(37, 3, 8)
+    assert uf.shape == (8 + rp + 8, 3 * 24)
+    back = ps.unfold_state(uf, 8, 3, 24, 37)
+    np.testing.assert_array_equal(np.asarray(back), u)
+    np.testing.assert_array_equal(
+        np.asarray(ps.unfold_state(vf, 8, 3, 24, 37)), v
+    )
+
+
+@pytest.mark.parametrize("steps", [1, 8, 19])
+def test_folded_parity_even_panels(rng, params, steps):
+    """F=2 over 32 rows: panels partition evenly; 19 steps = 2 full
+    K=8 blocks + remainder 3, so the inter-panel refresh runs mid-run."""
+    u, v = random_uv(rng, (32, 16))
+    ou, ov = oracle.run(u, v, params, steps, "zero")
+    gu, gv = run_folded(u, v, params, steps, fold=2, block_rows=8)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_folded_parity_uneven_panels(rng, params):
+    """R=37, F=3 => Rp=16 with dead rows past R in the last panel; the
+    fold mask must keep them (and panel 0's top halo) zero."""
+    u, v = random_uv(rng, (37, 24))
+    ou, ov = oracle.run(u, v, params, 9, "zero")
+    gu, gv = run_folded(u, v, params, 9, fold=3, block_rows=8)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_folded_matches_unfolded(rng, params):
+    """Folding only changes op geometry, not the math. A fold with F=1
+    (same array shape as plain) is bitwise identical; F>1 runs the same
+    op chain on a wider array, where the compiler's FMA contraction may
+    round single ops differently (probed at (96, 128): first diff is
+    1 ulp at the V-box corner — the max-gradient cells — propagating at
+    1 cell/step, the classic reassociation signature; panel seams and
+    edges stay exact). So: F=1 bitwise, F=2 within a tight budget."""
+    u, v = random_uv(rng, (48, 16))
+
+    def plain(tr):
+        sim = PallasSimulation(params, boundary="zero", interpret=True,
+                               block_rows=tr)
+        species = sim.make_species(u.shape)
+        species.storage = sim.build_storage(u, v)
+        sim.perform_steps(species, 8)
+        return species.uv_host()
+
+    wu, wv = plain(8)
+    fu1 = ps.fold_state(u, v, 1, 8, 8)
+    ou, ov = ps.run_blocks(
+        np.asarray(fu1[0]), np.asarray(fu1[1]), -8, 48, 1,
+        steps=8, tr=8, params=params, boundary="zero", halo=8,
+        interpret=True, fold=(1, 16, 48),
+    )
+    np.testing.assert_array_equal(
+        ps.unfold_state(np.asarray(ou), 8, 1, 16, 48), wu
+    )
+    np.testing.assert_array_equal(
+        ps.unfold_state(np.asarray(ov), 8, 1, 16, 48), wv
+    )
+    pu, pv = run_folded(u, v, params, 8, fold=2, block_rows=8)
+    np.testing.assert_allclose(pu, wu, rtol=0, atol=3e-7)
+    np.testing.assert_allclose(pv, wv, rtol=0, atol=3e-7)
+
+
+def test_folded_runtime_params(rng):
+    """The runtime-parameter SMEM operand composes with fold."""
+    params = Parameters(feed_rate=0.03, kill_rate=0.059)
+    u, v = random_uv(rng, (32, 16))
+    ou, ov = oracle.run(u, v, params, 6, "zero")
+    gu, gv = run_folded(u, v, params, 6, fold=2, block_rows=8,
+                        runtime_params=True)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_fold_rejects_naive_boundary(params):
+    sim = PallasSimulation(params, boundary="naive", interpret=True, fold=2)
+    with pytest.raises(ValueError, match="zero boundary"):
+        sim.make_species((32, 16))
+
+
+def test_choose_fold_heuristic():
+    # reference default 1080x1920 -> F=2 (3840 lanes)
+    assert ps.choose_fold(1080, 1920) == 2
+    # already wide: no fold
+    assert ps.choose_fold(4096, 4096) == 1
+    # 2048^2 -> F=2 (4096 lanes)
+    assert ps.choose_fold(2048, 2048) == 2
+    # too short to amortize the halo redundancy: no fold
+    assert ps.choose_fold(128, 256) == 1

@@ -60,6 +60,32 @@ def test_bf16_storage_lowers_for_tpu():
     assert "tpu_custom_call" in exp.mlir_module()
 
 
+@pytest.mark.parametrize("runtime", [True, False])
+def test_folded_lowers_for_tpu(runtime):
+    """The lane-fold layout (panel-seam column masks + panel-dependent
+    row mask + inter-panel refresh) must lower to Mosaic — at the real
+    1080x1920 F=2 production geometry, through run_blocks (refresh
+    included)."""
+    params = Parameters()
+    r, c, f, tr = 1080, 1920, 2, 272
+    rp = ps.fold_geometry(r, f, tr)
+    wr = 16 + rp + 16
+    u = jnp.zeros((wr, f * c), jnp.float32)
+    v = jnp.ones_like(u)
+    reaction = ps.reaction_operand(params) if runtime else None
+    kernel_params = params.structure_only() if runtime else params
+
+    def fn(u, v):
+        return ps.run_blocks(
+            u, v, -16, r, jnp.int32(2), reaction=reaction,
+            steps=16, tr=tr, params=kernel_params, boundary="zero",
+            halo=16, fold=(f, c, rp), dt_is_one=runtime,
+        )
+
+    exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(u, v)
+    assert "tpu_custom_call" in exp.mlir_module()
+
+
 @pytest.mark.parametrize("boundary", ["naive", "zero"])
 def test_resident_kernel_lowers_for_tpu(boundary):
     """The VMEM-resident kernel (in-kernel fori_loop, zero-filled row
