@@ -190,20 +190,22 @@ class PallasSimulation(Simulation):
         r, c = shape
         if isinstance(self.fold, int):
             if self.fold > 1:
-                if self.boundary != "zero":
-                    raise ValueError(
-                        "fold supports the zero boundary only (the naive "
-                        "edge strips are per-panel narrow slices)"
-                    )
                 if self.dtype != jnp.float32 or self.block_cols is not None:
                     raise ValueError(
                         "fold excludes bf16 storage and column tiling"
                     )
+                if (self.boundary == "naive" and c % 128 != 0
+                        and not self.interpret):
+                    raise ValueError(
+                        "naive fold on hardware needs the domain width "
+                        "to be a multiple of 128 (panel strip extraction "
+                        "is lane-tile aligned)"
+                    )
             return self.fold
         if (
             self.fold == "off"
-            or self.boundary != "zero"
             or self.dtype != jnp.float32
+            or (self.boundary == "naive" and c % 128 != 0)
             or self.block_cols is not None
             or self.interpret  # perf heuristic; tests pin F explicitly
         ):

@@ -260,10 +260,8 @@ def make_window_stepper(
     plan = params.separable_plan()
     w = params.weights_array()
     if fold is not None:
-        if boundary != "zero" or chalo != 0:
-            raise ValueError(
-                "fold supports the zero boundary without column halos"
-            )
+        if chalo != 0:
+            raise ValueError("fold excludes column halos")
         fold_f, fold_cd, fold_rp = fold
 
     if fold is not None:
@@ -313,11 +311,19 @@ def make_window_stepper(
                 return s - float(alpha) * x
             return s - x * b_field
 
-        def make_b_field(giota, r_total, gcol, c_total):
+        def make_b_field(giota, r_total, gcol, c_total, lcol=None, poff=None):
             if boundary == "zero":
                 return None
-            cs = _col_sums(gcol, c_total, h, dtype)
-            edge = jnp.logical_or(giota == 0, giota == r_total - 1)
+            # folded: panel-local columns and panel row offsets make the
+            # edge tests per-panel ((W,1)-vs-(1,F*Cd) broadcasts)
+            cs = _col_sums(lcol if lcol is not None else gcol,
+                           c_total, h, dtype)
+            if poff is None:
+                edge = jnp.logical_or(giota == 0, giota == r_total - 1)
+            else:
+                edge = jnp.logical_or(
+                    giota == -poff, giota == r_total - 1 - poff
+                )
             rs = jnp.where(
                 edge, jnp.asarray(float(h[1] + h[2]), dtype),
                 jnp.asarray(float(h.sum()), dtype),
@@ -351,25 +357,29 @@ def make_window_stepper(
                         full = full + float(w[i][j]) * taps[(i, j)]
             return full - x * b_field
 
-        def make_b_field(giota, r_total, gcol, c_total):
+        def make_b_field(giota, r_total, gcol, c_total, lcol=None, poff=None):
             if boundary == "zero":
                 return None
             # per-column sums of in-bounds weights for each stencil row i
+            col = lcol if lcol is not None else gcol
             cw = []
             for i in range(3):
-                mid = jnp.full(gcol.shape, float(w[i].sum()), dtype)
+                mid = jnp.full(col.shape, float(w[i].sum()), dtype)
                 row = jnp.where(
-                    gcol == 0, jnp.asarray(float(w[i][1] + w[i][2]), dtype),
+                    col == 0, jnp.asarray(float(w[i][1] + w[i][2]), dtype),
                     mid,
                 )
                 row = jnp.where(
-                    gcol == c_total - 1,
+                    col == c_total - 1,
                     jnp.asarray(float(w[i][0] + w[i][1]), dtype), row,
                 )
                 cw.append(row)
-            ok_top = (giota >= 1).astype(dtype)
-            ok_bot = (giota <= r_total - 2).astype(dtype)
-            rok = (ok_top, jnp.ones_like(ok_top), ok_bot)
+            top_lim = 1 if poff is None else 1 - poff
+            bot_lim = r_total - 2 if poff is None else r_total - 2 - poff
+            ok_top = (giota >= top_lim).astype(dtype)
+            ok_bot = (giota <= bot_lim).astype(dtype)
+            one = jnp.asarray(1.0, dtype)
+            rok = (ok_top, one, ok_bot)
             return rok[0] * cw[0] + rok[1] * cw[1] + rok[2] * cw[2]
 
     if reaction is None:
@@ -388,8 +398,24 @@ def make_window_stepper(
         """Loop-invariant context: domain mask / per-row dt, boundary
         weight-sum field, strip masks — several full-window VPU ops, paid
         once per window."""
+        poff = lcol = None
+        if fold is not None:
+            # panel row offset (1, F*Cd) and panel-local column index:
+            # global row of window row w at column c is poff[c] + w
+            poff = jnp.zeros_like(gcol)
+            lcol = gcol
+            for p in range(1, fold_f):
+                past = gcol >= p * fold_cd
+                poff = poff + jnp.where(
+                    past, jnp.int32(fold_rp), jnp.int32(0)
+                )
+                lcol = lcol - jnp.where(
+                    past, jnp.int32(fold_cd), jnp.int32(0)
+                )
         ctx = {
-            "b_field": make_b_field(giota, r_total, gcol, c_total),
+            "b_field": make_b_field(giota, r_total, gcol,
+                                    fold_cd if fold is not None else c_total,
+                                    lcol=lcol, poff=poff),
         }
         # Out-of-domain cells are re-zeroed each step by a predicate
         # select ((W, 1) row predicate for full-width windows; joined
@@ -403,7 +429,7 @@ def make_window_stepper(
         mask = None
         if fold is not None:
             # panel-dependent row validity: window row w of the panel at
-            # column c holds global row (c // Cd)*Rp + w. Express the
+            # column c holds global row poff[c] + w. Express the
             # in-domain test as (W, 1)-vs-(1, F*Cd) broadcast compares so
             # no (W, F*Cd) int32 field is materialized — only the boolean
             # mask (built once per window). Out-of-range cells include
@@ -412,11 +438,6 @@ def make_window_stepper(
             # interior panels map to REAL global rows, so the mask keeps
             # them live — they hold neighbor-panel data refreshed every
             # K-step block by fold_refresh.
-            poff = jnp.zeros_like(gcol)
-            for p in range(1, fold_f):
-                poff = poff + jnp.where(
-                    gcol >= p * fold_cd, jnp.int32(fold_rp), jnp.int32(0)
-                )
             mask = jnp.logical_and(giota >= -poff, giota < r_total - poff)
         elif mask_rows:
             mask = jnp.logical_and(giota >= 0, giota < r_total)
@@ -425,7 +446,27 @@ def make_window_stepper(
             mask = cols_in if mask is None else \
                 jnp.logical_and(mask, cols_in)
         ctx["dommask"] = mask
-        if boundary == "naive":
+        if boundary == "naive" and fold is not None:
+            # the naive machinery per panel: each panel spans the full
+            # column range, so every panel owns a copy of the global
+            # column-0 quirk strip (selected by its own mask) while the
+            # top-row strip exists only where poff == 0 (panel 0)
+            ctx["col0_masks"] = [
+                jnp.logical_and(
+                    gcol == p * fold_cd,
+                    jnp.logical_and(giota >= 1 - p * fold_rp,
+                                    giota < r_total - p * fold_rp),
+                )
+                for p in range(fold_f)
+            ]
+            ctx["ok_s_p"] = [
+                (giota <= r_total - 2 - p * fold_rp).astype(dtype)
+                for p in range(fold_f)
+            ]
+            ctx["top_mask"] = jnp.logical_and(giota == 0, gcol < fold_cd)
+            ctx["gcol"] = lcol
+            ctx["c_total"] = fold_cd
+        elif boundary == "naive":
             in_dom = jnp.logical_and(giota >= 1, giota < r_total)
             ctx["col0_mask"] = jnp.logical_and(gcol == 0, in_dom)
             ctx["top_mask"] = giota == 0
@@ -445,12 +486,27 @@ def make_window_stepper(
         pallas/mosaic/lowering.py). The 4 selects/step are naive's
         irreducible cost at the value level — cutting them needs a
         scratch-ref state layout, not smaller operands."""
-        strip = _left_col_strip(x, w, ctx["ok_s"], chalo)
         top = _edge_strip_1xc(
             x[halo : halo + 1, :], x[halo + 1 : halo + 2, :],
             w[0:2, :], ctx["gcol"], ctx["c_total"], chalo, shift_cols,
         )
-        fixed = jnp.where(ctx["col0_mask"], strip, full)
+        if fold is None:
+            strip = _left_col_strip(x, w, ctx["ok_s"], chalo)
+            fixed = jnp.where(ctx["col0_mask"], strip, full)
+        else:
+            # every panel holds global column 0 at its local column 0
+            # (lane p*Cd; _left_col_strip's chalo is exactly "the static
+            # local column of global col 0"). F chained selects: the
+            # F - 1 extra full-window ops per species per step are the
+            # fold's naive tax. The top strip is computed once on the
+            # full folded row — panels other than 0 produce garbage
+            # lanes there, but top_mask never selects them.
+            fixed = full
+            for p in range(fold_f):
+                strip_p = _left_col_strip(
+                    x, w, ctx["ok_s_p"][p], p * fold_cd
+                )
+                fixed = jnp.where(ctx["col0_masks"][p], strip_p, fixed)
         return jnp.where(ctx["top_mask"], top, fixed)
 
     def step(u, v, ctx):

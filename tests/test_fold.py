@@ -21,8 +21,8 @@ from grayscott_tpu.params import Parameters
 from conftest import random_uv
 
 
-def run_folded(u, v, params, steps, fold, **kw):
-    sim = PallasSimulation(params, boundary="zero", interpret=True,
+def run_folded(u, v, params, steps, fold, boundary="zero", **kw):
+    sim = PallasSimulation(params, boundary=boundary, interpret=True,
                            fold=fold, **kw)
     species = sim.make_species(u.shape)
     species.storage = sim.build_storage(u, v)
@@ -111,10 +111,28 @@ def test_folded_runtime_params(rng):
     np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
 
 
-def test_fold_rejects_naive_boundary(params):
-    sim = PallasSimulation(params, boundary="naive", interpret=True, fold=2)
-    with pytest.raises(ValueError, match="zero boundary"):
-        sim.make_species((32, 16))
+@pytest.mark.parametrize("steps", [1, 8, 19])
+def test_folded_naive_parity(rng, params, steps):
+    """Naive (reference-CPU clamped-window) semantics under fold: every
+    panel owns a copy of the global column-0 quirk strip; the top-row
+    strip and b_field edge tests go panel-local."""
+    u, v = random_uv(rng, (32, 16))
+    ou, ov = oracle.run(u, v, params, steps, "naive")
+    gu, gv = run_folded(u, v, params, steps, fold=2, boundary="naive",
+                        block_rows=8)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_folded_naive_uneven_panels(rng, params):
+    """Dead rows + the bottom domain row's clamped stencil must coexist:
+    R=37, F=3 puts the true bottom edge (g=36) mid-panel."""
+    u, v = random_uv(rng, (37, 24))
+    ou, ov = oracle.run(u, v, params, 9, "naive")
+    gu, gv = run_folded(u, v, params, 9, fold=3, boundary="naive",
+                        block_rows=8)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
 
 
 def test_choose_fold_heuristic():

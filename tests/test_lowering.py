@@ -60,10 +60,12 @@ def test_bf16_storage_lowers_for_tpu():
     assert "tpu_custom_call" in exp.mlir_module()
 
 
+@pytest.mark.parametrize("boundary", ["zero", "naive"])
 @pytest.mark.parametrize("runtime", [True, False])
-def test_folded_lowers_for_tpu(runtime):
+def test_folded_lowers_for_tpu(boundary, runtime):
     """The lane-fold layout (panel-seam column masks + panel-dependent
-    row mask + inter-panel refresh) must lower to Mosaic — at the real
+    row mask + inter-panel refresh; for naive also the per-panel
+    lane-offset strip extraction) must lower to Mosaic — at the real
     1080x1920 F=2 production geometry, through run_blocks (refresh
     included)."""
     params = Parameters()
@@ -78,7 +80,7 @@ def test_folded_lowers_for_tpu(runtime):
     def fn(u, v):
         return ps.run_blocks(
             u, v, -16, r, jnp.int32(2), reaction=reaction,
-            steps=16, tr=tr, params=kernel_params, boundary="zero",
+            steps=16, tr=tr, params=kernel_params, boundary=boundary,
             halo=16, fold=(f, c, rp), dt_is_one=runtime,
         )
 
