@@ -17,6 +17,13 @@ bounded queue. Two levels of compute/IO overlap:
    *previous* image's transfer while the device runs the next batch.
 2. host-side: HDF5 writing happens on a separate thread behind a bounded
    queue (the mpsc::sync_channel analog).
+
+Unlike the reference (``main.rs:73-122``) and our ``data_to_pics`` there
+is no buffer-recycling return channel here: the host snapshot array is
+allocated inside JAX's device-to-host transfer (jax owns the destination
+of the DMA), so handing a recycled buffer back would require an extra
+host-side memcpy per image instead of removing one. The bounded queue
+still caps live images at ``--output-buffer + 2``.
 """
 
 from __future__ import annotations
