@@ -47,20 +47,26 @@ _FREE = re.compile(
 
 
 def mosaic_module(boundary: str, steps: int, tr: int = 16, cols: int = 256,
-                  runtime: bool = True) -> str:
+                  runtime: bool = True, fold: int = 1) -> str:
     """Capture the Mosaic MLIR for one kernel specialization."""
     params = Parameters()
-    r = 4 * tr
+    r = 4 * tr * fold
     u0 = np.zeros((r, cols), np.float32)
     v0 = np.ones((r, cols), np.float32)
-    u_pad, v_pad = ps.pad_state(u0, v0, tr)
     reaction = ps.reaction_operand(params) if runtime else None
     kp = params.structure_only() if runtime else params
+    if fold > 1:
+        u_pad, v_pad = ps.fold_state(u0, v0, fold, tr)
+        fold_arg = (fold, cols, ps.fold_geometry(r, fold, tr))
+    else:
+        u_pad, v_pad = ps.pad_state(u0, v0, tr)
+        fold_arg = None
 
     def fn(u_pad, v_pad):
         return ps.multistep_impl(
             u_pad, v_pad, -ps.HALO, r, 0, None, reaction,
             steps=steps, tr=tr, params=kp, boundary=boundary,
+            fold=fold_arg, zero_padding=fold_arg is None,
         )
 
     orig = pl.pallas_call
@@ -110,10 +116,10 @@ def count_ops(module: str) -> collections.Counter:
 
 
 def per_step(boundary: str, tr: int = 16, cols: int = 256,
-             runtime: bool = True) -> collections.Counter:
+             runtime: bool = True, fold: int = 1) -> collections.Counter:
     """Per-step op counts: diff of a 2-step and a 1-step unroll."""
-    one = count_ops(mosaic_module(boundary, 1, tr, cols, runtime))
-    two = count_ops(mosaic_module(boundary, 2, tr, cols, runtime))
+    one = count_ops(mosaic_module(boundary, 1, tr, cols, runtime, fold))
+    two = count_ops(mosaic_module(boundary, 2, tr, cols, runtime, fold))
     return collections.Counter(
         {k: two[k] - one[k] for k in two if two[k] - one[k] > 0}
     )
@@ -135,6 +141,8 @@ def main(argv=None) -> int:
     p.add_argument("--tr", type=int, default=16)
     p.add_argument("--cols", type=int, default=256)
     p.add_argument("--static-params", action="store_true")
+    p.add_argument("--fold", type=int, default=1,
+                   help="lane-fold factor F (panels side by side)")
     p.add_argument("--compare", action="store_true",
                    help="zero vs naive per-step table")
     args = p.parse_args(argv)
@@ -150,8 +158,11 @@ def main(argv=None) -> int:
               "(if measured Gcell/s ratio ~matches 1/this, the gap is "
               "at the VPU op floor)")
     else:
-        c = per_step(args.boundary, args.tr, args.cols, rt)
-        print(f"{args.boundary} boundary (per step):\n{table(c)}")
+        c = per_step(args.boundary, args.tr, args.cols, rt, args.fold)
+        label = f"{args.boundary} boundary"
+        if args.fold > 1:
+            label += f", fold={args.fold}"
+        print(f"{label} (per step):\n{table(c)}")
     return 0
 
 
