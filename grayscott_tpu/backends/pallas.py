@@ -185,7 +185,7 @@ class PallasSimulation(Simulation):
                 k = int(tk)
         return k, ps.halo_for_steps(k)
 
-    def _fold_factor(self, shape) -> int:
+    def _fold_factor(self, shape, tuned=_MISS) -> int:
         """Lane-fold factor F for this domain (1 = plain layout)."""
         r, c = shape
         if isinstance(self.fold, int):
@@ -210,6 +210,10 @@ class PallasSimulation(Simulation):
             or self.interpret  # perf heuristic; tests pin F explicitly
         ):
             return 1
+        if tuned is self._MISS:
+            tuned = self._lookup_tuned(shape)
+        if tuned and "fold" in tuned:
+            return int(tuned["fold"] or 1)  # the measured verdict wins
         return ps.choose_fold(r, c, self.halo)
 
     def _use_resident(self, shape) -> bool:
@@ -226,17 +230,27 @@ class PallasSimulation(Simulation):
         )
 
     def build_storage(self, u: np.ndarray, v: np.ndarray):
-        f = self._fold_factor(u.shape)
+        tuned = self._lookup_tuned(u.shape)
+        f = self._fold_factor(u.shape, tuned)
         if f > 1:
             r, c = u.shape
-            k, halo = self.steps_per_call, self.halo
-            tr = self.block_rows or ps.choose_block_rows(
-                -(-r // f), f * c, halo=halo, boundary=self.boundary
-            )
+            fold_tuned = tuned if tuned and tuned.get("fold") == f else None
+            k, halo = self._tuned_k(fold_tuned)
+            tr = self.block_rows
+            if tr is None and fold_tuned:
+                tr = fold_tuned["block_rows"]
+            if tr is None:
+                tr = ps.choose_block_rows(
+                    -(-r // f), f * c, halo=halo, boundary=self.boundary
+                )
             rp = ps.fold_geometry(r, f, tr)
             u_pad, v_pad = ps.fold_state(u, v, f, tr, halo)
             return ("folded", jnp.asarray(u_pad), jnp.asarray(v_pad),
                     tr, halo, k, f, rp)
+        if tuned and int(tuned.get("fold") or 1) > 1:
+            # a fold-layout record's tiles are meaningless for the plain
+            # layout (the user forced fold off): fall back to heuristics
+            tuned = None
         if self._use_resident(u.shape):
             rp = -(-u.shape[0] // 8) * 8
             cp = -(-u.shape[1] // 128) * 128
@@ -246,7 +260,6 @@ class PallasSimulation(Simulation):
                 buf[: u.shape[0], : u.shape[1]] = x
                 out.append(jnp.asarray(buf))
             return ("resident", out[0], out[1])
-        tuned = self._lookup_tuned(u.shape)
         k, halo = self._tuned_k(tuned)
         tr, tc, chalo = self._tiles(u.shape, tuned, halo)
         u_pad, v_pad = ps.pad_state(u, v, tr, halo, chalo, tc,

@@ -58,8 +58,18 @@ def _as_config(c: Candidate) -> dict:
 
 def _guard_ok(cfg: Mapping, shape, boundary: str) -> bool:
     """Compile-ceiling check for a candidate as it would actually run
-    (column-tiled width when block_cols is pinned)."""
+    (column-tiled width when block_cols is pinned; folded width and the
+    heuristic row tile for lane-fold candidates)."""
     halo = ps.halo_for_steps(cfg["steps_per_call"])
+    fold = int(cfg.get("fold") or 1)
+    if fold > 1:
+        w_cols = shape[1] * fold
+        tr = cfg.get("block_rows") or ps.choose_block_rows(
+            -(-shape[0] // fold), w_cols, halo=halo, boundary=boundary
+        )
+        return ps.window_compile_ok(
+            tr, halo, w_cols, boundary, cfg["steps_per_call"]
+        )
     if cfg.get("block_cols"):
         w_cols = cfg["block_cols"] + 2 * ps.COL_HALO
     else:
@@ -105,6 +115,18 @@ def _wide_domain_candidates(
     return out
 
 
+def _fold_candidates(shape, boundary: str, dtype: str) -> list[dict]:
+    """Lane-fold variants for narrow domains (the backend heuristic picks
+    the row tile for the folded width, mirroring runtime behavior)."""
+    r, c = shape
+    if dtype != "float32":
+        return []
+    f = ps.choose_fold(r, c)
+    if f <= 1 or (boundary == "naive" and c % 128 != 0):
+        return []
+    return [dict(fold=f, steps_per_call=16), dict(fold=f, steps_per_call=8)]
+
+
 def _fallback_candidates(shape, boundary: str) -> list[dict]:
     """Last-resort configs mirroring the runtime heuristics (which are
     themselves ceiling-guarded), so autotune never comes up empty for a
@@ -143,7 +165,12 @@ def measure_config(
 
     sim = PallasSimulation(params, boundary=boundary, dtype=dtype, **config)
     species = sim.make_species(shape)
-    _, _, tr_used, tc_used, _chalo, _halo, k = species.storage
+    if species.storage[0] == "folded":
+        _, _, _, tr_used, _halo, k, f_used, _rp = species.storage
+        tc_used = None
+    else:
+        _, _, tr_used, tc_used, _chalo, _halo, k = species.storage
+        f_used = 1
     if steps is None:
         # 64 blocks, the sweep methodology: short runs compress the gap
         # between configs (fixed warmup dominates) and can misrank them
@@ -160,6 +187,7 @@ def measure_config(
         "block_rows": tr_used,
         "steps_per_call": k,
         "block_cols": tc_used,
+        "fold": f_used,
         "gcells_per_sec": shape[0] * shape[1] * steps / best / 1e9,
     }
 
@@ -185,6 +213,7 @@ def autotune(
         return store[key]
     configs = [_as_config(c) for c in candidates]
     configs += _wide_domain_candidates(shape, configs[:2], boundary)
+    configs += _fold_candidates(shape, boundary, dtype)
     viable = []
     for cfg in configs:
         # compile-tractability guard: windows past the measured Mosaic
@@ -226,8 +255,9 @@ def autotune(
     if len(ranked) >= 2 and ranked[1]["gcells_per_sec"] >= \
             0.97 * ranked[0]["gcells_per_sec"]:
         for m in ranked[:2]:
-            cfg = {k: m[k] for k in
-                   ("block_rows", "steps_per_call", "block_cols")}
+            cfg = {k: m.get(k) for k in
+                   ("block_rows", "steps_per_call", "block_cols", "fold")}
+            cfg["fold"] = cfg.get("fold") or 1
             try:
                 again = measure_config(
                     params, shape, boundary, dtype=dtype, **cfg

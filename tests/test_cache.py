@@ -216,3 +216,46 @@ def test_autotune_records_all_candidates(monkeypatch, tmp_path, params):
     # and it round-trips through the store
     key = list(c.load_autotune())[0]
     assert c.load_autotune()[key]["candidates"] == best["candidates"]
+
+
+def test_fold_record_adoption(monkeypatch, tmp_path, params):
+    """A persisted fold winner drives the folded layout under
+    fold='auto' (with its tiles), is ignored under fold='off' (including
+    its fold-layout tiles, which are meaningless for the plain layout),
+    and autotune emits fold candidates for narrow domains."""
+    import jax
+    import numpy as np
+
+    from grayscott_tpu.backends.pallas import PallasSimulation
+    from grayscott_tpu.bench import autotune
+    from grayscott_tpu.ops import pallas_stencil as ps
+    from grayscott_tpu.utils import cache as c
+
+    monkeypatch.setattr(c, "CACHE_DIR", str(tmp_path))
+    shape = (64, 128)
+    platform = jax.devices()[0].platform
+    key = c.autotune_key(platform, shape, "zero", params.stencil_name(),
+                         ps.KERNEL_VERSION)
+    c.save_autotune({key: {
+        "block_rows": 16, "steps_per_call": 8, "block_cols": None,
+        "fold": 2,
+    }})
+    sim = PallasSimulation(params, boundary="zero", fold="auto",
+                           interpret=False)
+    st = sim.build_storage(np.zeros(shape, np.float32),
+                           np.ones(shape, np.float32))
+    assert st[0] == "folded" and st[3] == 16 and st[6] == 2
+    # fold='off' must neither fold nor adopt the fold record's tiles
+    sim_off = PallasSimulation(params, boundary="zero", fold="off",
+                               interpret=False, resident="off")
+    st_off = sim_off.build_storage(np.zeros(shape, np.float32),
+                                  np.ones(shape, np.float32))
+    assert st_off[0] != "folded" and st_off[2] != 16
+    # narrow domains get fold candidates; wide/bf16 ones do not
+    cands = autotune._fold_candidates((1080, 1920), "zero", "float32")
+    assert cands and all(cd["fold"] == 2 for cd in cands)
+    assert autotune._fold_candidates((4096, 4096), "zero", "float32") == []
+    assert autotune._fold_candidates((1080, 1920), "zero", "bfloat16") == []
+    assert autotune._fold_candidates((1080, 1900), "naive", "float32") == []
+    for cd in cands:
+        assert autotune._guard_ok(cd, (1080, 1920), "zero")
