@@ -144,3 +144,19 @@ def test_choose_fold_heuristic():
     assert ps.choose_fold(2048, 2048) == 2
     # too short to amortize the halo redundancy: no fold
     assert ps.choose_fold(128, 256) == 1
+
+
+@pytest.mark.parametrize("stencil", ["oono-puri", "pretty", "5points"])
+def test_folded_all_stencils(rng, stencil):
+    """Fold composes with both laplacian plans (separable and full-tap)
+    and both boundaries across stencils."""
+    from grayscott_tpu.params import Parameters as P
+
+    params = P.with_stencil(stencil)
+    u, v = random_uv(rng, (32, 16))
+    for boundary in ("zero", "naive"):
+        ou, ov = oracle.run(u, v, params, 5, boundary)
+        gu, gv = run_folded(u, v, params, 5, fold=2, boundary=boundary,
+                            block_rows=8)
+        np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
