@@ -342,6 +342,11 @@ class PallasSimulation(Simulation):
                 u, v, jnp.int32(steps), reaction,
                 r=r, c=c, params=kernel_params, boundary=self.boundary,
                 interpret=self.interpret, dt_is_one=dt_is_one,
+                # amortize the in-kernel fori back-edge (compile-ceiling
+                # capped); interpreter keeps the small graph
+                unroll=1 if self.interpret else ps.resident_unroll(
+                    u.shape[0], u.shape[1], self.boundary
+                ),
             )
             return ("resident", u, v)
         u, v, tr, tc, chalo, halo, k = storage
@@ -356,6 +361,10 @@ class PallasSimulation(Simulation):
             boundary=self.boundary, halo=halo,
             interpret=self.interpret,
             reaction=reaction, dt_is_one=dt_is_one,
+            # mask out-of-domain window cells on load instead of re-zeroing
+            # the HBM padding rows with 4 host-graph updates per call
+            # (bit-identical; saves per-call fixed cost on small domains)
+            sanitize=True,
             # liveness scales with the f32 compute copies even when HBM
             # storage is bf16, so always budget at 4 bytes/element
             vmem_limit_bytes=self._vmem_limit(tr, tc, chalo, c, halo, 4),

@@ -542,7 +542,8 @@ def _kernel(scal_ref, *refs,
             steps: int, tr: int, c: int, halo: int, chalo: int, params,
             boundary: str, tc: int | None = None,
             runtime_params: bool = False, dt_is_one: bool = False,
-            fold: Tuple[int, int, int] | None = None):
+            fold: Tuple[int, int, int] | None = None,
+            sanitize: bool = False):
     if runtime_params:
         react_ref, u_ref, v_ref, uo_ref, vo_ref = refs
         reaction = tuple(react_ref[0, i] for i in range(5)) + (dt_is_one,)
@@ -579,6 +580,14 @@ def _kernel(scal_ref, *refs,
     # v5e (33 vs 40 Gcell/s at 4096^2): both branches inflate VMEM pressure
     # and break the Mosaic pipeline. The uniform masked path wins.
     ctx = precompute(giota, r_total, gcol, c_total)
+    if sanitize and ctx["dommask"] is not None:
+        # out-of-domain window cells may hold garbage in HBM (the caller
+        # skipped the padding re-zero): mask them on load — the same
+        # select the per-step loop applies, paid once per K-step window
+        # instead of 4 host-graph row updates per call (bit-identical:
+        # those cells were exactly 0.0 before)
+        u = jnp.where(ctx["dommask"], u, 0.0)
+        v = jnp.where(ctx["dommask"], v, 0.0)
     for _ in range(steps):
         u, v = step(u, v, ctx)
     if store_dtype != jnp.float32:
@@ -612,7 +621,7 @@ def multistep_impl(
     halo: int = HALO, chalo: int = 0, interpret: bool = False,
     vmem_limit_bytes: int | None = None, zero_padding: bool = True,
     tc: int | None = None, dt_is_one: bool = False,
-    fold: Tuple[int, int, int] | None = None,
+    fold: Tuple[int, int, int] | None = None, sanitize: bool = False,
 ):
     """Advance padded state by ``steps`` (<= halo) simulation steps.
 
@@ -705,7 +714,7 @@ def multistep_impl(
         _kernel, steps=steps, tr=tr, c=w_cols, halo=halo, chalo=chalo,
         params=params, boundary=boundary, tc=tc,
         runtime_params=reaction is not None, dt_is_one=dt_is_one,
-        fold=fold,
+        fold=fold, sanitize=sanitize,
     )
     zero_map = (lambda i: (0, 0)) if tc is None else (lambda i, j: (0, 0))
     in_specs = [pl.BlockSpec((1, 4), zero_map, memory_space=pltpu.SMEM)]
@@ -739,7 +748,7 @@ def multistep_impl(
         ),
         interpret=interpret,
     )(*operands)
-    if zero_padding:
+    if zero_padding and not sanitize:
         zrow = jnp.zeros((halo, c), dtype=u_pad.dtype)
         out_u = out_u.at[:halo].set(zrow).at[rp_full - halo:].set(zrow)
         out_v = out_v.at[:halo].set(zrow).at[rp_full - halo:].set(zrow)
@@ -752,7 +761,7 @@ def multistep_impl(
 
 _STATIC = ("steps", "tr", "params", "boundary", "halo", "chalo",
            "interpret", "vmem_limit_bytes", "zero_padding", "tc",
-           "dt_is_one", "fold")
+           "dt_is_one", "fold", "sanitize")
 
 multistep = jax.jit(
     multistep_impl,
@@ -773,7 +782,7 @@ def run_blocks(
     halo: int = HALO, chalo: int = 0, interpret: bool = False,
     vmem_limit_bytes: int | None = None, zero_padding: bool = True,
     tc: int | None = None, dt_is_one: bool = False,
-    fold: Tuple[int, int, int] | None = None,
+    fold: Tuple[int, int, int] | None = None, sanitize: bool = False,
 ):
     """Run ``n_blocks`` successive K-step kernel calls in ONE executable.
 
@@ -800,7 +809,7 @@ def run_blocks(
             halo=halo, chalo=chalo, interpret=interpret,
             vmem_limit_bytes=vmem_limit_bytes,
             zero_padding=zero_padding and fold is None,
-            tc=tc, dt_is_one=dt_is_one, fold=fold,
+            tc=tc, dt_is_one=dt_is_one, fold=fold, sanitize=sanitize,
         )
 
     return jax.lax.fori_loop(0, n_blocks, body, (u_pad, v_pad))
@@ -808,7 +817,7 @@ def run_blocks(
 
 def _resident_kernel(scal_ref, *refs, rp: int, cp: int, r: int, c: int,
                      params, boundary: str, runtime_params: bool,
-                     dt_is_one: bool):
+                     dt_is_one: bool, unroll: int = 1):
     if runtime_params:
         react_ref, u_ref, v_ref, uo_ref, vo_ref = refs
         reaction = tuple(react_ref[0, i] for i in range(5)) + (dt_is_one,)
@@ -828,7 +837,24 @@ def _resident_kernel(scal_ref, *refs, rp: int, cp: int, r: int, c: int,
     def body(_, uv):
         return step(uv[0], uv[1], ctx)
 
-    u, v = jax.lax.fori_loop(0, n_steps, body, (u_ref[:], v_ref[:]))
+    if unroll <= 1:
+        u, v = jax.lax.fori_loop(0, n_steps, body, (u_ref[:], v_ref[:]))
+    else:
+        # Amortize the fori back-edge over `unroll` steps: within an
+        # iteration the unrolled graph lets Mosaic schedule across step
+        # boundaries (the same reason the windowed kernel unrolls its K
+        # in-VMEM steps). Step counts stay traced: ``n // unroll``
+        # unrolled iterations plus a single-step tail loop for the
+        # remainder — any snapshot cadence still reuses one executable.
+        def body_k(_, uv):
+            for _ in range(unroll):
+                uv = step(uv[0], uv[1], ctx)
+            return uv
+
+        u, v = jax.lax.fori_loop(
+            0, n_steps // unroll, body_k, (u_ref[:], v_ref[:])
+        )
+        u, v = jax.lax.fori_loop(0, n_steps % unroll, body, (u, v))
     uo_ref[:] = u
     vo_ref[:] = v
 
@@ -847,11 +873,21 @@ def resident_ok(shape, dtype_bytes: int = 4) -> bool:
     return rp * cp * dtype_bytes <= RESIDENT_MAX_BYTES
 
 
+def resident_unroll(rp: int, cp: int, boundary: str = "zero") -> int:
+    """In-kernel step unroll for the resident kernel: as deep as the
+    Mosaic compile ceiling allows (the unrolled graph is domain cells x
+    unroll), capped at 8 — past that the back-edge is already amortized."""
+    limit = COMPILE_CEILING_CELL_STEPS / (
+        NAIVE_COMPILE_DERATE if boundary == "naive" else 1.0
+    )
+    return max(1, min(8, int(limit // (rp * cp))))
+
+
 def resident_multistep_impl(
     u_res, v_res, n_steps, reaction=None,
     *, r: int, c: int, params: Parameters, boundary: str,
     interpret: bool = False, vmem_limit_bytes: int | None = None,
-    dt_is_one: bool = False,
+    dt_is_one: bool = False, unroll: int = 1,
 ):
     """Advance a VMEM-RESIDENT domain by ``n_steps`` (traced!) steps.
 
@@ -874,7 +910,7 @@ def resident_multistep_impl(
     kernel = functools.partial(
         _resident_kernel, rp=rp, cp=cp, r=r, c=c, params=params,
         boundary=boundary, runtime_params=reaction is not None,
-        dt_is_one=dt_is_one,
+        dt_is_one=dt_is_one, unroll=unroll,
     )
     zero_map = lambda: (0, 0)  # noqa: E731
     in_specs = [pl.BlockSpec((1, 1), zero_map, memory_space=pltpu.SMEM)]
@@ -903,7 +939,7 @@ def resident_multistep_impl(
 
 
 _RESIDENT_STATIC = ("r", "c", "params", "boundary", "interpret",
-                    "vmem_limit_bytes", "dt_is_one")
+                    "vmem_limit_bytes", "dt_is_one", "unroll")
 
 resident_multistep = jax.jit(
     resident_multistep_impl,

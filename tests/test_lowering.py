@@ -107,3 +107,39 @@ def test_resident_kernel_lowers_for_tpu(boundary):
 
         exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(u, v)
         assert "tpu_custom_call" in exp.mlir_module()
+
+
+def test_sanitize_and_resident_unroll_lower_for_tpu():
+    """The sanitize-on-load select and the unrolled resident fori body
+    are new kernel graph shapes: gate their Mosaic lowering."""
+    params = Parameters()
+    r, c, tr = 64, 256, 16
+    u0 = np.zeros((r, c), np.float32)
+    v0 = np.ones((r, c), np.float32)
+    u_pad, v_pad = ps.pad_state(u0, v0, tr)
+
+    def fn(u_pad, v_pad):
+        return ps.run_blocks(
+            u_pad, v_pad, -ps.HALO, r, jnp.int32(2),
+            reaction=ps.reaction_operand(params),
+            steps=8, tr=tr, params=params.structure_only(),
+            boundary="naive", sanitize=True, dt_is_one=True,
+        )
+
+    exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(
+        jnp.asarray(u_pad), jnp.asarray(v_pad)
+    )
+    assert "tpu_custom_call" in exp.mlir_module()
+
+    u = jnp.zeros((64, 256), jnp.float32)
+    v = jnp.ones_like(u)
+
+    def fn_res(u, v):
+        return ps.resident_multistep_impl(
+            u, v, jnp.int32(37), ps.reaction_operand(params),
+            r=60, c=250, params=params.structure_only(),
+            boundary="zero", dt_is_one=True, unroll=8,
+        )
+
+    exp = jax.export.export(jax.jit(fn_res), platforms=["tpu"])(u, v)
+    assert "tpu_custom_call" in exp.mlir_module()

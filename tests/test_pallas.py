@@ -278,3 +278,50 @@ def test_resident_auto_selection(params):
     off = PallasSimulation(params, resident="off", interpret=False)
     off.interpret = False
     assert not off._use_resident((64, 64))
+
+
+def test_sanitize_on_load_bit_identical(rng, params):
+    """Masking garbage padding on window load == pre-zeroed HBM padding,
+    bit for bit (the padding cells were exactly 0.0 either way), across
+    multiple K-blocks whose out-buffer padding really is uninitialized
+    garbage between calls."""
+    from grayscott_tpu.ops import pallas_stencil as ps
+
+    u, v = random_uv(rng, (19, 16))
+    up, vp = ps.pad_state(u, v, 8)
+    a = ps.run_blocks(np.asarray(up), np.asarray(vp), -8, 19, 3,
+                      steps=4, tr=8, params=params, boundary="naive",
+                      halo=8, interpret=True, sanitize=False)
+    b = ps.run_blocks(np.asarray(up), np.asarray(vp), -8, 19, 3,
+                      steps=4, tr=8, params=params, boundary="naive",
+                      halo=8, interpret=True, sanitize=True)
+    np.testing.assert_array_equal(np.asarray(a[0])[8:27],
+                                  np.asarray(b[0])[8:27])
+    np.testing.assert_array_equal(np.asarray(a[1])[8:27],
+                                  np.asarray(b[1])[8:27])
+
+
+def test_resident_unroll_parity(rng, params):
+    """The unrolled resident fori body (+ single-step tail loop for the
+    remainder) advances exactly the same steps as the plain loop. Not
+    bitwise: the unrolled body is a different graph, so the compiler's
+    FMA contraction can round single ops differently (1-ulp diffs, same
+    signature as the fold layout's — see test_fold.py)."""
+    import jax.numpy as jnp
+
+    from grayscott_tpu.ops import pallas_stencil as ps
+
+    u, v = random_uv(rng, (16, 16))
+    args = dict(r=16, c=16, params=params, boundary="zero", interpret=True)
+    for steps in (1, 3, 10):
+        a = ps.resident_multistep_impl(
+            jnp.asarray(u), jnp.asarray(v), jnp.int32(steps), **args
+        )
+        b = ps.resident_multistep_impl(
+            jnp.asarray(u), jnp.asarray(v), jnp.int32(steps), unroll=3,
+            **args
+        )
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                                   rtol=0, atol=2e-7)
+        np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                                   rtol=0, atol=2e-7)
