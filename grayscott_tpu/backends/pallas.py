@@ -47,7 +47,7 @@ class PallasSimulation(Simulation):
         dtype: str = "float32",
         runtime_params: bool = True,
         resident: str = "auto",
-        fold: str | int = "off",
+        fold: str | int = "auto",
         **kwargs,
     ):
         self._explicit_k = steps_per_call is not None
@@ -84,11 +84,10 @@ class PallasSimulation(Simulation):
         if resident not in ("auto", "on", "off"):
             raise ValueError(f"resident must be auto/on/off, got {resident!r}")
         self.resident = resident
-        # lane-fold layout for narrow zero-boundary domains (see
-        # ops.pallas_stencil "lane-fold layout"): an int pins the fold
-        # factor F; 'auto' widens narrow domains toward the measured
-        # full-rate lane width; 'off' (default until hardware-validated)
-        # keeps the plain layout
+        # lane-fold layout for narrow domains (see ops.pallas_stencil
+        # "lane-fold layout"): an int pins the fold factor F; 'auto'
+        # (default) folds only when a persisted autotune record measured
+        # fold winning on this domain; 'off' never folds
         if isinstance(fold, str):
             if fold not in ("auto", "off"):
                 raise ValueError(f"fold must be auto/off/int, got {fold!r}")
@@ -207,14 +206,20 @@ class PallasSimulation(Simulation):
             or self.dtype != jnp.float32
             or (self.boundary == "naive" and c % 128 != 0)
             or self.block_cols is not None
-            or self.interpret  # perf heuristic; tests pin F explicitly
+            or self.interpret  # perf adoption; tests pin F explicitly
+            or self.resident == "on"  # an explicit resident pin wins
         ):
             return 1
+        # 'auto' folds ONLY on a measured autotune verdict — never on the
+        # width heuristic alone: the hardware width-probe showed fold
+        # LOSING at its heuristic geometry (30.3 vs 38.96 at 1080x1920),
+        # so unmeasured folding is a foot-gun. choose_fold still picks
+        # the F that autotune's fold candidates try.
         if tuned is self._MISS:
             tuned = self._lookup_tuned(shape)
         if tuned and "fold" in tuned:
-            return int(tuned["fold"] or 1)  # the measured verdict wins
-        return ps.choose_fold(r, c, self.halo)
+            return int(tuned["fold"] or 1)  # the measured verdict
+        return 1
 
     def _use_resident(self, shape) -> bool:
         if self.resident == "on":
@@ -244,6 +249,12 @@ class PallasSimulation(Simulation):
                     -(-r // f), f * c, halo=halo, boundary=self.boundary
                 )
             rp = ps.fold_geometry(r, f, tr)
+            if rp < halo:
+                raise ValueError(
+                    f"fold={f} on a {r}-row domain leaves panels of "
+                    f"{rp} rows < the {halo}-row halo; use a smaller "
+                    "fold factor"
+                )
             u_pad, v_pad = ps.fold_state(u, v, f, tr, halo)
             return ("folded", jnp.asarray(u_pad), jnp.asarray(v_pad),
                     tr, halo, k, f, rp)
@@ -413,12 +424,12 @@ class PallasSimulation(Simulation):
             "(auto: on TPU when the f32 state fits and no tile is pinned)",
         )
         parser.add_argument(
-            "--pallas-fold",
-            default=env_default("GRAYSCOTT_PALLAS_FOLD", "off"),
-            help="Lane-fold factor for narrow zero-boundary domains: an "
-            "integer F computes F row-panels side by side along lanes "
-            "(full VPU rate on narrow domains), 'auto' picks F from the "
-            "domain width, 'off' (default) keeps the plain layout",
+            "--pallas-fold", type=cls._parse_fold,
+            default=env_default("GRAYSCOTT_PALLAS_FOLD", "auto"),
+            help="Lane-fold layout for narrow domains: an integer F "
+            "computes F row-panels side by side along lanes; 'auto' "
+            "(default) folds only when the autotuner measured fold "
+            "winning on this domain; 'off' never folds",
         )
         parser.add_argument(
             "--pallas-runtime-params",
@@ -449,11 +460,16 @@ class PallasSimulation(Simulation):
             "runtime_params": getattr(
                 ns, "pallas_runtime_params", "on") != "off",
             "resident": getattr(ns, "pallas_resident", "auto"),
-            "fold": cls._parse_fold(getattr(ns, "pallas_fold", "off")),
+            "fold": cls._parse_fold(getattr(ns, "pallas_fold", "auto")),
         }
 
     @staticmethod
     def _parse_fold(value):
         if isinstance(value, str) and value not in ("auto", "off"):
-            return int(value)
+            try:
+                return int(value)
+            except ValueError:
+                raise argparse.ArgumentTypeError(
+                    f"expected 'auto', 'off' or an integer, got {value!r}"
+                ) from None
         return value

@@ -264,8 +264,6 @@ def make_window_stepper(
             raise ValueError("fold excludes column halos")
         fold_f, fold_cd, fold_rp = fold
 
-    if fold is not None:
-
         def shift_cols(x, d):
             # panel-seam zero fill: column edges of EVERY panel are true
             # domain column edges. F-1 extra (1, C)-row compares per
@@ -667,6 +665,14 @@ def multistep_impl(
                 f"fold {fold} inconsistent with padded state "
                 f"({rp_full}, {c})"
             )
+        if fold_f > 1 and fold_rp < halo:
+            # fold_refresh copies each panel's LAST `halo` interior rows
+            # to the neighbor's halo; a panel shorter than the halo would
+            # silently source padding rows instead of neighbor data
+            raise ValueError(
+                f"fold needs panel stride >= halo, got Rp={fold_rp} < "
+                f"{halo} (domain too short for this fold factor)"
+            )
     if c_total is None:
         c_total = c  # single-chip, no column halos
     w_rows = tr + 2 * halo
@@ -840,12 +846,19 @@ def _resident_kernel(scal_ref, *refs, rp: int, cp: int, r: int, c: int,
     if unroll <= 1:
         u, v = jax.lax.fori_loop(0, n_steps, body, (u_ref[:], v_ref[:]))
     else:
-        # Amortize the fori back-edge over `unroll` steps: within an
-        # iteration the unrolled graph lets Mosaic schedule across step
-        # boundaries (the same reason the windowed kernel unrolls its K
-        # in-VMEM steps). Step counts stay traced: ``n // unroll``
-        # unrolled iterations plus a single-step tail loop for the
-        # remainder — any snapshot cadence still reuses one executable.
+        # Amortize the fori back-edge over `unroll` steps. Step counts
+        # stay traced: ``n // unroll`` unrolled iterations plus a
+        # single-step tail loop for the remainder — any snapshot cadence
+        # reuses one executable. Bit-guarantee scope: like the windowed
+        # path's remainder kernel (a different unroll graph per
+        # remainder), regrouping a step total across calls may change
+        # FMA contraction by an ulp; a FIXED cadence always replays the
+        # same executable, so straight and checkpoint-resumed CLI runs
+        # (32 steps/image in both) stay bitwise identical. (An
+        # optimization_barrier between steps was tried and does not
+        # restore grouping invariance — the tail loop's context alone
+        # changes contraction — so it only cost the cross-step
+        # scheduling.)
         def body_k(_, uv):
             for _ in range(unroll):
                 uv = step(uv[0], uv[1], ctx)
