@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import megakernel as mk
 from ..ops import pallas_stencil as ps
 from ..params import Parameters
 from .base import Simulation, env_default
@@ -48,6 +49,7 @@ class PallasSimulation(Simulation):
         runtime_params: bool = True,
         resident: str = "auto",
         fold: str | int = "auto",
+        engine: str = "auto",
         **kwargs,
     ):
         self._explicit_k = steps_per_call is not None
@@ -94,6 +96,17 @@ class PallasSimulation(Simulation):
         elif not (isinstance(fold, int) and fold >= 1):
             raise ValueError(f"fold must be auto/off/int >= 1, got {fold!r}")
         self.fold = fold
+        # engine selection: 'windowed' is the per-K-block pallas_call
+        # pipeline (ops.pallas_stencil); 'mega' is the whole-run manual-DMA
+        # kernel (ops.megakernel) that amortizes the measured ~0.42 ms
+        # per-call fixed cost across the entire run; 'auto' picks mega on
+        # TPU f32 runs it supports (full-width windows, no fold) and
+        # windowed otherwise
+        if engine not in ("auto", "windowed", "mega"):
+            raise ValueError(
+                f"engine must be auto/windowed/mega, got {engine!r}"
+            )
+        self.engine = engine
         # opt-in bf16 STORAGE mode (beyond-reference capability): state
         # rides HBM in bf16 — half the memory traffic and footprint (wins
         # on memory-bound configs and doubles the max domain per chip) —
@@ -221,10 +234,60 @@ class PallasSimulation(Simulation):
             return int(tuned["fold"] or 1)  # the measured verdict
         return 1
 
-    def _use_resident(self, shape) -> bool:
+    def _use_mega(self, shape, tuned=_MISS) -> bool:
+        if self.engine == "windowed":
+            return False
+        tr = self.block_rows or mk.choose_mega_rows(*shape)
+        supported = (
+            self.dtype == jnp.float32
+            and self.block_cols is None
+            and not (isinstance(self.fold, int) and self.fold > 1)
+            and mk.mega_ok(shape, tr)
+        )
+        if self.engine == "mega":
+            if not supported:
+                raise ValueError(
+                    "engine='mega' needs f32 storage, full-width windows "
+                    f"and no lane fold; unsupported for shape {shape}"
+                )
+            return True
+        # auto: the megakernel is the TPU default for every domain it
+        # supports (hardware-measured faster wherever the state exceeds
+        # VMEM residency: the windowed kernel's per-call fixed cost is
+        # gone) — except VMEM-resident-size domains, where the resident
+        # kernel measured faster (43.3 vs 39.4 Gcell/s at 1080x1920). A
+        # persisted autotune verdict overrides the static preference.
+        # CPU/interpret runs keep the windowed path (tests pin
+        # engine='mega' explicitly); explicit tile/K pins mean "I want
+        # THE windowed kernel with these knobs" (also what persisted
+        # windowed autotune records rely on).
+        if not (
+            supported
+            and not self.interpret
+            and not self._explicit_k
+            and self.block_rows is None
+            and self.resident != "on"
+            and self._fold_factor(shape, tuned) == 1
+        ):
+            return False
+        if tuned is self._MISS:
+            tuned = self._lookup_tuned(shape)
+        verdict = (tuned or {}).get("engine")
+        if verdict:
+            return verdict == "mega"
+        # no measured verdict: static preference declines mega where the
+        # resident kernel fits (hardware: 43.3 vs 39.4 Gcell/s at
+        # 1080x1920) and on very wide domains whose tiny row blocks give
+        # high halo redundancy (windowed column tiling is the right tool)
+        return (
+            (tr + 2 * mk.MEGA_STEPS) / tr <= 1.3
+            and not (self.resident == "auto" and ps.resident_ok(shape))
+        )
+
+    def _use_resident(self, shape, tuned=_MISS) -> bool:
         if self.resident == "on":
             return True
-        return (
+        if not (
             self.resident == "auto"
             and not self.interpret  # keep CPU/test runs on the windowed path
             and self.dtype == jnp.float32
@@ -232,10 +295,22 @@ class PallasSimulation(Simulation):
             and self.block_rows is None
             and self.block_cols is None
             and not self._explicit_k
-        )
+        ):
+            return False
+        if tuned is self._MISS:
+            tuned = self._lookup_tuned(shape)
+        verdict = (tuned or {}).get("engine")
+        return verdict in (None, "resident")
 
     def build_storage(self, u: np.ndarray, v: np.ndarray):
         tuned = self._lookup_tuned(u.shape)
+        if self._use_mega(u.shape, tuned):
+            tr = self.block_rows
+            if tr is None and tuned and tuned.get("engine") == "mega":
+                tr = tuned.get("block_rows")
+            tr = tr or mk.choose_mega_rows(*u.shape)
+            u_pair, v_pair = mk.mega_pad_state(u, v, tr)
+            return ("mega", jnp.asarray(u_pair), jnp.asarray(v_pair), tr)
         f = self._fold_factor(u.shape, tuned)
         if f > 1:
             r, c = u.shape
@@ -262,7 +337,7 @@ class PallasSimulation(Simulation):
             # a fold-layout record's tiles are meaningless for the plain
             # layout (the user forced fold off): fall back to heuristics
             tuned = None
-        if self._use_resident(u.shape):
+        if self._use_resident(u.shape, tuned):
             rp = -(-u.shape[0] // 8) * 8
             cp = -(-u.shape[1] // 128) * 128
             out = []
@@ -271,6 +346,10 @@ class PallasSimulation(Simulation):
                 buf[: u.shape[0], : u.shape[1]] = x
                 out.append(jnp.asarray(buf))
             return ("resident", out[0], out[1])
+        if tuned and tuned.get("engine") not in (None, "windowed"):
+            # an alternative-engine verdict carries no windowed tiles —
+            # don't let a mega record's block_rows masquerade as a tile
+            tuned = None
         k, halo = self._tuned_k(tuned)
         tr, tc, chalo = self._tiles(u.shape, tuned, halo)
         u_pad, v_pad = ps.pad_state(u, v, tr, halo, chalo, tc,
@@ -280,6 +359,10 @@ class PallasSimulation(Simulation):
 
     def extract_uv(self, storage, shape) -> Tuple[jax.Array, jax.Array]:
         r, c = shape
+        if storage[0] == "mega":
+            _, u_pair, v_pair, _ = storage
+            h = mk.MEGA_STEPS
+            return u_pair[0, h : h + r, :], v_pair[0, h : h + r, :]
         if storage[0] == "folded":
             _, u_pad, v_pad, _, halo, _, f, _ = storage
             return (ps.unfold_state(u_pad, halo, f, c, r),
@@ -320,6 +403,25 @@ class PallasSimulation(Simulation):
 
     def run_steps(self, storage, shape, steps: int):
         r, c = shape
+        if storage[0] == "mega":
+            _, u, v, tr = storage
+            kernel_params, reaction, dt_is_one = self._reaction()
+            common = dict(
+                tr=tr, r=r, params=kernel_params, boundary=self.boundary,
+                interpret=self.interpret, dt_is_one=dt_is_one,
+                vmem_limit_bytes=self.vmem_limit_bytes,
+            )
+            n_full, rem = divmod(steps, mk.MEGA_STEPS)
+            if n_full:
+                u, v = mk.megastep(
+                    u, v, jnp.int32(n_full), reaction,
+                    steps=mk.MEGA_STEPS, **common,
+                )
+            if rem:
+                u, v = mk.megastep(
+                    u, v, jnp.int32(1), reaction, steps=rem, **common,
+                )
+            return ("mega", u, v, tr)
         if storage[0] == "folded":
             _, u, v, tr, halo, k, f, rp = storage
             kernel_params, reaction, dt_is_one = self._reaction()
@@ -432,6 +534,14 @@ class PallasSimulation(Simulation):
             "winning on this domain; 'off' never folds",
         )
         parser.add_argument(
+            "--pallas-engine", choices=["auto", "windowed", "mega"],
+            default=env_default("GRAYSCOTT_PALLAS_ENGINE", "auto"),
+            help="Kernel engine: 'mega' runs the whole step loop in one "
+            "manual-DMA kernel launch (amortizes the per-call fixed "
+            "cost); 'windowed' is the per-K-block pipeline; 'auto' "
+            "(default) picks mega on TPU f32 runs it supports",
+        )
+        parser.add_argument(
             "--pallas-runtime-params",
             choices=["on", "off"],
             default=env_default("GRAYSCOTT_PALLAS_RUNTIME_PARAMS", "on"),
@@ -461,6 +571,7 @@ class PallasSimulation(Simulation):
                 ns, "pallas_runtime_params", "on") != "off",
             "resident": getattr(ns, "pallas_resident", "auto"),
             "fold": cls._parse_fold(getattr(ns, "pallas_fold", "auto")),
+            "engine": getattr(ns, "pallas_engine", "auto"),
         }
 
     @staticmethod

@@ -26,6 +26,7 @@ from typing import Iterable, Mapping, Tuple, Union
 
 import numpy as np
 
+from ..ops import megakernel as mk
 from ..ops import pallas_stencil as ps
 from ..params import Parameters
 from ..utils import cache
@@ -60,6 +61,10 @@ def _guard_ok(cfg: Mapping, shape, boundary: str) -> bool:
     """Compile-ceiling check for a candidate as it would actually run
     (column-tiled width when block_cols is pinned; folded width and the
     heuristic row tile for lane-fold candidates)."""
+    if cfg.get("engine") == "mega":
+        return mk.mega_ok(shape, cfg.get("block_rows"))
+    if cfg.get("resident") == "on":
+        return ps.resident_ok(shape)
     halo = ps.halo_for_steps(cfg["steps_per_call"])
     fold = int(cfg.get("fold") or 1)
     if fold > 1:
@@ -127,6 +132,30 @@ def _fold_candidates(shape, boundary: str, dtype: str) -> list[dict]:
     return [dict(fold=f, steps_per_call=16), dict(fold=f, steps_per_call=8)]
 
 
+def _engine_candidates(shape, dtype: str) -> list[dict]:
+    """Alternative-engine candidates: the whole-run megakernel (default
+    row blocks + a half-size variant for deeper DMA pipelining) and the
+    VMEM-resident kernel, wherever each supports the domain. The winner's
+    record carries ``engine`` so the backend follows the measured verdict
+    instead of the static preference order."""
+    if dtype != "float32":
+        return []
+    out = []
+    tr = mk.choose_mega_rows(*shape)
+    # skip mega candidates whose forced row blocks carry high halo
+    # redundancy (very wide domains): measuring a known-inefficient
+    # config only wastes tuner budget
+    if mk.mega_ok(shape, tr) and (tr + 2 * mk.MEGA_STEPS) / tr <= 1.3:
+        out.append(dict(engine="mega"))
+        half = tr // 2 // 8 * 8
+        if half >= 8 and mk.mega_ok(shape, half) and \
+                (half + 2 * mk.MEGA_STEPS) / half <= 1.3:
+            out.append(dict(engine="mega", block_rows=half))
+    if ps.resident_ok(shape):
+        out.append(dict(resident="on"))
+    return out
+
+
 def _fallback_candidates(shape, boundary: str) -> list[dict]:
     """Last-resort configs mirroring the runtime heuristics (which are
     themselves ceiling-guarded), so autotune never comes up empty for a
@@ -165,7 +194,14 @@ def measure_config(
 
     sim = PallasSimulation(params, boundary=boundary, dtype=dtype, **config)
     species = sim.make_species(shape)
-    if species.storage[0] == "folded":
+    engine = "windowed"
+    if species.storage[0] == "mega":
+        engine = "mega"
+        tr_used, tc_used, f_used, k = species.storage[3], None, 1, mk.MEGA_STEPS
+    elif species.storage[0] == "resident":
+        engine = "resident"
+        tr_used, tc_used, f_used, k = None, None, 1, sim.steps_per_call
+    elif species.storage[0] == "folded":
         _, _, _, tr_used, _halo, k, f_used, _rp = species.storage
         tc_used = None
     else:
@@ -184,6 +220,7 @@ def measure_config(
         float(np.asarray(jnp.sum(species.result()[:1, :128])))
         best = min(best, time.perf_counter() - t0)
     return {
+        "engine": engine,
         "block_rows": tr_used,
         "steps_per_call": k,
         "block_cols": tc_used,
@@ -214,6 +251,10 @@ def autotune(
     configs = [_as_config(c) for c in candidates]
     configs += _wide_domain_candidates(shape, configs[:2], boundary)
     configs += _fold_candidates(shape, boundary, dtype)
+    if platform == "tpu":
+        # alternative engines are a hardware question: interpret-mode
+        # timings would rank them meaninglessly on CPU
+        configs += _engine_candidates(shape, dtype)
     viable = []
     for cfg in configs:
         # compile-tractability guard: windows past the measured Mosaic
@@ -255,9 +296,14 @@ def autotune(
     if len(ranked) >= 2 and ranked[1]["gcells_per_sec"] >= \
             0.97 * ranked[0]["gcells_per_sec"]:
         for m in ranked[:2]:
-            cfg = {k: m.get(k) for k in
-                   ("block_rows", "steps_per_call", "block_cols", "fold")}
-            cfg["fold"] = cfg.get("fold") or 1
+            if m.get("engine") == "mega":
+                cfg = {"engine": "mega", "block_rows": m["block_rows"]}
+            elif m.get("engine") == "resident":
+                cfg = {"resident": "on"}
+            else:
+                cfg = {k: m.get(k) for k in
+                       ("block_rows", "steps_per_call", "block_cols", "fold")}
+                cfg["fold"] = cfg.get("fold") or 1
             try:
                 again = measure_config(
                     params, shape, boundary, dtype=dtype, **cfg

@@ -1,0 +1,313 @@
+"""Whole-run Pallas "megakernel": the per-call fixed cost, amortized away.
+
+Motivation (SWEEPS.md ``width``/``kdeep`` rows): across every hardware
+shape measured, the windowed kernel's per-``pallas_call`` time fits
+
+    t_call  =  T0 + work / R,     T0 ~ 0.42 ms,  R ~ 81.5 Gcell-steps/s
+
+so a 1024-step run at the reference-default 1080x1920 (64 calls at K=16)
+spends ~27 ms of its ~55 ms in fixed per-call cost. This module issues
+ONE ``pallas_call`` for the entire run: a traced outer loop over K-step
+time blocks, an inner loop over row blocks, and hand-rolled double-
+buffered HBM<->VMEM DMA — the manual version of the pipeline Mosaic
+builds per call for ``ops.pallas_stencil.multistep``, kept alive across
+the whole run. The reference analog is recording every step into one
+command buffer and submitting once (compute/gpu/naive/src/lib.rs:117-128)
+— taken to its limit: one submission per *run*, not per K steps.
+
+Because the fixed cost no longer scales with the call count, temporal
+blocking only has to amortize HBM traffic (not T0), so the halo depth
+drops to the 8-row alignment minimum: K=8 with a (TR + 16, C) window
+— half the windowed kernel's halo redundancy — and the K-unrolled
+kernel graph stays a quarter of the Mosaic compile ceiling.
+
+Layout: state rides HBM as a ``(2, halo + Rp + halo, C)`` pair per
+species. Slot 0 is the current state at call entry AND exit; inside the
+kernel, time block ``t`` reads slot ``t % 2`` and writes slot
+``1 - t % 2`` (a traced leading index — one kernel graph serves both
+parities), and a final slot1->slot0 copy runs when the block count is
+odd. Padding rows are never re-zeroed in HBM: windows sanitize
+out-of-domain cells on load exactly like the windowed kernel's
+``sanitize`` mode.
+
+Pipeline per time block: the inner loop prefetches row block ``b+1``'s
+window while computing block ``b`` (same-``t`` prefetch is always safe:
+reads and writes go to different pair slots). Crossing a time boundary
+drains the two outstanding output DMAs first — the next block reads the
+rows they write — a ~10 us bubble per K steps instead of T0.
+
+Boundary semantics, runtime reaction parameters, and the K-step in-VMEM
+step loop are shared with the windowed kernel
+(:func:`ops.pallas_stencil.make_window_stepper`): the megakernel is a
+driver around the same per-window stepper, so all parity guarantees
+carry over bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import Parameters, Precision
+from . import pallas_stencil as ps
+
+#: Halo/temporal depth: the 8-row sublane alignment minimum. With T0
+#: amortized, deeper blocking would only add halo redundancy; K=8 keeps
+#: HBM traffic at 2 bytes/cell-step (~40 GB/s at peak rate, 5% of HBM).
+MEGA_STEPS = 8
+
+
+def _mega_kernel(
+    scal_ref, *refs,
+    steps: int, tr: int, b_blocks: int, c: int, halo: int,
+    r: int, params, boundary: str,
+    runtime_params: bool, dt_is_one: bool,
+):
+    """One whole run: scal = [n_time_blocks]; refs = optional reaction
+    SMEM, then (u_pair, v_pair) HBM inputs, (u_out, v_out) aliased
+    outputs, then scratch (in/out window slots + DMA semaphores)."""
+    if runtime_params:
+        react_ref = refs[0]
+        refs = refs[1:]
+        reaction = tuple(react_ref[0, i] for i in range(5)) + (dt_is_one,)
+    else:
+        reaction = None
+    (u_in, v_in, u_hbm, v_hbm,
+     uin_s, vin_s, uout_s, vout_s, insem, outsem, cpsem) = refs
+    del u_in, v_in  # aliased to u_hbm / v_hbm
+    n_t = scal_ref[0]
+    w = tr + 2 * halo
+    precompute, step = ps.make_window_stepper(
+        params, boundary, w, c, halo, 0, dtype=jnp.float32,
+        reaction=reaction,
+    )
+    gcol = ps._col_iota(c)
+
+    def in_dma(slot, src, b):
+        row = pl.multiple_of(b * tr, 8)
+        return (
+            pltpu.make_async_copy(
+                u_hbm.at[src, pl.ds(row, w)], uin_s.at[slot],
+                insem.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[src, pl.ds(row, w)], vin_s.at[slot],
+                insem.at[slot, 1],
+            ),
+        )
+
+    def out_dma(slot, dst, b):
+        row = pl.multiple_of(halo + b * tr, 8)
+        return (
+            pltpu.make_async_copy(
+                uout_s.at[slot], u_hbm.at[dst, pl.ds(row, tr)],
+                outsem.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                vout_s.at[slot], v_hbm.at[dst, pl.ds(row, tr)],
+                outsem.at[slot, 1],
+            ),
+        )
+
+    def time_body(t, _):
+        src = jax.lax.rem(t, 2)
+        dst = 1 - src
+        for d in in_dma(0, src, 0):  # warmup: block 0's window
+            d.start()
+
+        def block_body(b, _):
+            s = jax.lax.rem(b, 2)
+
+            @pl.when(b + 1 < b_blocks)
+            def _():
+                for d in in_dma(1 - s, src, b + 1):
+                    d.start()
+
+            for d in in_dma(s, src, b):
+                d.wait()
+            u = uin_s[s]
+            v = vin_s[s]
+            giota = (b * tr - halo) + jax.lax.broadcasted_iota(
+                jnp.int32, (w, 1), 0
+            )
+            ctx = precompute(giota, r, gcol, c)
+            if ctx["dommask"] is not None:
+                # sanitize on load: HBM padding rows are never re-zeroed
+                u = jnp.where(ctx["dommask"], u, 0.0)
+                v = jnp.where(ctx["dommask"], v, 0.0)
+            for _ in range(steps):
+                u, v = step(u, v, ctx)
+            if b_blocks > 2:
+                # slot s's previous output DMA (row block b-2) may still
+                # be in flight; finish it before restaging the slot
+                @pl.when(b >= 2)
+                def _():
+                    for d in out_dma(s, dst, b - 2):
+                        d.wait()
+            uout_s[s] = u[halo : halo + tr]
+            vout_s[s] = v[halo : halo + tr]
+            for d in out_dma(s, dst, b):
+                d.start()
+
+        jax.lax.fori_loop(0, b_blocks, block_body, None, unroll=False)
+        # drain before the next time block reads these rows from `dst`
+        if b_blocks >= 2:
+            for d in out_dma((b_blocks - 2) % 2, dst, b_blocks - 2):
+                d.wait()
+        for d in out_dma((b_blocks - 1) % 2, dst, b_blocks - 1):
+            d.wait()
+
+    jax.lax.fori_loop(0, n_t, time_body, None, unroll=False)
+
+    @pl.when(jax.lax.rem(n_t, 2) == 1)
+    def _():
+        # odd block count: result sits in slot 1; restore the "current
+        # state = slot 0" invariant with one whole-array HBM->HBM copy
+        pltpu.make_async_copy(u_hbm.at[1], u_hbm.at[0], cpsem.at[0]).start()
+        pltpu.make_async_copy(v_hbm.at[1], v_hbm.at[0], cpsem.at[1]).start()
+        pltpu.make_async_copy(u_hbm.at[1], u_hbm.at[0], cpsem.at[0]).wait()
+        pltpu.make_async_copy(v_hbm.at[1], v_hbm.at[0], cpsem.at[1]).wait()
+
+
+def mega_vmem_limit(tr: int, halo: int, c: int) -> int:
+    """Scoped-VMEM tier: 2x2 window slots + 2x2 output slots + the step
+    loop's stack liveness (~13.3x the window bytes, the windowed kernel's
+    measured anchor)."""
+    w = tr + 2 * halo
+    slots = 2 * 2 * (w + tr) * c * 4
+    liveness = 13.3 * w * c * 4
+    est = slots + liveness
+    for tier in (64 << 20, 100 << 20, 120 << 20):
+        if est <= tier:
+            return tier
+    return 120 << 20
+
+
+def mega_ok(shape, tr: int | None = None, halo: int = MEGA_STEPS) -> bool:
+    """Whether the megakernel supports this domain: full-width windows
+    must fit the VMEM budget (very wide domains need the windowed
+    kernel's column tiling) and the K-unrolled graph must clear the
+    Mosaic compile ceiling."""
+    r, c = shape
+    tr = tr or choose_mega_rows(r, c, halo)
+    w = tr + 2 * halo
+    return (
+        mega_vmem_limit(tr, halo, c) >= 2 * 2 * (w + tr) * c * 4 + 13.3 * w * c * 4
+        and ps.window_compile_ok(tr, halo, c, steps=halo)
+    )
+
+
+def choose_mega_rows(r: int, c: int, halo: int = MEGA_STEPS) -> int:
+    """Row-block size: largest padding-free tile whose window pair plus
+    slots fit the 120 MB VMEM tier, preferring >= 2 blocks so the inner
+    loop can prefetch (B=1 serializes each time block's DMA against
+    compute). Scored like choose_block_rows: total window rows."""
+    rp8 = -(-r // 8) * 8
+    best, best_score = None, None
+    for tr in range(8, min(rp8, 1024) + 1, 8):
+        w = tr + 2 * halo
+        if not ps.window_compile_ok(tr, halo, c, steps=halo):
+            break
+        if 2 * 2 * (w + tr) * c * 4 + 13.3 * w * c * 4 > (120 << 20):
+            break
+        n = -(-r // tr)
+        if n == 1 and r > 2 * halo + 8:
+            continue  # prefer a prefetchable 2+ block split
+        score = n * w
+        if best_score is None or score <= best_score:
+            best, best_score = tr, score
+    if best is None:
+        best = 8
+    return best
+
+
+def mega_pad_state(u: np.ndarray, v: np.ndarray, tr: int,
+                   halo: int = MEGA_STEPS):
+    """(R, C) concentrations -> (2, halo + Rp + halo, C) f32 HBM pairs.
+    Slot 0 holds the current state; slot 1 starts zero (its in-domain
+    cells are fully overwritten by the first time block; its padding is
+    sanitized on every window load)."""
+    r, c = u.shape
+    rp = -(-r // tr) * tr
+    out = []
+    for x in (u, v):
+        buf = np.zeros((2, halo + rp + halo, c), dtype=np.float32)
+        buf[0, halo : halo + r] = x.astype(np.float32)
+        out.append(buf)
+    return out[0], out[1]
+
+
+def megastep_impl(
+    u_pair, v_pair, n_blocks, reaction=None,
+    *, steps: int, tr: int, r: int, params: Parameters, boundary: str,
+    halo: int = MEGA_STEPS, interpret: bool = False,
+    vmem_limit_bytes: int | None = None, dt_is_one: bool = False,
+):
+    """Advance the pair state by ``n_blocks`` (traced) x ``steps`` (static,
+    <= halo) simulation steps in ONE kernel launch. Returns the new pairs
+    with the current state in slot 0."""
+    if not (1 <= steps <= halo):
+        raise ValueError(f"steps must be in [1, {halo}], got {steps}")
+    _, hp, c = u_pair.shape
+    rp = hp - 2 * halo
+    if rp % tr != 0 or tr % 8 != 0 or halo % 8 != 0:
+        raise ValueError(
+            f"interior rows {rp} must be a multiple of tr={tr} "
+            "(tr and halo multiples of 8)"
+        )
+    b_blocks = rp // tr
+    w = tr + 2 * halo
+    scalars = jnp.asarray(n_blocks, jnp.int32).reshape(1)
+    kernel = functools.partial(
+        _mega_kernel, steps=steps, tr=tr, b_blocks=b_blocks, c=c,
+        halo=halo, r=r, params=params, boundary=boundary,
+        runtime_params=reaction is not None, dt_is_one=dt_is_one,
+    )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    operands = [scalars]
+    if reaction is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(reaction, jnp.float32).reshape(1, 5))
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs += [any_spec, any_spec]
+    operands += [u_pair, v_pair]
+    n_in = len(operands)
+    out_u, out_v = pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=[any_spec, any_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(u_pair.shape, u_pair.dtype),
+            jax.ShapeDtypeStruct(v_pair.shape, v_pair.dtype),
+        ],
+        input_output_aliases={n_in - 2: 0, n_in - 1: 1},
+        scratch_shapes=[
+            pltpu.VMEM((2, w, c), jnp.float32),
+            pltpu.VMEM((2, w, c), jnp.float32),
+            pltpu.VMEM((2, tr, c), jnp.float32),
+            pltpu.VMEM((2, tr, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes or mega_vmem_limit(tr, halo, c),
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out_u, out_v
+
+
+_STATIC = ("steps", "tr", "r", "params", "boundary", "halo", "interpret",
+           "vmem_limit_bytes", "dt_is_one")
+
+megastep = jax.jit(
+    megastep_impl,
+    static_argnames=_STATIC,
+    donate_argnames=("u_pair", "v_pair"),
+)

@@ -31,6 +31,7 @@ sim = PallasSimulation(
     runtime_params=cfg.get("rt", True),
     resident=cfg.get("resident", "auto"),
     fold=cfg.get("fold", "off"),
+    engine=cfg.get("engine", "auto"),
 )
 steps = cfg.get("steps", max(64 * cfg.get("k", 16), 256))
 res = run_one(sim, shape, steps, "compute", reps=3)

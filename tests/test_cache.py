@@ -164,7 +164,7 @@ def test_per_species_tuned_k_isolation(monkeypatch, tmp_path, params):
                       "block_cols": None}
     c.save_autotune(store)
     sim = PallasSimulation(params, boundary="zero", interpret=True,
-                           resident="off")  # windowed path under test
+                           resident="off", engine="windowed")
     sim.interpret = False  # allow k adoption; kernels never run here
     spa = sim.make_species(shape_a)
     spb = sim.make_species(shape_b)
@@ -247,7 +247,8 @@ def test_fold_record_adoption(monkeypatch, tmp_path, params):
     assert st[0] == "folded" and st[3] == 16 and st[6] == 2
     # fold='off' must neither fold nor adopt the fold record's tiles
     sim_off = PallasSimulation(params, boundary="zero", fold="off",
-                               interpret=False, resident="off")
+                               interpret=False, resident="off",
+                               engine="windowed")
     st_off = sim_off.build_storage(np.zeros(shape, np.float32),
                                   np.ones(shape, np.float32))
     assert st_off[0] != "folded" and st_off[2] != 16
@@ -259,3 +260,73 @@ def test_fold_record_adoption(monkeypatch, tmp_path, params):
     assert autotune._fold_candidates((1080, 1900), "naive", "float32") == []
     for cd in cands:
         assert autotune._guard_ok(cd, (1080, 1920), "zero")
+
+
+def test_engine_candidates():
+    """Engine candidates: mega wherever the domain supports full-width
+    windows, resident for VMEM-resident sizes, none for bf16 storage."""
+    from grayscott_tpu.bench import autotune
+
+    cands = autotune._engine_candidates((1080, 1920), "float32")
+    assert any(c.get("engine") == "mega" for c in cands)
+    assert any(c.get("resident") == "on" for c in cands)
+    for c in cands:
+        assert autotune._guard_ok(c, (1080, 1920), "naive"), c
+    assert autotune._engine_candidates((1080, 1920), "bfloat16") == []
+    big = autotune._engine_candidates((8192, 8192), "float32")
+    assert any(c.get("engine") == "mega" for c in big)
+    assert not any(c.get("resident") for c in big)  # far past residency
+    wide = autotune._engine_candidates((4096, 65536), "float32")
+    assert not any(c.get("engine") == "mega" for c in wide)
+
+
+def test_engine_verdict_adoption(monkeypatch, tmp_path, params):
+    """A persisted engine verdict overrides the static engine preference;
+    alternative-engine records never leak tiles into the windowed path."""
+    import jax
+    import numpy as np
+
+    from grayscott_tpu.backends.pallas import PallasSimulation
+    from grayscott_tpu.ops import pallas_stencil as ps
+    from grayscott_tpu.utils import cache as c
+
+    monkeypatch.setattr(c, "CACHE_DIR", str(tmp_path))
+    shape = (64, 256)
+    platform = jax.devices()[0].platform
+    key = c.autotune_key(platform, shape, "zero", params.stencil_name(),
+                         ps.KERNEL_VERSION)
+    u = np.zeros(shape, np.float32)
+    v = np.ones(shape, np.float32)
+
+    def build(**kw):
+        sim = PallasSimulation(params, boundary="zero", interpret=True, **kw)
+        sim.interpret = False  # allow adoption; kernels never run here
+        return sim.build_storage(u, v)
+
+    # no record: the static preference picks resident on resident-size
+    # domains (hardware: 43.3 vs 39.4 Gcell/s at 1080x1920)
+    assert build()[0] == "resident"
+    # mega verdict: mega storage with the recorded row block
+    c.save_autotune({key: {"engine": "mega", "block_rows": 16,
+                           "steps_per_call": 8, "block_cols": None,
+                           "fold": 1}})
+    st = build()
+    assert st[0] == "mega" and st[3] == 16
+    # windowed verdict: windowed storage adopting the record's tiles
+    c.save_autotune({key: {"engine": "windowed", "block_rows": 16,
+                           "steps_per_call": 4, "block_cols": None,
+                           "fold": 1}})
+    st = build()
+    assert not isinstance(st[0], str) and st[2] == 16 and st[6] == 4
+    # resident verdict: resident storage
+    c.save_autotune({key: {"engine": "resident", "block_rows": None,
+                           "steps_per_call": 16, "block_cols": None,
+                           "fold": 1}})
+    assert build()[0] == "resident"
+    # user pins engine=windowed: a mega record's block_rows must NOT
+    # masquerade as a windowed tile
+    c.save_autotune({key: {"engine": "mega", "block_rows": 48,
+                           "steps_per_call": 8, "block_cols": None,
+                           "fold": 1}})
+    st = build(engine="windowed", resident="off")
+    assert not isinstance(st[0], str) and st[2] != 48

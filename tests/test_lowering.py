@@ -109,6 +109,58 @@ def test_resident_kernel_lowers_for_tpu(boundary):
         assert "tpu_custom_call" in exp.mlir_module()
 
 
+@pytest.mark.parametrize("boundary", ["zero", "naive"])
+@pytest.mark.parametrize("runtime", [True, False])
+def test_megakernel_lowers_for_tpu(boundary, runtime):
+    """The whole-run manual-DMA megakernel (traced pair-slot DMA indices,
+    semaphore waits, HBM->HBM parity copy, input/output aliasing) must
+    lower to Mosaic."""
+    from grayscott_tpu.ops import megakernel as mk
+
+    params = Parameters()
+    r, c, tr = 64, 256, 16
+    u0 = np.zeros((r, c), np.float32)
+    v0 = np.ones((r, c), np.float32)
+    u_pair, v_pair = mk.mega_pad_state(u0, v0, tr)
+    reaction = ps.reaction_operand(params) if runtime else None
+    kernel_params = params.structure_only() if runtime else params
+
+    def fn(u, v):
+        return mk.megastep_impl(
+            u, v, jnp.int32(3), reaction,
+            steps=8, tr=tr, r=r, params=kernel_params, boundary=boundary,
+            dt_is_one=runtime,
+        )
+
+    exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(
+        jnp.asarray(u_pair), jnp.asarray(v_pair)
+    )
+    assert "tpu_custom_call" in exp.mlir_module()
+
+
+def test_megakernel_production_geometry_lowers_for_tpu():
+    """The real production geometries (B=2 at 1080x1920, B>2 at 4096^2
+    with the slot-reuse wait branch) lower to Mosaic."""
+    from grayscott_tpu.ops import megakernel as mk
+
+    params = Parameters()
+    for r, c in ((1080, 1920), (4096, 4096)):
+        tr = mk.choose_mega_rows(r, c)
+        rp = -(-r // tr) * tr
+        u = jnp.zeros((2, 8 + rp + 8, c), jnp.float32)
+        v = jnp.ones_like(u)
+
+        def fn(u, v):
+            return mk.megastep_impl(
+                u, v, jnp.int32(4), ps.reaction_operand(params),
+                steps=8, tr=tr, r=r, params=params.structure_only(),
+                boundary="naive", dt_is_one=True,
+            )
+
+        exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(u, v)
+        assert "tpu_custom_call" in exp.mlir_module()
+
+
 def test_sanitize_and_resident_unroll_lower_for_tpu():
     """The sanitize-on-load select and the unrolled resident fori body
     are new kernel graph shapes: gate their Mosaic lowering."""

@@ -1,0 +1,165 @@
+"""Megakernel (whole-run manual-DMA engine) validation: oracle parity,
+bitwise equivalence with the windowed kernel, engine selection, and
+executable reuse across block counts. See ops/megakernel.py for the
+design; the per-window step math is shared with the windowed kernel, so
+these tests focus on the driver (DMA pipeline, ping-pong parity, final
+copy, remainder handling)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grayscott_tpu import oracle
+from grayscott_tpu.backends.pallas import PallasSimulation
+from grayscott_tpu.ops import megakernel as mk
+from grayscott_tpu.ops import pallas_stencil as ps
+from grayscott_tpu.params import Parameters
+
+from conftest import random_uv
+
+
+def run_mega(u, v, params, boundary, steps, **kw):
+    sim = PallasSimulation(params, boundary=boundary, interpret=True,
+                          engine="mega", **kw)
+    species = sim.make_species(u.shape)
+    species.storage = sim.build_storage(u, v)
+    sim.perform_steps(species, steps)
+    return species.uv_host()
+
+
+@pytest.mark.parametrize("boundary", ["naive", "zero"])
+def test_mega_parity_multiblock(rng, params, boundary):
+    """2 row blocks x 2 time blocks (even parity: result stays in slot 0
+    without the final copy) against the oracle."""
+    u, v = random_uv(rng, (32, 16))
+    ou, ov = oracle.run(u, v, params, 16, boundary)
+    gu, gv = run_mega(u, v, params, boundary, 16, block_rows=16)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_mega_odd_blocks_and_remainder(rng, params):
+    """steps=27 = 3 full K=8 time blocks (odd: exercises the slot1->slot0
+    parity copy) + a remainder-3 call; 19 rows: padded block handling."""
+    u, v = random_uv(rng, (19, 16))
+    ou, ov = oracle.run(u, v, params, 27, "naive")
+    gu, gv = run_mega(u, v, params, "naive", 27, block_rows=8)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=2e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=2e-6)
+
+
+@pytest.mark.parametrize("boundary", ["naive", "zero"])
+def test_mega_bitwise_matches_windowed(rng, params, boundary):
+    """The megakernel is the windowed kernel's step math behind a manual
+    DMA driver: outputs must match BIT FOR BIT (same window geometry)."""
+    u, v = random_uv(rng, (40, 16))
+    tr, halo, steps = 16, 8, 8
+    up, vp = ps.pad_state(u, v, tr, halo)
+    uw, vw = ps.multistep(
+        jnp.asarray(up), jnp.asarray(vp), -halo, 40,
+        steps=steps, tr=tr, params=params, boundary=boundary,
+        halo=halo, interpret=True,
+    )
+    up2, vp2 = mk.mega_pad_state(u, v, tr, halo)
+    um, vm = mk.megastep(
+        jnp.asarray(up2), jnp.asarray(vp2), jnp.int32(1), None,
+        steps=steps, tr=tr, r=40, params=params, boundary=boundary,
+        halo=halo, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(um[0, halo:halo + 40]),
+                                  np.asarray(uw[halo:halo + 40]))
+    np.testing.assert_array_equal(np.asarray(vm[0, halo:halo + 40]),
+                                  np.asarray(vw[halo:halo + 40]))
+
+
+def test_mega_three_plus_blocks_pipeline(rng, params):
+    """B=4 row blocks exercises the slot-reuse wait (b >= 2) branch."""
+    u, v = random_uv(rng, (32, 16))
+    ou, ov = oracle.run(u, v, params, 8, "zero")
+    gu, gv = run_mega(u, v, params, "zero", 8, block_rows=8)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_mega_runtime_params_reuse_and_parity(rng):
+    """Runtime-parameter mode tracks static folding within FMA-contraction
+    ulps (the megakernel's surrounding DMA/loop graph makes the compiler's
+    mul+add contraction choices context-dependent, unlike the windowed
+    kernel where the modes stay bitwise — test_pallas.py), and neither
+    parameter changes nor different step totals / block counts build a
+    new executable."""
+    p = Parameters(feed_rate=0.029, kill_rate=0.057)
+    u, v = random_uv(rng, (24, 16))
+    ru, rv = run_mega(u, v, p, "naive", 16, block_rows=8,
+                      runtime_params=True)
+    su, sv = run_mega(u, v, p, "naive", 16, block_rows=8,
+                      runtime_params=False)
+    np.testing.assert_allclose(ru, su, rtol=0, atol=1e-7)
+    np.testing.assert_allclose(rv, sv, rtol=0, atol=1e-7)
+
+    size = mk.megastep._cache_size()
+    for p2, steps in ((Parameters(feed_rate=0.04), 16),
+                      (Parameters(kill_rate=0.06), 32)):
+        run_mega(u, v, p2, "naive", steps, block_rows=8,
+                 runtime_params=True)
+        assert mk.megastep._cache_size() == size, (
+            "parameter/step-count change recompiled the megakernel"
+        )
+
+
+def test_mega_auto_selection(params):
+    """'auto' picks mega on hardware-like f32 runs; pins, bf16, fold and
+    interpret keep the windowed engine; engine='mega' validates."""
+    sim = PallasSimulation(params, interpret=False)
+    sim.interpret = False
+    # VMEM-resident-size domains prefer the resident kernel (hardware:
+    # 43.3 vs 39.4 Gcell/s at 1080x1920); everything bigger goes mega
+    assert not sim._use_mega((1080, 1920), None)
+    assert sim._use_resident((1080, 1920), None)
+    assert sim._use_mega((4096, 4096), None)
+    # explicit windowed knobs mean "the windowed kernel with these knobs"
+    pinned = PallasSimulation(params, block_rows=256, interpret=False)
+    pinned.interpret = False
+    assert not pinned._use_mega((1080, 1920))
+    kpin = PallasSimulation(params, steps_per_call=16, interpret=False)
+    kpin.interpret = False
+    assert not kpin._use_mega((1080, 1920))
+    off = PallasSimulation(params, engine="windowed", interpret=False)
+    off.interpret = False
+    assert not off._use_mega((64, 64))
+    bf16 = PallasSimulation(params, dtype="bfloat16", engine="mega",
+                            interpret=False)
+    bf16.interpret = False
+    with pytest.raises(ValueError):
+        bf16._use_mega((64, 64))
+    with pytest.raises(ValueError):
+        PallasSimulation(params, engine="nope")
+    folded = PallasSimulation(params, fold=2, engine="mega",
+                              interpret=False)
+    folded.interpret = False
+    with pytest.raises(ValueError):
+        folded._use_mega((1080, 1920))
+
+
+def test_choose_mega_rows_geometry():
+    """Row blocks are padding-free where possible, prefer >= 2 blocks
+    (prefetchable), and always clear the compile ceiling + VMEM tier."""
+    tr = mk.choose_mega_rows(1080, 1920)
+    # 2 blocks; 540 isn't sublane-aligned, so 544 with 8 padded rows
+    assert tr == 544  # window (560, 1920)
+    tr4k = mk.choose_mega_rows(4096, 4096)
+    assert 4096 % tr4k == 0 or -(-4096 // tr4k) * tr4k - 4096 < tr4k
+    assert ps.window_compile_ok(tr4k, 8, 4096, steps=8)
+    assert mk.mega_ok((1080, 1920)) and mk.mega_ok((4096, 4096))
+    # very wide domains exceed the full-width VMEM budget -> windowed
+    assert not mk.mega_ok((4096, 262144))
+    # (4096, 65536) squeaks under the budget at tr=8, but 3x halo
+    # redundancy must make the auto engine decline it (windowed column
+    # tiling is the right tool); an explicit pin still allows it
+    assert mk.mega_ok((4096, 65536))
+    from grayscott_tpu.backends.pallas import PallasSimulation
+    from grayscott_tpu.params import Parameters
+
+    sim = PallasSimulation(Parameters(), boundary="zero", interpret=True)
+    sim.interpret = False
+    assert not sim._use_mega((4096, 65536), None)
