@@ -455,6 +455,7 @@ class PallasSimulation(Simulation):
                 u, v, jnp.int32(steps), reaction,
                 r=r, c=c, params=kernel_params, boundary=self.boundary,
                 interpret=self.interpret, dt_is_one=dt_is_one,
+                vmem_limit_bytes=self.vmem_limit_bytes,
                 # amortize the in-kernel fori back-edge (compile-ceiling
                 # capped); interpreter keeps the small graph
                 unroll=1 if self.interpret else ps.resident_unroll(
