@@ -74,7 +74,9 @@ def _mega_kernel(
     if runtime_params:
         react_ref = refs[0]
         refs = refs[1:]
-        reaction = tuple(react_ref[0, i] for i in range(5)) + (dt_is_one,)
+        reaction = tuple(
+            react_ref[0, i] for i in range(ps.REACTION_LEN)
+        ) + (dt_is_one,)
     else:
         reaction = None
     (u_in, v_in, u_hbm, v_hbm,
@@ -272,7 +274,7 @@ def megastep_impl(
     operands = [scalars]
     if reaction is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        operands.append(jnp.asarray(reaction, jnp.float32).reshape(1, 5))
+        operands.append(jnp.asarray(reaction, jnp.float32).reshape(1, ps.REACTION_LEN))
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs += [any_spec, any_spec]
     operands += [u_pair, v_pair]

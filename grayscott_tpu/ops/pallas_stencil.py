@@ -77,7 +77,9 @@ HALO = 8
 #: v3: runtime reaction scalars via SMEM (the step math is otherwise
 #: identical to v2 — narrow-operand masking variants were all measured
 #: or lowering-probed negative, see make_window_stepper).
-KERNEL_VERSION = 3
+#: v4: zero-path linear fold (_zero_fold_coeffs) — ~10 fewer full-array
+#: ops/step for zero semantics; naive path bit-unchanged.
+KERNEL_VERSION = 4
 
 
 def halo_for_steps(k: int) -> int:
@@ -306,7 +308,9 @@ def make_window_stepper(
             t = h1 * x + h0 * (shift_cols(x, 1) + shift_cols(x, -1))
             s = h1 * t + h0 * (shift_rows(t, 1) + shift_rows(t, -1))
             if boundary == "zero":
-                return s - float(alpha) * x
+                # the ``- alpha*x`` center correction is folded into the
+                # reaction's Au/Bv coefficients (see _zero_fold_coeffs)
+                return s
             return s - x * b_field
 
         def make_b_field(giota, r_total, gcol, c_total, lcol=None, poff=None):
@@ -389,8 +393,16 @@ def make_window_stepper(
         mfk = float(params.min_feed_kill())
         dt = float(Precision(params.time_step))
         dt_is_one = dt == 1.0
+        # zero-path fold coefficients: SAME host f32 arithmetic as
+        # reaction_operand, so both modes trace identical constants
+        cu, cv, e_f, au, bv = (
+            float(x) for x in _zero_fold_coeffs(
+                du_rate, dv_rate, f, mfk, dt, _plan_alpha(params)
+            )
+        )
     else:
-        du_rate, dv_rate, f, mfk, dt, dt_is_one = reaction
+        (du_rate, dv_rate, f, mfk, dt,
+         cu, cv, e_f, au, bv, dt_is_one) = reaction
 
     def precompute(giota, r_total, gcol, c_total):
         """Loop-invariant context: domain mask / per-row dt, boundary
@@ -511,23 +523,40 @@ def make_window_stepper(
         full_u = laplacian(u, ctx["b_field"])
         full_v = laplacian(v, ctx["b_field"])
         if boundary == "naive":
+            # the bit-frozen path: exact reference-CPU semantics — the
+            # parity suite and goldens pin every rounding in this order
             full_u = _fix_naive(u, full_u, ctx)
             full_v = _fix_naive(v, full_v, ctx)
-        uv_square = u * v * v
-        du = du_rate * full_u - uv_square + f * (1.0 - u)
-        dv = dv_rate * full_v + uv_square + mfk * v
-        if dt_is_one:
-            # x * 1.0 == x bitwise: skipping the multiply is what static
-            # constant folding did, and it is worth 2 of the ~45 full-
-            # window ops/step (measured -3.5% when lost). The runtime-
-            # parameter mode therefore specializes on THIS predicate
-            # only: f/k/Du/Dv changes never recompile; a dt change away
-            # from the 1.0 default recompiles once to the general form.
-            un = u + du
-            vn = v + dv
+            uv_square = u * v * v
+            du = du_rate * full_u - uv_square + f * (1.0 - u)
+            dv = dv_rate * full_v + uv_square + mfk * v
+            if dt_is_one:
+                # x * 1.0 == x bitwise: skipping the multiply is what
+                # static constant folding did (measured -3.5% when lost).
+                # The runtime-parameter mode specializes on THIS predicate
+                # only: f/k/Du/Dv changes never recompile; a dt change off
+                # the 1.0 default recompiles once to the general form.
+                un = u + du
+                vn = v + dv
+            else:
+                un = u + du * dt
+                vn = v + dv * dt
         else:
-            un = u + du * dt
-            vn = v + dv * dt
+            # zero path: every u-linear term (the Euler identity, the
+            # feed drain, the folded -alpha*x center correction) is
+            # collected into ONE coefficient per species
+            # (_zero_fold_coeffs) — 10 fewer full-array ops per step than
+            # the naive-ordered formula. Reassociates the f32 sum, like
+            # the separable decomposition itself; static vs runtime-
+            # parameter modes stay bitwise within one kernel (the
+            # coefficients come from one host computation), but the
+            # longer linear chains give the compiler FMA-contraction
+            # freedom, so DIFFERENT kernel specializations may round
+            # 1 ulp apart (tests/test_fold.py budgets for this).
+            uv_square = u * v * v
+            quv2 = uv_square if dt_is_one else dt * uv_square
+            un = ((cu * full_u - quv2) + e_f) + au * u
+            vn = (cv * full_v + quv2) + bv * v
         if ctx["dommask"] is not None:
             un = jnp.where(ctx["dommask"], un, 0.0)
             vn = jnp.where(ctx["dommask"], vn, 0.0)
@@ -544,7 +573,9 @@ def _kernel(scal_ref, *refs,
             sanitize: bool = False):
     if runtime_params:
         react_ref, u_ref, v_ref, uo_ref, vo_ref = refs
-        reaction = tuple(react_ref[0, i] for i in range(5)) + (dt_is_one,)
+        reaction = tuple(
+            react_ref[0, i] for i in range(REACTION_LEN)
+        ) + (dt_is_one,)
     else:
         u_ref, v_ref, uo_ref, vo_ref = refs
         reaction = None
@@ -598,18 +629,56 @@ def _kernel(scal_ref, *refs,
         vo_ref[:] = v[halo : halo + tr, chalo : chalo + tc]
 
 
+def _plan_alpha(params: Parameters) -> np.float32:
+    """The separable plan's center-correction scalar (0 for the direct
+    full-tap plan, whose corrected weights already absorb the center)."""
+    plan = params.separable_plan()
+    return Precision(plan[2] if plan[0] == "separable" else 0.0)
+
+
+def _zero_fold_coeffs(du, dv, f, mfk, dt, alpha):
+    """(Cu, Cv, E, Au, Bv) for the zero-path linear fold (see ``step``):
+
+        u' = ((Cu*s_u - dt*uv2) + E) + Au*u
+        v' = ( (Cv*s_v + dt*uv2)     + Bv*v)
+
+    with ``s`` the raw separable convolution (no ``- alpha*x``). This is
+    the algebraic expansion of ``u + dt*(Du*(s - alpha*u) - uv2 +
+    f*(1-u))`` with every u-linear term collected into one coefficient —
+    6 fewer full-array ops per step plus the 2x ``- alpha*x`` subtraction.
+    HOST-side f32 arithmetic in a FIXED op order, so the static and
+    runtime-parameter modes stay bit-identical to each other (the zero
+    path was never bitwise against the naive oracle: the separable
+    reassociation already set that boundary, see separable_plan)."""
+    one = Precision(1.0)
+    du, dv = Precision(du), Precision(dv)
+    f, mfk, dt = Precision(f), Precision(mfk), Precision(dt)
+    alpha = Precision(alpha)
+    cu = dt * du
+    cv = dt * dv
+    e = dt * f
+    au = (one - e) - cu * alpha
+    bv = (one + dt * mfk) - cv * alpha
+    return cu, cv, e, au, bv
+
+
 def reaction_operand(params: Parameters) -> np.ndarray:
-    """(1, 5) f32 runtime-parameter operand for the kernel's SMEM input:
-    ``[du_rate, dv_rate, feed, min_feed_kill, dt]``, rounded to f32 the
-    same way the static trace-time constants are (bit-parity between the
-    two modes)."""
-    return np.asarray(
-        [[Precision(params.diffusion_rate_u),
-          Precision(params.diffusion_rate_v),
-          Precision(params.feed_rate),
-          params.min_feed_kill(),
-          Precision(params.time_step)]], dtype=Precision,
-    )
+    """(1, 10) f32 runtime-parameter operand for the kernel's SMEM input:
+    ``[du_rate, dv_rate, feed, min_feed_kill, dt, Cu, Cv, E, Au, Bv]``
+    (the last five are the zero-path fold coefficients, ignored by the
+    naive path), rounded to f32 the same way the static trace-time
+    constants are (bit-parity between the two modes)."""
+    du = Precision(params.diffusion_rate_u)
+    dv = Precision(params.diffusion_rate_v)
+    f = Precision(params.feed_rate)
+    mfk = params.min_feed_kill()
+    dt = Precision(params.time_step)
+    fold = _zero_fold_coeffs(du, dv, f, mfk, dt, _plan_alpha(params))
+    return np.asarray([[du, dv, f, mfk, dt, *fold]], dtype=Precision)
+
+
+#: scalar count of the runtime-parameter SMEM operand
+REACTION_LEN = 10
 
 
 def multistep_impl(
@@ -727,9 +796,10 @@ def multistep_impl(
     operands = [scalars]
     if reaction is not None:
         in_specs.append(
-            pl.BlockSpec((1, 5), zero_map, memory_space=pltpu.SMEM)
+            pl.BlockSpec((1, REACTION_LEN), zero_map,
+                         memory_space=pltpu.SMEM)
         )
-        operands.append(jnp.asarray(reaction, jnp.float32).reshape(1, 5))
+        operands.append(jnp.asarray(reaction, jnp.float32).reshape(1, REACTION_LEN))
     in_specs += [
         pl.BlockSpec(in_block, in_map, memory_space=pltpu.VMEM),
         pl.BlockSpec(in_block, in_map, memory_space=pltpu.VMEM),
@@ -826,7 +896,9 @@ def _resident_kernel(scal_ref, *refs, rp: int, cp: int, r: int, c: int,
                      dt_is_one: bool, unroll: int = 1):
     if runtime_params:
         react_ref, u_ref, v_ref, uo_ref, vo_ref = refs
-        reaction = tuple(react_ref[0, i] for i in range(5)) + (dt_is_one,)
+        reaction = tuple(
+            react_ref[0, i] for i in range(REACTION_LEN)
+        ) + (dt_is_one,)
     else:
         u_ref, v_ref, uo_ref, vo_ref = refs
         reaction = None
@@ -872,10 +944,19 @@ def _resident_kernel(scal_ref, *refs, rp: int, cp: int, r: int, c: int,
     vo_ref[:] = v
 
 
-#: Largest per-species state (bytes) the resident kernel auto-selects:
-#: the whole domain plus the step loop's live temporaries must fit VMEM
-#: (128 MB physical). At 9 MB/array the measured stack-liveness ratio
-#: (~13x one array) stays under the 120 MB scoped tier with margin.
+#: Resident auto-selection envelope. The in-kernel step loop's Mosaic
+#: stack liveness runs ~13-15x one padded species array against the
+#: 120 MB scoped-VMEM ceiling, and the multiplier is GEOMETRY-dependent
+#: (raising vmem_limit_bytes toward the 128 MB physical cap does not
+#: rescue the failures below), so the envelope is empirical. Hardware-
+#: validated fits: 1088x1920 (8.36 MB/array), 1600x1024 (6.55 MB),
+#: 808x1920 (6.2 MB), 400x3840 (5.9 MB). Hardware failures at equal or
+#: near-equal bytes: 544x3840 (8.36 MB), 2160x1024 (8.85 MB). General
+#: cap 6.5 MB; the reference-default 1080x1920 family (rp<=1088,
+#: cp<=2048) is validated to 9 MB. Auto-selection past the envelope
+#: falls back to the windowed/mega engines instead of a hard compile
+#: error; ``resident="on"`` still forces the attempt.
+RESIDENT_SAFE_BYTES = int(6.5 * (1 << 20))
 RESIDENT_MAX_BYTES = 9 << 20
 
 
@@ -883,7 +964,10 @@ def resident_ok(shape, dtype_bytes: int = 4) -> bool:
     r, c = shape
     rp = -(-r // 8) * 8
     cp = -(-c // 128) * 128
-    return rp * cp * dtype_bytes <= RESIDENT_MAX_BYTES
+    nbytes = rp * cp * dtype_bytes
+    if rp <= 1088 and cp <= 2048:
+        return nbytes <= RESIDENT_MAX_BYTES
+    return nbytes <= RESIDENT_SAFE_BYTES
 
 
 def resident_unroll(rp: int, cp: int, boundary: str = "zero") -> int:
@@ -930,9 +1014,10 @@ def resident_multistep_impl(
     operands = [scalars]
     if reaction is not None:
         in_specs.append(
-            pl.BlockSpec((1, 5), zero_map, memory_space=pltpu.SMEM)
+            pl.BlockSpec((1, REACTION_LEN), zero_map,
+                         memory_space=pltpu.SMEM)
         )
-        operands.append(jnp.asarray(reaction, jnp.float32).reshape(1, 5))
+        operands.append(jnp.asarray(reaction, jnp.float32).reshape(1, REACTION_LEN))
     full = pl.BlockSpec((rp, cp), zero_map, memory_space=pltpu.VMEM)
     in_specs += [full, full]
     operands += [u_res, v_res]

@@ -65,13 +65,14 @@ def test_folded_parity_uneven_panels(rng, params):
 
 
 def test_folded_matches_unfolded(rng, params):
-    """Folding only changes op geometry, not the math. A fold with F=1
-    (same array shape as plain) is bitwise identical; F>1 runs the same
-    op chain on a wider array, where the compiler's FMA contraction may
-    round single ops differently (probed at (96, 128): first diff is
-    1 ulp at the V-box corner — the max-gradient cells — propagating at
-    1 cell/step, the classic reassociation signature; panel seams and
-    edges stay exact). So: F=1 bitwise, F=2 within a tight budget."""
+    """Folding only changes op geometry, not the math: the fold and
+    plain paths run the same op chain, so they agree to within FMA
+    contraction — the v4 zero-path linear fold's 3-term chains leave
+    the compiler free to contract mul+add differently per kernel
+    specialization (probed: K=1/K=2 specializations are bitwise, K=8
+    rounds 1 ulp apart on ~2% of cells after 8 steps; under kernel v3
+    F=1 happened to be bitwise). Both F=1 and F=2 are therefore held to
+    the same tight ulp-scale budget rather than bit equality."""
     u, v = random_uv(rng, (48, 16))
 
     def plain(tr):
@@ -89,11 +90,13 @@ def test_folded_matches_unfolded(rng, params):
         steps=8, tr=8, params=params, boundary="zero", halo=8,
         interpret=True, fold=(1, 16, 48),
     )
-    np.testing.assert_array_equal(
-        ps.unfold_state(np.asarray(ou), 8, 1, 16, 48), wu
+    np.testing.assert_allclose(
+        ps.unfold_state(np.asarray(ou), 8, 1, 16, 48), wu,
+        rtol=0, atol=3e-7,
     )
-    np.testing.assert_array_equal(
-        ps.unfold_state(np.asarray(ov), 8, 1, 16, 48), wv
+    np.testing.assert_allclose(
+        ps.unfold_state(np.asarray(ov), 8, 1, 16, 48), wv,
+        rtol=0, atol=3e-7,
     )
     pu, pv = run_folded(u, v, params, 8, fold=2, block_rows=8)
     np.testing.assert_allclose(pu, wu, rtol=0, atol=3e-7)

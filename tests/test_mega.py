@@ -51,7 +51,11 @@ def test_mega_odd_blocks_and_remainder(rng, params):
 @pytest.mark.parametrize("boundary", ["naive", "zero"])
 def test_mega_bitwise_matches_windowed(rng, params, boundary):
     """The megakernel is the windowed kernel's step math behind a manual
-    DMA driver: outputs must match BIT FOR BIT (same window geometry)."""
+    DMA driver: the bit-frozen naive path must match BIT FOR BIT (same
+    window geometry). The zero path's v4 linear fold leaves the compiler
+    FMA-contraction freedom that may round 1 ulp apart between the two
+    compilations (same budget as tests/test_fold.py), so zero is held to
+    an ulp-scale tolerance instead."""
     u, v = random_uv(rng, (40, 16))
     tr, halo, steps = 16, 8, 8
     up, vp = ps.pad_state(u, v, tr, halo)
@@ -66,10 +70,13 @@ def test_mega_bitwise_matches_windowed(rng, params, boundary):
         steps=steps, tr=tr, r=40, params=params, boundary=boundary,
         halo=halo, interpret=True,
     )
-    np.testing.assert_array_equal(np.asarray(um[0, halo:halo + 40]),
-                                  np.asarray(uw[halo:halo + 40]))
-    np.testing.assert_array_equal(np.asarray(vm[0, halo:halo + 40]),
-                                  np.asarray(vw[halo:halo + 40]))
+    atol = 0.0 if boundary == "naive" else 3e-7
+    np.testing.assert_allclose(np.asarray(um[0, halo:halo + 40]),
+                               np.asarray(uw[halo:halo + 40]),
+                               rtol=0, atol=atol)
+    np.testing.assert_allclose(np.asarray(vm[0, halo:halo + 40]),
+                               np.asarray(vw[halo:halo + 40]),
+                               rtol=0, atol=atol)
 
 
 def test_mega_three_plus_blocks_pipeline(rng, params):

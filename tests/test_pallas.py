@@ -272,6 +272,11 @@ def test_resident_auto_selection(params):
     assert sim._use_resident((1080, 1920))
     assert not sim._use_resident((4096, 4096))  # state > budget
     assert ps.resident_ok((1080, 1920)) and not ps.resident_ok((2048, 2048))
+    # geometry-dependent liveness envelope: equal-byte shapes outside the
+    # validated 1080x1920 family fail on hardware and must be declined
+    assert not ps.resident_ok((540, 3840))   # OOMs even at a 126 MB limit
+    assert not ps.resident_ok((2160, 1024))  # OOMs at the 120 MB default
+    assert ps.resident_ok((1600, 960)) and ps.resident_ok((400, 3840))
     pinned = PallasSimulation(params, block_rows=256, interpret=False)
     pinned.interpret = False
     assert not pinned._use_resident((1080, 1920))
