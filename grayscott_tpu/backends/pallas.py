@@ -50,6 +50,7 @@ class PallasSimulation(Simulation):
         resident: str = "auto",
         fold: str | int = "auto",
         engine: str = "auto",
+        pack: str = "auto",
         **kwargs,
     ):
         self._explicit_k = steps_per_call is not None
@@ -107,6 +108,13 @@ class PallasSimulation(Simulation):
                 f"engine must be auto/windowed/mega, got {engine!r}"
             )
         self.engine = engine
+        # species-packed layout (see ops.pallas_stencil "species-packed
+        # layout"): x = [U | V] along lanes halves the diffusion op count
+        # and doubles the op width. Zero boundary + separable plans only;
+        # 'auto' packs only on a measured autotune verdict, 'on' forces
+        if pack not in ("auto", "on", "off"):
+            raise ValueError(f"pack must be auto/on/off, got {pack!r}")
+        self.pack = pack
         # opt-in bf16 STORAGE mode (beyond-reference capability): state
         # rides HBM in bf16 — half the memory traffic and footprint (wins
         # on memory-bound configs and doubles the max domain per chip) —
@@ -302,8 +310,71 @@ class PallasSimulation(Simulation):
         verdict = (tuned or {}).get("engine")
         return verdict in (None, "resident")
 
+    def _use_pack(self, shape, tuned=_MISS) -> bool:
+        """Whether the species-packed layout handles this run."""
+        if self.pack == "off":
+            return False
+        supported = (
+            self.boundary == "zero"
+            and self.dtype == jnp.float32
+            and self.block_cols is None
+            and not (isinstance(self.fold, int) and self.fold > 1)
+            and self.params.separable_plan()[0] == "separable"
+        )
+        if self.pack == "on":
+            if not supported:
+                raise ValueError(
+                    "pack requires the zero boundary, f32 storage, a "
+                    "separable stencil plan, and no fold/column tiling"
+                )
+            return True
+        # 'auto': like fold, pack only on a measured autotune verdict —
+        # hardware must confirm the op-count win before it becomes the
+        # default for a shape
+        if not supported or self.interpret:
+            return False
+        if tuned is self._MISS:
+            tuned = self._lookup_tuned(shape)
+        if tuned and "pack" in tuned:
+            return bool(tuned["pack"])
+        return False
+
+    def _build_packed(self, u: np.ndarray, v: np.ndarray, tuned):
+        """Packed storage: pick the sub-engine (resident / mega /
+        windowed) mirroring the unpacked ladder's selection."""
+        r, c = u.shape
+        pk = tuned if tuned and tuned.get("pack") else None
+        verdict = (pk or {}).get("engine")
+        # packed-resident liveness envelope is unvalidated: only an
+        # explicit pin or a measured verdict selects it
+        if self.resident == "on" or verdict == "resident":
+            x = ps.pack_state(u, v, tr=8, halo=0, cquant=128,
+                              dtype=np.float32)
+            return ("respack", jnp.asarray(x))
+        tr = self.block_rows
+        if tr is None and pk:
+            tr = pk.get("block_rows")
+        use_mega = self.engine == "mega" or (
+            self.engine == "auto"
+            and verdict in (None, "mega")
+            and not self._explicit_k
+            and self.block_rows is None
+            and mk.mega_ok((r, 2 * c), tr)
+        )
+        if use_mega:
+            tr = tr or mk.choose_mega_rows(r, 2 * c)
+            x_pair = mk.mega_pack_state(u, v, tr)
+            return ("megapack", jnp.asarray(x_pair), tr)
+        k, halo = self._tuned_k(pk)
+        if tr is None:
+            tr = ps.choose_block_rows(r, 2 * c, halo=halo, boundary="zero")
+        x = ps.pack_state(u, v, tr, halo, dtype=np.float32)
+        return ("packed", jnp.asarray(x), tr, halo, k)
+
     def build_storage(self, u: np.ndarray, v: np.ndarray):
         tuned = self._lookup_tuned(u.shape)
+        if self._use_pack(u.shape, tuned):
+            return self._build_packed(u, v, tuned)
         if self._use_mega(u.shape, tuned):
             tr = self.block_rows
             if tr is None and tuned and tuned.get("engine") == "mega":
@@ -359,6 +430,16 @@ class PallasSimulation(Simulation):
 
     def extract_uv(self, storage, shape) -> Tuple[jax.Array, jax.Array]:
         r, c = shape
+        if storage[0] == "megapack":
+            _, x_pair, _ = storage
+            h = mk.MEGA_STEPS
+            cd = x_pair.shape[2] // 2
+            return x_pair[0, h : h + r, :c], x_pair[0, h : h + r, cd : cd + c]
+        if storage[0] == "respack":
+            return ps.unpack_state(storage[1], 0, r, c)
+        if storage[0] == "packed":
+            _, x_pad, _, halo, _ = storage
+            return ps.unpack_state(x_pad, halo, r, c)
         if storage[0] == "mega":
             _, u_pair, v_pair, _ = storage
             h = mk.MEGA_STEPS
@@ -403,6 +484,55 @@ class PallasSimulation(Simulation):
 
     def run_steps(self, storage, shape, steps: int):
         r, c = shape
+        if storage[0] == "megapack":
+            _, x, tr = storage
+            kernel_params, reaction, dt_is_one = self._reaction()
+            common = dict(
+                tr=tr, r=r, params=kernel_params,
+                interpret=self.interpret, dt_is_one=dt_is_one,
+                vmem_limit_bytes=self.vmem_limit_bytes,
+            )
+            n_full, rem = divmod(steps, mk.MEGA_STEPS)
+            if n_full:
+                x = mk.packed_megastep(
+                    x, jnp.int32(n_full), reaction,
+                    steps=mk.MEGA_STEPS, **common,
+                )
+            if rem:
+                x = mk.packed_megastep(
+                    x, jnp.int32(1), reaction, steps=rem, **common,
+                )
+            return ("megapack", x, tr)
+        if storage[0] == "respack":
+            _, x = storage
+            kernel_params, reaction, dt_is_one = self._reaction()
+            x = ps.packed_resident_multistep(
+                x, jnp.int32(steps), reaction,
+                r=r, c=c, params=kernel_params,
+                interpret=self.interpret, dt_is_one=dt_is_one,
+                vmem_limit_bytes=self.vmem_limit_bytes,
+                unroll=1 if self.interpret else ps.resident_unroll(
+                    x.shape[0], x.shape[1], "zero"
+                ),
+            )
+            return ("respack", x)
+        if storage[0] == "packed":
+            _, x, tr, halo, k = storage
+            kernel_params, reaction, dt_is_one = self._reaction()
+            common = dict(
+                tr=tr, r=r, c=c, params=kernel_params, halo=halo,
+                interpret=self.interpret, dt_is_one=dt_is_one,
+                vmem_limit_bytes=self.vmem_limit_bytes
+                or ps.choose_vmem_limit(tr, halo, 2 * c, 4, "zero"),
+            )
+            n_full, rem = divmod(steps, k)
+            if n_full:
+                x = ps.packed_run_blocks(
+                    x, jnp.int32(n_full), reaction, steps=k, **common,
+                )
+            if rem:
+                x = ps.packed_multistep(x, reaction, steps=rem, **common)
+            return ("packed", x, tr, halo, k)
         if storage[0] == "mega":
             _, u, v, tr = storage
             kernel_params, reaction, dt_is_one = self._reaction()
@@ -535,6 +665,14 @@ class PallasSimulation(Simulation):
             "winning on this domain; 'off' never folds",
         )
         parser.add_argument(
+            "--pallas-pack", choices=["auto", "on", "off"],
+            default=env_default("GRAYSCOTT_PALLAS_PACK", "auto"),
+            help="Species-packed layout: U and V side by side along "
+            "lanes in one array (halves the diffusion op count; zero "
+            "boundary only). 'auto' (default) packs only when the "
+            "autotuner measured pack winning on this domain",
+        )
+        parser.add_argument(
             "--pallas-engine", choices=["auto", "windowed", "mega"],
             default=env_default("GRAYSCOTT_PALLAS_ENGINE", "auto"),
             help="Kernel engine: 'mega' runs the whole step loop in one "
@@ -573,6 +711,7 @@ class PallasSimulation(Simulation):
             "resident": getattr(ns, "pallas_resident", "auto"),
             "fold": cls._parse_fold(getattr(ns, "pallas_fold", "auto")),
             "engine": getattr(ns, "pallas_engine", "auto"),
+            "pack": getattr(ns, "pallas_pack", "auto"),
         }
 
     @staticmethod

@@ -60,7 +60,21 @@ def _as_config(c: Candidate) -> dict:
 def _guard_ok(cfg: Mapping, shape, boundary: str) -> bool:
     """Compile-ceiling check for a candidate as it would actually run
     (column-tiled width when block_cols is pinned; folded width and the
-    heuristic row tile for lane-fold candidates)."""
+    heuristic row tile for lane-fold candidates; doubled width for
+    species-packed candidates)."""
+    if cfg.get("pack") == "on":
+        r, c = shape
+        pshape = (r, 2 * c)
+        if cfg.get("engine") == "mega":
+            return mk.mega_ok(pshape, cfg.get("block_rows"))
+        if cfg.get("resident") == "on":
+            return ps.resident_ok(pshape)
+        k = cfg.get("steps_per_call") or 16
+        halo = ps.halo_for_steps(k)
+        tr = cfg.get("block_rows") or ps.choose_block_rows(
+            r, 2 * c, halo=halo, boundary="zero"
+        )
+        return ps.window_compile_ok(tr, halo, 2 * c, "zero", k)
     if cfg.get("engine") == "mega":
         return mk.mega_ok(shape, cfg.get("block_rows"))
     if cfg.get("resident") == "on":
@@ -156,6 +170,33 @@ def _engine_candidates(shape, dtype: str) -> list[dict]:
     return out
 
 
+def _pack_candidates(shape, boundary: str, dtype: str,
+                     params: Parameters) -> list[dict]:
+    """Species-packed variants (x = [U | V] along lanes, ~half the
+    diffusion op count at double width; ops.pallas_stencil
+    "species-packed layout"). Zero boundary + separable plan + f32
+    only; each sub-engine is pinned so the tuner measures it
+    explicitly, and the winner's ``pack`` flag is what
+    PallasSimulation's pack='auto' follows."""
+    r, c = shape
+    if boundary != "zero" or dtype != "float32":
+        return []
+    if params.separable_plan()[0] != "separable":
+        return []
+    out = []
+    pshape = (r, 2 * c)
+    tr = mk.choose_mega_rows(r, 2 * c)
+    if mk.mega_ok(pshape, tr) and (tr + 2 * mk.MEGA_STEPS) / tr <= 1.3:
+        out.append(dict(pack="on", engine="mega"))
+    if ps.resident_ok(pshape):
+        out.append(dict(pack="on", resident="on"))
+    halo = ps.halo_for_steps(16)
+    tr_w = ps.choose_block_rows(r, 2 * c, halo=halo, boundary="zero")
+    if ps.window_compile_ok(tr_w, halo, 2 * c, "zero", 16):
+        out.append(dict(pack="on", engine="windowed"))
+    return out
+
+
 def _fallback_candidates(shape, boundary: str) -> list[dict]:
     """Last-resort configs mirroring the runtime heuristics (which are
     themselves ceiling-guarded), so autotune never comes up empty for a
@@ -194,13 +235,23 @@ def measure_config(
 
     sim = PallasSimulation(params, boundary=boundary, dtype=dtype, **config)
     species = sim.make_species(shape)
-    engine = "windowed"
+    engine, pack = "windowed", False
     if species.storage[0] == "mega":
         engine = "mega"
         tr_used, tc_used, f_used, k = species.storage[3], None, 1, mk.MEGA_STEPS
+    elif species.storage[0] == "megapack":
+        engine, pack = "mega", True
+        tr_used, tc_used, f_used, k = species.storage[2], None, 1, mk.MEGA_STEPS
     elif species.storage[0] == "resident":
         engine = "resident"
         tr_used, tc_used, f_used, k = None, None, 1, sim.steps_per_call
+    elif species.storage[0] == "respack":
+        engine, pack = "resident", True
+        tr_used, tc_used, f_used, k = None, None, 1, sim.steps_per_call
+    elif species.storage[0] == "packed":
+        pack = True
+        _, _, tr_used, _halo, k = species.storage
+        tc_used, f_used = None, 1
     elif species.storage[0] == "folded":
         _, _, _, tr_used, _halo, k, f_used, _rp = species.storage
         tc_used = None
@@ -225,6 +276,7 @@ def measure_config(
         "steps_per_call": k,
         "block_cols": tc_used,
         "fold": f_used,
+        "pack": pack,
         "gcells_per_sec": shape[0] * shape[1] * steps / best / 1e9,
     }
 
@@ -255,6 +307,7 @@ def autotune(
         # alternative engines are a hardware question: interpret-mode
         # timings would rank them meaninglessly on CPU
         configs += _engine_candidates(shape, dtype)
+        configs += _pack_candidates(shape, boundary, dtype, params)
     viable = []
     for cfg in configs:
         # compile-tractability guard: windows past the measured Mosaic
@@ -296,7 +349,17 @@ def autotune(
     if len(ranked) >= 2 and ranked[1]["gcells_per_sec"] >= \
             0.97 * ranked[0]["gcells_per_sec"]:
         for m in ranked[:2]:
-            if m.get("engine") == "mega":
+            if m.get("pack"):
+                if m.get("engine") == "mega":
+                    cfg = {"pack": "on", "engine": "mega",
+                           "block_rows": m["block_rows"]}
+                elif m.get("engine") == "resident":
+                    cfg = {"pack": "on", "resident": "on"}
+                else:
+                    cfg = {"pack": "on", "engine": "windowed",
+                           "block_rows": m["block_rows"],
+                           "steps_per_call": m["steps_per_call"]}
+            elif m.get("engine") == "mega":
                 cfg = {"engine": "mega", "block_rows": m["block_rows"]}
             elif m.get("engine") == "resident":
                 cfg = {"resident": "on"}

@@ -66,11 +66,13 @@ def _mega_kernel(
     scal_ref, *refs,
     steps: int, tr: int, b_blocks: int, c: int, halo: int,
     r: int, params, boundary: str,
-    runtime_params: bool, dt_is_one: bool,
+    runtime_params: bool, dt_is_one: bool, pack: bool = False,
 ):
     """One whole run: scal = [n_time_blocks]; refs = optional reaction
     SMEM, then (u_pair, v_pair) HBM inputs, (u_out, v_out) aliased
-    outputs, then scratch (in/out window slots + DMA semaphores)."""
+    outputs, then scratch (in/out window slots + DMA semaphores). In
+    species-packed mode (``pack``) a single x = [U | V] pair replaces
+    the two species pairs — half the DMA count at twice the width."""
     if runtime_params:
         react_ref = refs[0]
         refs = refs[1:]
@@ -79,41 +81,42 @@ def _mega_kernel(
         ) + (dt_is_one,)
     else:
         reaction = None
-    (u_in, v_in, u_hbm, v_hbm,
-     uin_s, vin_s, uout_s, vout_s, insem, outsem, cpsem) = refs
-    del u_in, v_in  # aliased to u_hbm / v_hbm
+    if pack:
+        (x_in, x_hbm, xin_s, xout_s, insem, outsem, cpsem) = refs
+        del x_in  # aliased to x_hbm
+        hbm, ins, outs = (x_hbm,), (xin_s,), (xout_s,)
+    else:
+        (u_in, v_in, u_hbm, v_hbm,
+         uin_s, vin_s, uout_s, vout_s, insem, outsem, cpsem) = refs
+        del u_in, v_in  # aliased to u_hbm / v_hbm
+        hbm, ins, outs = (u_hbm, v_hbm), (uin_s, vin_s), (uout_s, vout_s)
     n_t = scal_ref[0]
     w = tr + 2 * halo
     precompute, step = ps.make_window_stepper(
         params, boundary, w, c, halo, 0, dtype=jnp.float32,
-        reaction=reaction,
+        reaction=reaction, pack=pack,
     )
     gcol = ps._col_iota(c)
+    c_dom = c // 2 if pack else c
 
     def in_dma(slot, src, b):
         row = pl.multiple_of(b * tr, 8)
-        return (
+        return tuple(
             pltpu.make_async_copy(
-                u_hbm.at[src, pl.ds(row, w)], uin_s.at[slot],
-                insem.at[slot, 0],
-            ),
-            pltpu.make_async_copy(
-                v_hbm.at[src, pl.ds(row, w)], vin_s.at[slot],
-                insem.at[slot, 1],
-            ),
+                hbm[i].at[src, pl.ds(row, w)], ins[i].at[slot],
+                insem.at[slot, i],
+            )
+            for i in range(len(hbm))
         )
 
     def out_dma(slot, dst, b):
         row = pl.multiple_of(halo + b * tr, 8)
-        return (
+        return tuple(
             pltpu.make_async_copy(
-                uout_s.at[slot], u_hbm.at[dst, pl.ds(row, tr)],
-                outsem.at[slot, 0],
-            ),
-            pltpu.make_async_copy(
-                vout_s.at[slot], v_hbm.at[dst, pl.ds(row, tr)],
-                outsem.at[slot, 1],
-            ),
+                outs[i].at[slot], hbm[i].at[dst, pl.ds(row, tr)],
+                outsem.at[slot, i],
+            )
+            for i in range(len(hbm))
         )
 
     def time_body(t, _):
@@ -132,18 +135,27 @@ def _mega_kernel(
 
             for d in in_dma(s, src, b):
                 d.wait()
-            u = uin_s[s]
-            v = vin_s[s]
             giota = (b * tr - halo) + jax.lax.broadcasted_iota(
                 jnp.int32, (w, 1), 0
             )
-            ctx = precompute(giota, r, gcol, c)
-            if ctx["dommask"] is not None:
-                # sanitize on load: HBM padding rows are never re-zeroed
-                u = jnp.where(ctx["dommask"], u, 0.0)
-                v = jnp.where(ctx["dommask"], v, 0.0)
-            for _ in range(steps):
-                u, v = step(u, v, ctx)
+            ctx = precompute(giota, r, gcol, c_dom)
+            if pack:
+                x = xin_s[s]
+                if ctx["dommask"] is not None:
+                    # sanitize on load: HBM padding is never re-zeroed
+                    x = jnp.where(ctx["dommask"], x, 0.0)
+                for _ in range(steps):
+                    x = step(x, ctx)
+                uv_out = (x[halo : halo + tr],)
+            else:
+                u = uin_s[s]
+                v = vin_s[s]
+                if ctx["dommask"] is not None:
+                    u = jnp.where(ctx["dommask"], u, 0.0)
+                    v = jnp.where(ctx["dommask"], v, 0.0)
+                for _ in range(steps):
+                    u, v = step(u, v, ctx)
+                uv_out = (u[halo : halo + tr], v[halo : halo + tr])
             if b_blocks > 2:
                 # slot s's previous output DMA (row block b-2) may still
                 # be in flight; finish it before restaging the slot
@@ -151,8 +163,8 @@ def _mega_kernel(
                 def _():
                     for d in out_dma(s, dst, b - 2):
                         d.wait()
-            uout_s[s] = u[halo : halo + tr]
-            vout_s[s] = v[halo : halo + tr]
+            for o_ref, val in zip(outs, uv_out):
+                o_ref[s] = val
             for d in out_dma(s, dst, b):
                 d.start()
 
@@ -170,10 +182,14 @@ def _mega_kernel(
     def _():
         # odd block count: result sits in slot 1; restore the "current
         # state = slot 0" invariant with one whole-array HBM->HBM copy
-        pltpu.make_async_copy(u_hbm.at[1], u_hbm.at[0], cpsem.at[0]).start()
-        pltpu.make_async_copy(v_hbm.at[1], v_hbm.at[0], cpsem.at[1]).start()
-        pltpu.make_async_copy(u_hbm.at[1], u_hbm.at[0], cpsem.at[0]).wait()
-        pltpu.make_async_copy(v_hbm.at[1], v_hbm.at[0], cpsem.at[1]).wait()
+        for i in range(len(hbm)):
+            pltpu.make_async_copy(
+                hbm[i].at[1], hbm[i].at[0], cpsem.at[i]
+            ).start()
+        for i in range(len(hbm)):
+            pltpu.make_async_copy(
+                hbm[i].at[1], hbm[i].at[0], cpsem.at[i]
+            ).wait()
 
 
 def mega_vmem_limit(tr: int, halo: int, c: int) -> int:
@@ -312,4 +328,85 @@ megastep = jax.jit(
     megastep_impl,
     static_argnames=_STATIC,
     donate_argnames=("u_pair", "v_pair"),
+)
+
+
+def mega_pack_state(u: np.ndarray, v: np.ndarray, tr: int,
+                    halo: int = MEGA_STEPS) -> np.ndarray:
+    """(R, C) concentrations -> one (2, halo + Rp + halo, 2*C)
+    species-packed f32 HBM pair (x = [U | V] along lanes)."""
+    r, c = u.shape
+    rp = -(-r // tr) * tr
+    buf = np.zeros((2, halo + rp + halo, 2 * c), dtype=np.float32)
+    buf[0, halo : halo + r, :c] = u.astype(np.float32)
+    buf[0, halo : halo + r, c : 2 * c] = v.astype(np.float32)
+    return buf
+
+
+def packed_megastep_impl(
+    x_pair, n_blocks, reaction=None,
+    *, steps: int, tr: int, r: int, params: Parameters,
+    halo: int = MEGA_STEPS, interpret: bool = False,
+    vmem_limit_bytes: int | None = None, dt_is_one: bool = False,
+):
+    """Species-packed megakernel driver: one (2, *, 2C) pair instead of
+    two species pairs — half the DMAs, the packed stepper's ~25-op step
+    (zero boundary only; see :func:`megastep_impl` for semantics)."""
+    if not (1 <= steps <= halo):
+        raise ValueError(f"steps must be in [1, {halo}], got {steps}")
+    _, hp, cc = x_pair.shape
+    rp = hp - 2 * halo
+    if rp % tr != 0 or tr % 8 != 0 or halo % 8 != 0:
+        raise ValueError(
+            f"interior rows {rp} must be a multiple of tr={tr} "
+            "(tr and halo multiples of 8)"
+        )
+    b_blocks = rp // tr
+    w = tr + 2 * halo
+    scalars = jnp.asarray(n_blocks, jnp.int32).reshape(1)
+    kernel = functools.partial(
+        _mega_kernel, steps=steps, tr=tr, b_blocks=b_blocks, c=cc,
+        halo=halo, r=r, params=params, boundary="zero",
+        runtime_params=reaction is not None, dt_is_one=dt_is_one,
+        pack=True,
+    )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    operands = [scalars]
+    if reaction is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(
+            jnp.asarray(reaction, jnp.float32).reshape(1, ps.REACTION_LEN)
+        )
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs.append(any_spec)
+    operands.append(x_pair)
+    n_in = len(operands)
+    return pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=any_spec,
+        out_shape=jax.ShapeDtypeStruct(x_pair.shape, x_pair.dtype),
+        input_output_aliases={n_in - 1: 0},
+        scratch_shapes=[
+            pltpu.VMEM((2, w, cc), jnp.float32),
+            pltpu.VMEM((2, tr, cc), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 1)),
+            pltpu.SemaphoreType.DMA((2, 1)),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes
+            or mega_vmem_limit(tr, halo, cc),
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+_PACKED_STATIC = ("steps", "tr", "r", "params", "halo", "interpret",
+                  "vmem_limit_bytes", "dt_is_one")
+
+packed_megastep = jax.jit(
+    packed_megastep_impl,
+    static_argnames=_PACKED_STATIC,
+    donate_argnames=("x_pair",),
 )

@@ -211,6 +211,7 @@ def make_window_stepper(
     zero_fill_rows: bool = False, mask_rows: bool = True,
     mask_cols: bool | None = None,
     fold: Tuple[int, int, int] | None = None,
+    pack: bool = False,
 ):
     """Build the per-window step for one in-VMEM iteration.
 
@@ -258,10 +259,48 @@ def make_window_stepper(
     Inter-panel halo rows are refreshed OUTSIDE the kernel every K-step
     block by :func:`fold_refresh` — the sharded backend's ppermute halo
     exchange pattern, but across lane space within one chip.
+
+    ``pack``: the species-packed layout — U and V side by side along
+    lanes in ONE array ``x = [U | V]`` of width ``2*Cd`` (``Cd = c//2``
+    local panel width; true domain columns = ``c_total``). The separable
+    diffusion then runs ONCE per step instead of once per species
+    (halving its op count), the species seam reuses the lane-fold panel
+    machinery (each panel's column edges are true domain edges), and the
+    reaction couples the halves through one lane roll:
+    ``y = roll(x, Cd) = [V | U]``, so ``p = x*y = [uv | vu]`` and
+    ``q = p * select(half, y, x) = [(uv)v | (vu)v]`` — ``uv^2`` in BOTH
+    halves with the same multiply order as the unpacked kernel (f32
+    multiplication is commutative bitwise). Per-species reaction
+    constants become per-lane coefficient vectors (built once per
+    window). Zero boundary + separable plan only; returns
+    ``step(x, ctx)`` taking the single packed array.
     """
     plan = params.separable_plan()
     w = params.weights_array()
-    if fold is not None:
+    if pack:
+        if fold is not None or chalo != 0:
+            raise ValueError("pack excludes fold and column halos")
+        if boundary != "zero":
+            raise ValueError("pack supports the zero boundary only")
+        if plan[0] != "separable":
+            raise ValueError("pack requires a separable stencil plan")
+        if c % 2 != 0:
+            raise ValueError(f"packed array width must be even, got {c}")
+        cd_p = c // 2
+
+        def shift_cols(x, d):
+            # the species seam IS a lane-fold panel seam (two panels at
+            # row offset zero): each panel's column edges are true
+            # domain edges, zero-filled on every shift
+            cc = x.shape[1]
+            s = d if d >= 0 else cc + d
+            rolled = pltpu.roll(x, s, axis=1)
+            ci = _col_iota(cc)
+            base = 0 if d == 1 else cd_p - 1
+            m = jnp.logical_or(ci == base, ci == cd_p + base)
+            return jnp.where(m, 0.0, rolled)
+
+    elif fold is not None:
         if chalo != 0:
             raise ValueError("fold excludes column halos")
         fold_f, fold_cd, fold_rp = fold
@@ -408,6 +447,37 @@ def make_window_stepper(
         """Loop-invariant context: domain mask / per-row dt, boundary
         weight-sum field, strip masks — several full-window VPU ops, paid
         once per window."""
+        if pack:
+            # species-packed context: the half predicate (U lanes vs V
+            # lanes), the per-lane reaction coefficient vectors, and the
+            # row/panel-column domain mask. All loop-invariant; the
+            # coefficient values are the SAME host/traced scalars the
+            # unpacked zero path uses, broadcast per half; the V half's
+            # add chain has one extra +Evec add (zero on V lanes), which
+            # is exact in IEEE terms but changes the compiler's FMA-
+            # contraction choices — ulp-scale spread vs the unpacked
+            # kernel, same budget as the fold layout (tests/test_pack.py).
+            half = gcol < cd_p
+            ctx = {"b_field": None, "halfm": half}
+            mask = None
+            if mask_rows:
+                mask = jnp.logical_and(giota >= 0, giota < r_total)
+            if mask_cols:
+                # per-panel column padding (c_total < Cd): mask it like
+                # the unpacked resident layout masks its lane padding
+                lcol = jnp.where(half, gcol, gcol - cd_p)
+                inc = lcol < c_total
+                mask = inc if mask is None else jnp.logical_and(mask, inc)
+            ctx["dommask"] = mask
+            ctx["cvec"] = jnp.where(half, cu, cv)
+            ctx["evec"] = jnp.where(half, e_f, 0.0)
+            ctx["avec"] = jnp.where(half, au, bv)
+            # the +-1/+-dt quadratic-term sign: (-1)*q == -q and
+            # (-dt)*q == -(dt*q) bitwise, matching the unpacked
+            # subtraction exactly
+            ctx["qvec"] = (jnp.where(half, -1.0, 1.0) if dt_is_one
+                           else jnp.where(half, -dt, dt))
+            return ctx
         poff = lcol = None
         if fold is not None:
             # panel row offset (1, F*Cd) and panel-local column index:
@@ -562,7 +632,26 @@ def make_window_stepper(
             vn = jnp.where(ctx["dommask"], vn, 0.0)
         return un, vn
 
-    return precompute, step
+    def step_packed(x, ctx):
+        # one diffusion pass over [U | V]; the reaction couples the
+        # halves through a single Cd-lane roll (y = [V | U]):
+        #   p = x*y           = [uv  | vu ]      (uv == vu bitwise)
+        #   q = p*sel(h,y,x)  = [(uv)v | (vu)v]  = uv^2 in both halves,
+        # same multiply order as the unpacked kernel. The update is the
+        # v4 linear fold with per-lane coefficients (ulp-equivalent to
+        # the unpacked kernel, not bitwise — see precompute above):
+        #   x' = ((Cvec*s + Qvec*q) + Evec) + Avec*x
+        s = laplacian(x, None)
+        y = pltpu.roll(x, cd_p, axis=1)
+        p = x * y
+        q = p * jnp.where(ctx["halfm"], y, x)
+        xn = ((ctx["cvec"] * s + ctx["qvec"] * q) + ctx["evec"]) \
+            + ctx["avec"] * x
+        if ctx["dommask"] is not None:
+            xn = jnp.where(ctx["dommask"], xn, 0.0)
+        return xn
+
+    return precompute, (step_packed if pack else step)
 
 
 def _kernel(scal_ref, *refs,
@@ -1158,6 +1247,256 @@ def choose_fold(r: int, c: int, halo: int = 16) -> int:
     while f > 1 and (r // f) < max(14 * halo, 2 * 8):
         f -= 1
     return f
+
+
+# -- species-packed layout ----------------------------------------------------
+#
+# x = [U | V] along lanes: ONE array holds both species, so the separable
+# diffusion runs once per step instead of once per species — the packed
+# zero-boundary step costs ~25 full-array ops on the double-wide array
+# vs 38 on two single-wide ones (static Mosaic attribution) — and at
+# narrow domains the doubled width additionally lifts per-op VPU
+# throughput (the width probe: 1920-wide windows run at ~58% of the
+# 4096-wide rate). See make_window_stepper's ``pack`` docstring for the
+# seam and reaction math. Zero boundary + separable plans only; the
+# bit-frozen naive path stays on the unpacked kernels.
+
+
+def pack_state(
+    u: np.ndarray, v: np.ndarray, tr: int, halo: int = HALO,
+    cquant: int = 1, dtype=Precision,
+) -> np.ndarray:
+    """Pack (R, C) concentrations into the species-packed layout
+    ``(halo + Rp + halo, 2*Cp)`` with U in lanes ``[0, Cp)`` and V in
+    ``[Cp, 2*Cp)``. ``cquant`` rounds each panel's width (128 for the
+    resident kernel's lane alignment); panel padding columns stay zero
+    under the kernel's domain mask."""
+    r, c = u.shape
+    rp = -(-r // tr) * tr
+    cp = -(-c // cquant) * cquant
+    buf = np.zeros((halo + rp + halo, 2 * cp), dtype=dtype)
+    buf[halo : halo + r, :c] = u.astype(dtype)
+    buf[halo : halo + r, cp : cp + c] = v.astype(dtype)
+    return buf
+
+
+def unpack_state(x_pad, halo: int, r: int, c: int):
+    """Recover (U, V) domain views from species-packed state."""
+    cd = x_pad.shape[1] // 2
+    return (x_pad[halo : halo + r, :c],
+            x_pad[halo : halo + r, cd : cd + c])
+
+
+def _packed_kernel(*refs, steps: int, tr: int, c: int, halo: int, r: int,
+                   c_dom: int, params, runtime_params: bool,
+                   dt_is_one: bool, sanitize: bool):
+    if runtime_params:
+        react_ref, x_ref, xo_ref = refs
+        reaction = tuple(
+            react_ref[0, i] for i in range(REACTION_LEN)
+        ) + (dt_is_one,)
+    else:
+        x_ref, xo_ref = refs
+        reaction = None
+    w_rows = tr + 2 * halo
+    precompute, step = make_window_stepper(
+        params, "zero", w_rows, c, halo, 0, dtype=jnp.float32,
+        reaction=reaction, pack=True, mask_cols=(c // 2 != c_dom),
+    )
+    g0 = pl.program_id(0) * tr - halo
+    giota = g0 + jax.lax.broadcasted_iota(jnp.int32, (w_rows, 1), 0)
+    gcol = _col_iota(c)
+    x = x_ref[:]
+    ctx = precompute(giota, r, gcol, c_dom)
+    if sanitize and ctx["dommask"] is not None:
+        x = jnp.where(ctx["dommask"], x, 0.0)
+    for _ in range(steps):
+        x = step(x, ctx)
+    xo_ref[:] = x[halo : halo + tr, :]
+
+
+def packed_multistep_impl(
+    x_pad, reaction=None,
+    *, steps: int, tr: int, r: int, c: int, params: Parameters,
+    halo: int = HALO, interpret: bool = False,
+    vmem_limit_bytes: int | None = None, dt_is_one: bool = False,
+    sanitize: bool = True,
+):
+    """Advance species-packed state by ``steps`` (<= halo) simulation
+    steps — the packed analog of :func:`multistep_impl` (1-D row grid,
+    single-chip: origin/extents are static, and out-of-domain window
+    cells are sanitized on load so HBM padding is never re-zeroed)."""
+    if halo % 8 != 0 or halo < 8:
+        raise ValueError(f"halo must be a positive multiple of 8, got {halo}")
+    if not (1 <= steps <= halo):
+        raise ValueError(f"steps must be in [1, {halo}], got {steps}")
+    rp_full, cc = x_pad.shape
+    rp = rp_full - 2 * halo
+    if rp % tr != 0 or tr % 8 != 0:
+        raise ValueError(
+            f"interior rows {rp} must be a multiple of tr={tr} (tr % 8 == 0)"
+        )
+    w_rows = tr + 2 * halo
+    in_map = lambda i: (pl.multiple_of(i * tr, 8), 0)  # noqa: E731
+    out_map = lambda i: (pl.multiple_of(halo + i * tr, 8), 0)  # noqa: E731
+    zero_map = lambda i: (0, 0)  # noqa: E731
+    kernel = functools.partial(
+        _packed_kernel, steps=steps, tr=tr, c=cc, halo=halo, r=r, c_dom=c,
+        params=params, runtime_params=reaction is not None,
+        dt_is_one=dt_is_one, sanitize=sanitize,
+    )
+    in_specs, operands = [], []
+    if reaction is not None:
+        in_specs.append(
+            pl.BlockSpec((1, REACTION_LEN), zero_map,
+                         memory_space=pltpu.SMEM)
+        )
+        operands.append(
+            jnp.asarray(reaction, jnp.float32).reshape(1, REACTION_LEN)
+        )
+    in_specs.append(
+        pl.BlockSpec((pl.Element(w_rows), pl.Element(cc)), in_map,
+                     memory_space=pltpu.VMEM)
+    )
+    operands.append(x_pad)
+    return pl.pallas_call(
+        kernel,
+        grid=(rp // tr,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((pl.Element(tr), pl.Element(cc)), out_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x_pad.shape, x_pad.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=vmem_limit_bytes,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+_PACKED_STATIC = ("steps", "tr", "r", "c", "params", "halo", "interpret",
+                  "vmem_limit_bytes", "dt_is_one", "sanitize")
+
+packed_multistep = jax.jit(
+    packed_multistep_impl,
+    static_argnames=_PACKED_STATIC,
+    donate_argnames=("x_pad",),
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=_PACKED_STATIC,
+    donate_argnames=("x_pad",),
+)
+def packed_run_blocks(
+    x_pad, n_blocks, reaction=None,
+    *, steps: int, tr: int, r: int, c: int, params: Parameters,
+    halo: int = HALO, interpret: bool = False,
+    vmem_limit_bytes: int | None = None, dt_is_one: bool = False,
+    sanitize: bool = True,
+):
+    """``n_blocks`` (traced) successive K-step packed kernel calls in one
+    executable — the packed analog of :func:`run_blocks`."""
+
+    def body(_, x):
+        return packed_multistep_impl(
+            x, reaction, steps=steps, tr=tr, r=r, c=c, params=params,
+            halo=halo, interpret=interpret,
+            vmem_limit_bytes=vmem_limit_bytes, dt_is_one=dt_is_one,
+            sanitize=sanitize,
+        )
+
+    return jax.lax.fori_loop(0, n_blocks, body, x_pad)
+
+
+def _packed_resident_kernel(scal_ref, *refs, rp: int, cp: int, r: int,
+                            c: int, params, runtime_params: bool,
+                            dt_is_one: bool, unroll: int = 1):
+    if runtime_params:
+        react_ref, x_ref, xo_ref = refs
+        reaction = tuple(
+            react_ref[0, i] for i in range(REACTION_LEN)
+        ) + (dt_is_one,)
+    else:
+        x_ref, xo_ref = refs
+        reaction = None
+    precompute, step = make_window_stepper(
+        params, "zero", rp, cp, halo=0, chalo=0, dtype=jnp.float32,
+        reaction=reaction, zero_fill_rows=True, pack=True,
+        mask_rows=(rp != r), mask_cols=(cp // 2 != c),
+    )
+    giota = jax.lax.broadcasted_iota(jnp.int32, (rp, 1), 0)
+    gcol = _col_iota(cp)
+    ctx = precompute(giota, r, gcol, c)
+    n_steps = scal_ref[0, 0]
+
+    def body(_, x):
+        return step(x, ctx)
+
+    if unroll <= 1:
+        x = jax.lax.fori_loop(0, n_steps, body, x_ref[:])
+    else:
+        def body_k(_, x):
+            for _ in range(unroll):
+                x = step(x, ctx)
+            return x
+
+        x = jax.lax.fori_loop(0, n_steps // unroll, body_k, x_ref[:])
+        x = jax.lax.fori_loop(0, n_steps % unroll, body, x)
+    xo_ref[:] = x
+
+
+def packed_resident_multistep_impl(
+    x_res, n_steps, reaction=None,
+    *, r: int, c: int, params: Parameters,
+    interpret: bool = False, vmem_limit_bytes: int | None = None,
+    dt_is_one: bool = False, unroll: int = 1,
+):
+    """Advance a VMEM-resident species-packed domain by ``n_steps``
+    (traced) steps — the packed analog of
+    :func:`resident_multistep_impl` (one array of width ``2*Cp``)."""
+    rp, cp = x_res.shape
+    scalars = jnp.asarray(n_steps, jnp.int32).reshape(1, 1)
+    kernel = functools.partial(
+        _packed_resident_kernel, rp=rp, cp=cp, r=r, c=c, params=params,
+        runtime_params=reaction is not None, dt_is_one=dt_is_one,
+        unroll=unroll,
+    )
+    zero_map = lambda: (0, 0)  # noqa: E731
+    in_specs = [pl.BlockSpec((1, 1), zero_map, memory_space=pltpu.SMEM)]
+    operands = [scalars]
+    if reaction is not None:
+        in_specs.append(
+            pl.BlockSpec((1, REACTION_LEN), zero_map,
+                         memory_space=pltpu.SMEM)
+        )
+        operands.append(
+            jnp.asarray(reaction, jnp.float32).reshape(1, REACTION_LEN)
+        )
+    full = pl.BlockSpec((rp, cp), zero_map, memory_space=pltpu.VMEM)
+    in_specs.append(full)
+    operands.append(x_res)
+    return pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=full,
+        out_shape=jax.ShapeDtypeStruct(x_res.shape, x_res.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes or (120 << 20),
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+_PACKED_RESIDENT_STATIC = ("r", "c", "params", "interpret",
+                           "vmem_limit_bytes", "dt_is_one", "unroll")
+
+packed_resident_multistep = jax.jit(
+    packed_resident_multistep_impl,
+    static_argnames=_PACKED_RESIDENT_STATIC,
+    donate_argnames=("x_res",),
+)
 
 
 #: Mosaic compile-tractability ceiling, measured on the v5e remote

@@ -32,6 +32,7 @@ sim = PallasSimulation(
     resident=cfg.get("resident", "auto"),
     fold=cfg.get("fold", "off"),
     engine=cfg.get("engine", "auto"),
+    pack=cfg.get("pack", "auto"),
 )
 steps = cfg.get("steps", max(64 * cfg.get("k", 16), 256))
 res = run_one(sim, shape, steps, "compute", reps=3)

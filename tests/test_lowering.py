@@ -161,6 +161,57 @@ def test_megakernel_production_geometry_lowers_for_tpu():
         assert "tpu_custom_call" in exp.mlir_module()
 
 
+@pytest.mark.parametrize("runtime", [True, False])
+def test_packed_kernels_lower_for_tpu(runtime):
+    """The species-packed layout's three sub-engines (windowed K-block,
+    VMEM-resident, megakernel) must lower to Mosaic — the lane roll
+    over the species seam and the per-lane coefficient selects are new
+    kernel graph shapes."""
+    from grayscott_tpu.ops import megakernel as mk
+
+    params = Parameters()
+    r, c, tr, halo = 64, 256, 16, 16
+    u0 = np.zeros((r, c), np.float32)
+    v0 = np.ones((r, c), np.float32)
+    reaction = ps.reaction_operand(params) if runtime else None
+    kernel_params = params.structure_only() if runtime else params
+
+    x = jnp.asarray(ps.pack_state(u0, v0, tr, halo, dtype=np.float32))
+
+    def fn_win(x):
+        return ps.packed_run_blocks(
+            x, jnp.int32(2), reaction, steps=8, tr=tr, r=r, c=c,
+            params=kernel_params, halo=halo, dt_is_one=runtime,
+        )
+
+    exp = jax.export.export(jax.jit(fn_win), platforms=["tpu"])(x)
+    assert "tpu_custom_call" in exp.mlir_module()
+
+    xr = jnp.asarray(
+        ps.pack_state(u0, v0, tr=8, halo=0, cquant=128, dtype=np.float32)
+    )
+
+    def fn_res(x):
+        return ps.packed_resident_multistep_impl(
+            x, jnp.int32(32), reaction, r=r, c=c,
+            params=kernel_params, dt_is_one=runtime, unroll=4,
+        )
+
+    exp = jax.export.export(jax.jit(fn_res), platforms=["tpu"])(xr)
+    assert "tpu_custom_call" in exp.mlir_module()
+
+    xp = jnp.asarray(mk.mega_pack_state(u0, v0, tr))
+
+    def fn_mega(x):
+        return mk.packed_megastep_impl(
+            x, jnp.int32(3), reaction, steps=8, tr=tr, r=r,
+            params=kernel_params, dt_is_one=runtime,
+        )
+
+    exp = jax.export.export(jax.jit(fn_mega), platforms=["tpu"])(xp)
+    assert "tpu_custom_call" in exp.mlir_module()
+
+
 def test_sanitize_and_resident_unroll_lower_for_tpu():
     """The sanitize-on-load select and the unrolled resident fori body
     are new kernel graph shapes: gate their Mosaic lowering."""
