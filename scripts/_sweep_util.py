@@ -40,9 +40,43 @@ print("RESULT " + json.dumps({"config": cfg, **res.to_json()}), flush=True)
 """
 
 
+PROBE = "import jax; assert jax.devices()[0].platform == 'tpu'"
+
+
+def wait_for_tpu(retry_s: int = 120, max_wait_s: int = 6 * 3600) -> bool:
+    """Block until the tunneled TPU initializes in a fresh subprocess.
+
+    The tunnel goes down for stretches (observed: ~2 h outage where
+    every backend init raised UNAVAILABLE after a ~20 min backoff,
+    burning one sweep config per failure); probing in a throwaway
+    process before each config turns that into a cheap pause."""
+    import time
+
+    waited = 0
+    while waited <= max_wait_s:
+        try:
+            ok = subprocess.run(
+                [sys.executable, "-c", PROBE],
+                capture_output=True, timeout=180,
+            ).returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            return True
+        print(f"TPU unavailable; retrying in {retry_s}s", flush=True)
+        time.sleep(retry_s)
+        waited += retry_s + 180
+    return False
+
+
 def run_configs(configs, timeout: int | None = None) -> None:
     timeout = timeout or int(os.environ.get("SWEEP_TIMEOUT", "1500"))
     for cfg in configs:
+        if not wait_for_tpu():
+            print(json.dumps({"config": cfg,
+                              "error": "TPU unavailable (gave up)"}),
+                  flush=True)
+            continue
         print(f"config {cfg} compiling/measuring...", flush=True)
         code = CHILD.replace("__REPO__", repr(REPO)).replace(
             "__CFG__", repr(json.dumps(cfg))
