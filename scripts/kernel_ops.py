@@ -47,27 +47,48 @@ _FREE = re.compile(
 
 
 def mosaic_module(boundary: str, steps: int, tr: int = 16, cols: int = 256,
-                  runtime: bool = True, fold: int = 1) -> str:
-    """Capture the Mosaic MLIR for one kernel specialization."""
+                  runtime: bool = True, fold: int = 1,
+                  pack: bool = False) -> str:
+    """Capture the Mosaic MLIR for one kernel specialization.
+
+    With ``pack`` the species-packed kernel is captured instead: ``cols``
+    stays the DOMAIN width, the kernel's arrays are ``2*cols`` wide, so
+    a packed full-window op covers 2x the cells of an unpacked one —
+    compare element-equivalent work as 2*packed_ops vs unpacked_ops."""
     params = Parameters()
     r = 4 * tr * fold
     u0 = np.zeros((r, cols), np.float32)
     v0 = np.ones((r, cols), np.float32)
     reaction = ps.reaction_operand(params) if runtime else None
     kp = params.structure_only() if runtime else params
-    if fold > 1:
+    if pack:
+        if boundary != "zero" or fold > 1:
+            raise SystemExit("--pack implies the zero boundary, no fold")
+        x_pad = ps.pack_state(u0, v0, tr, dtype=np.float32)
+
+        def fn(x_pad):
+            return ps.packed_multistep_impl(
+                x_pad, reaction, steps=steps, tr=tr, r=r, c=cols,
+                params=kp,
+            )
+
+        operands = (jnp.asarray(x_pad),)
+    elif fold > 1:
         u_pad, v_pad = ps.fold_state(u0, v0, fold, tr)
         fold_arg = (fold, cols, ps.fold_geometry(r, fold, tr))
     else:
         u_pad, v_pad = ps.pad_state(u0, v0, tr)
         fold_arg = None
 
-    def fn(u_pad, v_pad):
-        return ps.multistep_impl(
-            u_pad, v_pad, -ps.HALO, r, 0, None, reaction,
-            steps=steps, tr=tr, params=kp, boundary=boundary,
-            fold=fold_arg, zero_padding=fold_arg is None,
-        )
+    if not pack:
+        def fn(u_pad, v_pad):
+            return ps.multistep_impl(
+                u_pad, v_pad, -ps.HALO, r, 0, None, reaction,
+                steps=steps, tr=tr, params=kp, boundary=boundary,
+                fold=fold_arg, zero_padding=fold_arg is None,
+            )
+
+        operands = (jnp.asarray(u_pad), jnp.asarray(v_pad))
 
     orig = pl.pallas_call
 
@@ -80,9 +101,7 @@ def mosaic_module(boundary: str, steps: int, tr: int = 16, cols: int = 256,
         pl.pallas_call = debug_call
         ps.pl.pallas_call = debug_call
         with contextlib.redirect_stdout(buf):
-            jax.export.export(jax.jit(fn), platforms=["tpu"])(
-                jnp.asarray(u_pad), jnp.asarray(v_pad)
-            )
+            jax.export.export(jax.jit(fn), platforms=["tpu"])(*operands)
     finally:
         pl.pallas_call = orig
         ps.pl.pallas_call = orig
@@ -116,10 +135,11 @@ def count_ops(module: str) -> collections.Counter:
 
 
 def per_step(boundary: str, tr: int = 16, cols: int = 256,
-             runtime: bool = True, fold: int = 1) -> collections.Counter:
+             runtime: bool = True, fold: int = 1,
+             pack: bool = False) -> collections.Counter:
     """Per-step op counts: diff of a 2-step and a 1-step unroll."""
-    one = count_ops(mosaic_module(boundary, 1, tr, cols, runtime, fold))
-    two = count_ops(mosaic_module(boundary, 2, tr, cols, runtime, fold))
+    one = count_ops(mosaic_module(boundary, 1, tr, cols, runtime, fold, pack))
+    two = count_ops(mosaic_module(boundary, 2, tr, cols, runtime, fold, pack))
     return collections.Counter(
         {k: two[k] - one[k] for k in two if two[k] - one[k] > 0}
     )
@@ -143,11 +163,26 @@ def main(argv=None) -> int:
     p.add_argument("--static-params", action="store_true")
     p.add_argument("--fold", type=int, default=1,
                    help="lane-fold factor F (panels side by side)")
+    p.add_argument("--pack", action="store_true",
+                   help="species-packed kernel (cols = domain width; "
+                   "ops run at 2x width — element-equivalent work is "
+                   "2*packed ops)")
     p.add_argument("--compare", action="store_true",
                    help="zero vs naive per-step table")
     args = p.parse_args(argv)
     rt = not args.static_params
-    if args.compare:
+    if args.pack:
+        pc = per_step("zero", args.tr, args.cols, rt, pack=True)
+        uz = per_step("zero", args.tr, args.cols, rt)
+        fp = sum(c for (_, f), c in pc.items() if f == "full")
+        fu = sum(c for (_, f), c in uz.items() if f == "full")
+        print(f"packed zero (per step, ops at 2x width):\n{table(pc)}\n")
+        print(f"unpacked zero (per step):\n{table(uz)}\n")
+        print(f"element-equivalent work ratio packed/unpacked: "
+              f"{2 * fp / max(fu, 1):.3f} (packed wins outright below "
+              "1.0; above it the win must come from wider-op VPU "
+              "throughput on narrow domains)")
+    elif args.compare:
         z = per_step("zero", args.tr, args.cols, rt)
         n = per_step("naive", args.tr, args.cols, rt)
         fz = sum(c for (_, f), c in z.items() if f == "full")
