@@ -60,6 +60,17 @@ def test_packed_mega_parity(rng, params):
     np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
 
 
+def test_packed_mega_remainder(rng, params):
+    """steps not a multiple of MEGA_STEPS: the remainder runs as one
+    partial-depth megakernel call."""
+    u, v = random_uv(rng, (24, 16))
+    ou, ov = oracle.run(u, v, params, 20, "zero")
+    gu, gv = run_pallas(u, v, params, 20, pack="on", engine="mega",
+                        block_rows=8)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
 def test_packed_ulp_close_to_unpacked(rng, params):
     """The packed step uses the same per-lane scalars and multiply
     orders as the unpacked zero kernel; the U half matches bitwise, the
