@@ -1,0 +1,162 @@
+"""Persist hardware sweep results as autotune records.
+
+Bridges sweep evidence to runtime behavior: ``scripts/sweep.py`` measures
+pinned configurations in isolated subprocesses (one remote compile each),
+but the backends adopt winners only through the autotune store
+(``~/.cache/grayscott_tpu/autotune.json``). This tool reads one or more
+sweep logs, groups results by (shape, boundary, dtype), and writes the
+best measured configuration as that key's record — so e.g. a measured
+species-packed win at 1080x1920 reaches every default `simulate` run
+without re-tuning on the user's wall-clock time.
+
+Only results at least ``--margin`` (default 2%) better than an existing
+record replace it; every considered result is preserved in the record's
+``candidates`` table for audit, marked ``"source": "sweep"``.
+
+Usage::
+
+    python scripts/adopt_sweep.py .sweep_r2_pack.log [more.log ...] \
+        [--dry-run] [--margin 1.02]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+from grayscott_tpu.ops import pallas_stencil as ps  # noqa: E402
+from grayscott_tpu.params import Parameters  # noqa: E402
+from grayscott_tpu.utils import cache  # noqa: E402
+
+
+def parse_results(paths: list[str]) -> list[dict]:
+    """Sweep-log RESULT lines (the JSON lines carrying gcells_per_sec)."""
+    out = []
+    for path in paths:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "gcells_per_sec" in rec and "config" in rec:
+                    out.append(rec)
+    return out
+
+
+def to_record(res: dict) -> dict:
+    """An autotune-store record from one sweep RESULT line.
+
+    The sweep child pins the simulation config; the record mirrors what
+    measure_config would have persisted for the same run (engine inferred
+    from the pinned flags; tile fields as pinned or None for
+    heuristic-chosen)."""
+    cfg = res["config"]
+    pack = cfg.get("pack") == "on"
+    if cfg.get("resident") == "on":
+        engine = "resident"
+    elif cfg.get("engine") == "mega":
+        engine = "mega"
+    elif cfg.get("engine") == "windowed" or cfg.get("tr") or cfg.get("k"):
+        engine = "windowed"
+    else:
+        # engine=auto: the backend's static preference order picked the
+        # engine; record the selection the same ladder will re-derive
+        engine = None
+    rec = {
+        "engine": engine,
+        "block_rows": cfg.get("tr"),
+        "steps_per_call": cfg.get("k") or 16,
+        "block_cols": cfg.get("tc"),
+        "fold": cfg.get("fold") if isinstance(cfg.get("fold"), int) else 1,
+        "pack": pack,
+        "gcells_per_sec": round(res["gcells_per_sec"], 3),
+        "source": "sweep",
+    }
+    return rec
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("logs", nargs="+", help="sweep log files")
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--margin", type=float, default=1.02,
+                   help="replace an existing record only when better by "
+                   "this factor (guards against run-to-run noise)")
+    p.add_argument("--platform", default="tpu",
+                   help="autotune-store platform key the records are for")
+    args = p.parse_args(argv)
+
+    results = parse_results(args.logs)
+    if not results:
+        print("no RESULT lines found")
+        return 1
+    params = Parameters()
+    store = cache.load_autotune()
+    by_key: dict[str, list[dict]] = {}
+    for res in results:
+        cfg = res["config"]
+        key = cache.autotune_key(
+            args.platform, tuple(cfg.get("shape", (4096, 4096))),
+            cfg.get("boundary", "zero"), params.stencil_name(),
+            ps.KERNEL_VERSION, cfg.get("dtype", "float32"),
+        )
+        by_key.setdefault(key, []).append(res)
+    changed = False
+    for key, group in by_key.items():
+        ranked = sorted(group, key=lambda r: r["gcells_per_sec"],
+                        reverse=True)
+        best = to_record(ranked[0])
+        if best["engine"] is None and not best["pack"]:
+            # engine=auto unpacked result: nothing to adopt beyond what
+            # the heuristics already do — keep it as a candidate only
+            pass
+        prev = store.get(key)
+        candidates = [to_record(r) for r in ranked]
+        if prev:
+            candidates += [c for c in prev.get("candidates", [])
+                           if c not in candidates]
+        if prev and prev.get("gcells_per_sec", 0.0) * args.margin \
+                >= best["gcells_per_sec"]:
+            print(f"{key}: keep existing "
+                  f"{prev.get('gcells_per_sec')} >= {best['gcells_per_sec']}"
+                  f"/{args.margin}")
+            store[key] = dict(prev, candidates=candidates)
+            changed = True
+            continue
+        if best["engine"] is None and not best["pack"]:
+            print(f"{key}: best is engine=auto unpacked "
+                  f"({best['gcells_per_sec']}) — heuristics already "
+                  "choose it; candidates recorded")
+            if prev is not None:
+                store[key] = dict(prev, candidates=candidates)
+                changed = True
+            continue
+        print(f"{key}: adopt {best['engine']}"
+              f"{' pack' if best['pack'] else ''} "
+              f"@ {best['gcells_per_sec']} Gcell/s"
+              + (f" (was {prev.get('gcells_per_sec')})" if prev else ""))
+        store[key] = dict(best, candidates=candidates)
+        changed = True
+    if args.dry_run:
+        print("(dry run: store not written)")
+        return 0
+    if changed:
+        cache.save_autotune(store)
+        print(f"wrote {cache._autotune_path()}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

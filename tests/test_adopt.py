@@ -1,0 +1,83 @@
+"""Sweep-result adoption: scripts/adopt_sweep.py writes autotune records
+that the backends actually follow."""
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def adopt():
+    spec = importlib.util.spec_from_file_location(
+        "adopt_sweep", os.path.join(REPO, "scripts", "adopt_sweep.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _log(tmp_path, lines):
+    p = tmp_path / "sweep.log"
+    p.write_text("\n".join(json.dumps(l) for l in lines) + "\nDONE\n")
+    return str(p)
+
+
+def test_adopt_writes_pack_record(adopt, tmp_path, monkeypatch, params):
+    import jax
+
+    from grayscott_tpu.backends.pallas import PallasSimulation
+    from grayscott_tpu.utils import cache as c
+
+    monkeypatch.setattr(c, "CACHE_DIR", str(tmp_path))
+    path = _log(tmp_path, [
+        {"config": {"shape": [64, 128], "boundary": "zero",
+                    "pack": "on", "engine": "mega"},
+         "gcells_per_sec": 50.0},
+        {"config": {"shape": [64, 128], "boundary": "zero"},
+         "gcells_per_sec": 40.0},
+    ])
+    platform = jax.devices()[0].platform
+    assert adopt.main([path, "--platform", platform]) == 0
+    rec = c.load_autotune()
+    (key,) = rec.keys()
+    assert rec[key]["pack"] is True
+    assert rec[key]["engine"] == "mega"
+    assert len(rec[key]["candidates"]) == 2
+    # the backend follows the adopted verdict
+    sim = PallasSimulation(params, boundary="zero", interpret=False)
+    assert sim._use_pack((64, 128))
+
+
+def test_adopt_keeps_better_existing(adopt, tmp_path, monkeypatch, params):
+    import jax
+
+    from grayscott_tpu.ops import pallas_stencil as ps
+    from grayscott_tpu.utils import cache as c
+
+    monkeypatch.setattr(c, "CACHE_DIR", str(tmp_path))
+    platform = jax.devices()[0].platform
+    from grayscott_tpu.params import Parameters
+
+    key = c.autotune_key(platform, (64, 128), "zero",
+                         Parameters().stencil_name(), ps.KERNEL_VERSION)
+    c.save_autotune({key: {
+        "engine": "mega", "block_rows": 16, "steps_per_call": 16,
+        "block_cols": None, "fold": 1, "pack": False,
+        "gcells_per_sec": 60.0,
+    }})
+    path = _log(tmp_path, [
+        {"config": {"shape": [64, 128], "boundary": "zero",
+                    "pack": "on", "engine": "mega"},
+         "gcells_per_sec": 55.0},
+    ])
+    assert adopt.main([path, "--platform", platform]) == 0
+    rec = c.load_autotune()[key]
+    assert rec["pack"] is False and rec["gcells_per_sec"] == 60.0
+    # the losing sweep result is still auditable
+    assert any(cand.get("source") == "sweep"
+               for cand in rec["candidates"])
