@@ -354,20 +354,31 @@ class PallasSimulation(Simulation):
         tr = self.block_rows
         if tr is None and pk:
             tr = pk.get("block_rows")
+        if self.engine == "mega" and \
+                not mk.mega_ok((r, 2 * c), tr, species=1):
+            # same contract as the unpacked _use_mega: a forced engine
+            # the domain can't support is an immediate error, not a
+            # compile-time VMEM failure or remote-compile hang
+            raise ValueError(
+                "engine='mega' with pack needs full-width windows under "
+                f"the VMEM/compile ceilings; unsupported for shape "
+                f"{(r, c)} packed to {(r, 2 * c)}"
+            )
         use_mega = self.engine == "mega" or (
             self.engine == "auto"
             and verdict in (None, "mega")
             and not self._explicit_k
             and self.block_rows is None
-            and mk.mega_ok((r, 2 * c), tr)
+            and mk.mega_ok((r, 2 * c), tr, species=1)
         )
         if use_mega:
-            tr = tr or mk.choose_mega_rows(r, 2 * c)
+            tr = tr or mk.choose_mega_rows(r, 2 * c, species=1)
             x_pair = mk.mega_pack_state(u, v, tr)
             return ("megapack", jnp.asarray(x_pair), tr)
         k, halo = self._tuned_k(pk)
         if tr is None:
-            tr = ps.choose_block_rows(r, 2 * c, halo=halo, boundary="zero")
+            tr = ps.choose_block_rows(r, 2 * c, halo=halo, boundary="zero",
+                                      species=1)
         x = ps.pack_state(u, v, tr, halo, dtype=np.float32)
         return ("packed", jnp.asarray(x), tr, halo, k)
 
@@ -375,6 +386,11 @@ class PallasSimulation(Simulation):
         tuned = self._lookup_tuned(u.shape)
         if self._use_pack(u.shape, tuned):
             return self._build_packed(u, v, tuned)
+        if tuned and tuned.get("pack"):
+            # a packed record's engine verdict and tiles were measured at
+            # the doubled width — meaningless for the unpacked layouts
+            # (pack is disabled here): fall back to heuristics
+            tuned = None
         if self._use_mega(u.shape, tuned):
             tr = self.block_rows
             if tr is None and tuned and tuned.get("engine") == "mega":

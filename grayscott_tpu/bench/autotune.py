@@ -66,13 +66,13 @@ def _guard_ok(cfg: Mapping, shape, boundary: str) -> bool:
         r, c = shape
         pshape = (r, 2 * c)
         if cfg.get("engine") == "mega":
-            return mk.mega_ok(pshape, cfg.get("block_rows"))
+            return mk.mega_ok(pshape, cfg.get("block_rows"), species=1)
         if cfg.get("resident") == "on":
             return ps.resident_ok(pshape)
         k = cfg.get("steps_per_call") or 16
         halo = ps.halo_for_steps(k)
         tr = cfg.get("block_rows") or ps.choose_block_rows(
-            r, 2 * c, halo=halo, boundary="zero"
+            r, 2 * c, halo=halo, boundary="zero", species=1
         )
         return ps.window_compile_ok(tr, halo, 2 * c, "zero", k)
     if cfg.get("engine") == "mega":
@@ -185,13 +185,15 @@ def _pack_candidates(shape, boundary: str, dtype: str,
         return []
     out = []
     pshape = (r, 2 * c)
-    tr = mk.choose_mega_rows(r, 2 * c)
-    if mk.mega_ok(pshape, tr) and (tr + 2 * mk.MEGA_STEPS) / tr <= 1.3:
+    tr = mk.choose_mega_rows(r, 2 * c, species=1)
+    if mk.mega_ok(pshape, tr, species=1) and \
+            (tr + 2 * mk.MEGA_STEPS) / tr <= 1.3:
         out.append(dict(pack="on", engine="mega"))
     if ps.resident_ok(pshape):
         out.append(dict(pack="on", resident="on"))
     halo = ps.halo_for_steps(16)
-    tr_w = ps.choose_block_rows(r, 2 * c, halo=halo, boundary="zero")
+    tr_w = ps.choose_block_rows(r, 2 * c, halo=halo, boundary="zero",
+                                species=1)
     if ps.window_compile_ok(tr_w, halo, 2 * c, "zero", 16):
         out.append(dict(pack="on", engine="windowed"))
     return out

@@ -192,35 +192,48 @@ def _mega_kernel(
             ).wait()
 
 
-def mega_vmem_limit(tr: int, halo: int, c: int) -> int:
-    """Scoped-VMEM tier: 2x2 window slots + 2x2 output slots + the step
-    loop's stack liveness (~13.3x the window bytes, the windowed kernel's
-    measured anchor)."""
+def _mega_vmem_est(tr: int, halo: int, c: int, species: int) -> float:
+    """Scoped-VMEM estimate: per-species 2 window slots + 2 output slots,
+    plus the step loop's stack liveness. The 13.3x liveness anchor was
+    measured on the unpacked kernel per ONE species' window bytes with
+    the PAIR in flight; the species-packed kernel (species=1) holds the
+    same total state in one double-wide array, so its liveness estimate
+    is the pair-equivalent (half the packed array width)."""
     w = tr + 2 * halo
-    slots = 2 * 2 * (w + tr) * c * 4
-    liveness = 13.3 * w * c * 4
-    est = slots + liveness
+    slots = species * 2 * (w + tr) * c * 4
+    liveness = 13.3 * w * c * 4 * (species / 2)
+    return slots + liveness
+
+
+def mega_vmem_limit(tr: int, halo: int, c: int, species: int = 2) -> int:
+    """Scoped-VMEM tier for the estimate (quantized so standard configs
+    keep stable compile params)."""
+    est = _mega_vmem_est(tr, halo, c, species)
     for tier in (64 << 20, 100 << 20, 120 << 20):
         if est <= tier:
             return tier
     return 120 << 20
 
 
-def mega_ok(shape, tr: int | None = None, halo: int = MEGA_STEPS) -> bool:
+def mega_ok(shape, tr: int | None = None, halo: int = MEGA_STEPS,
+            species: int = 2) -> bool:
     """Whether the megakernel supports this domain: full-width windows
     must fit the VMEM budget (very wide domains need the windowed
     kernel's column tiling) and the K-unrolled graph must clear the
-    Mosaic compile ceiling."""
+    Mosaic compile ceiling. ``species=1`` = the packed layout (shape is
+    then the packed (r, 2*c) extent)."""
     r, c = shape
-    tr = tr or choose_mega_rows(r, c, halo)
+    tr = tr or choose_mega_rows(r, c, halo, species)
     w = tr + 2 * halo
     return (
-        mega_vmem_limit(tr, halo, c) >= 2 * 2 * (w + tr) * c * 4 + 13.3 * w * c * 4
+        mega_vmem_limit(tr, halo, c, species)
+        >= _mega_vmem_est(tr, halo, c, species)
         and ps.window_compile_ok(tr, halo, c, steps=halo)
     )
 
 
-def choose_mega_rows(r: int, c: int, halo: int = MEGA_STEPS) -> int:
+def choose_mega_rows(r: int, c: int, halo: int = MEGA_STEPS,
+                     species: int = 2) -> int:
     """Row-block size: largest padding-free tile whose window pair plus
     slots fit the 120 MB VMEM tier, preferring >= 2 blocks so the inner
     loop can prefetch (B=1 serializes each time block's DMA against
@@ -231,7 +244,7 @@ def choose_mega_rows(r: int, c: int, halo: int = MEGA_STEPS) -> int:
         w = tr + 2 * halo
         if not ps.window_compile_ok(tr, halo, c, steps=halo):
             break
-        if 2 * 2 * (w + tr) * c * 4 + 13.3 * w * c * 4 > (120 << 20):
+        if _mega_vmem_est(tr, halo, c, species) > (120 << 20):
             break
         n = -(-r // tr)
         if n == 1 and r > 2 * halo + 8:
@@ -396,7 +409,7 @@ def packed_megastep_impl(
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes
-            or mega_vmem_limit(tr, halo, cc),
+            or mega_vmem_limit(tr, halo, cc, species=1),
         ),
         interpret=interpret,
     )(*operands)

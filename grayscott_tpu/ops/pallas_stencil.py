@@ -1534,7 +1534,7 @@ def window_compile_ok(
 
 def choose_block_rows(
     r: int, c: int, vmem_budget_bytes: int = 16 << 20, halo: int = 16,
-    boundary: str = "zero",
+    boundary: str = "zero", species: int = 2,
 ) -> int:
     """Default row-tile size: fit one (TR + 2*halo, C) f32 window pair in
     the VMEM budget (the analog of the reference's hwloc cache-budget
@@ -1554,7 +1554,11 @@ def choose_block_rows(
     ~36% of kernel compute was masked out-of-domain rows (29.4 Gcell/s);
     the score picks the padding-free tr=360 instead (3x392 window rows vs
     3x520)."""
-    bytes_per_row = c * 4 * 2  # two species
+    # two species by default; the species-packed layout holds ONE array
+    # at the doubled width, so its callers pass species=1 — without it
+    # the budget double-counts and halves the packed row tile (extra
+    # halo redundancy handicapping every packed measurement)
+    bytes_per_row = c * 4 * species
     tr_max = (vmem_budget_bytes // bytes_per_row - 2 * halo) // 8 * 8
     cap = 544 if r <= 1536 else 256
     tr_max = max(8, min(cap, tr_max))

@@ -52,8 +52,8 @@ def wait_for_tpu(retry_s: int = 120, max_wait_s: int = 6 * 3600) -> bool:
     process before each config turns that into a cheap pause."""
     import time
 
-    waited = 0
-    while waited <= max_wait_s:
+    deadline = time.monotonic() + max_wait_s
+    while time.monotonic() <= deadline:
         try:
             ok = subprocess.run(
                 [sys.executable, "-c", PROBE],
@@ -65,7 +65,6 @@ def wait_for_tpu(retry_s: int = 120, max_wait_s: int = 6 * 3600) -> bool:
             return True
         print(f"TPU unavailable; retrying in {retry_s}s", flush=True)
         time.sleep(retry_s)
-        waited += retry_s + 180
     return False
 
 

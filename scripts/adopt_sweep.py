@@ -78,12 +78,16 @@ def to_record(res: dict) -> dict:
         "engine": engine,
         "block_rows": cfg.get("tr"),
         "steps_per_call": cfg.get("k") or 16,
-        "block_cols": cfg.get("tc"),
         "fold": cfg.get("fold") if isinstance(cfg.get("fold"), int) else 1,
         "pack": pack,
         "gcells_per_sec": round(res["gcells_per_sec"], 3),
         "source": "sweep",
     }
+    if "tc" in cfg:
+        # only a PINNED column tile goes into the record: _tiles treats a
+        # present-but-None block_cols as an explicit full-width pin, which
+        # would bypass choose_block_cols on wide domains
+        rec["block_cols"] = cfg["tc"]
     return rec
 
 
@@ -118,10 +122,6 @@ def main(argv=None) -> int:
         ranked = sorted(group, key=lambda r: r["gcells_per_sec"],
                         reverse=True)
         best = to_record(ranked[0])
-        if best["engine"] is None and not best["pack"]:
-            # engine=auto unpacked result: nothing to adopt beyond what
-            # the heuristics already do — keep it as a candidate only
-            pass
         prev = store.get(key)
         candidates = [to_record(r) for r in ranked]
         if prev:
@@ -132,23 +132,24 @@ def main(argv=None) -> int:
             print(f"{key}: keep existing "
                   f"{prev.get('gcells_per_sec')} >= {best['gcells_per_sec']}"
                   f"/{args.margin}")
-            store[key] = dict(prev, candidates=candidates)
-            changed = True
-            continue
-        if best["engine"] is None and not best["pack"]:
+            new = dict(prev, candidates=candidates)
+        elif best["engine"] is None and not best["pack"]:
+            # engine=auto unpacked winner: the heuristics already choose
+            # it — record candidates only, never adopt auto as a pin
             print(f"{key}: best is engine=auto unpacked "
                   f"({best['gcells_per_sec']}) — heuristics already "
                   "choose it; candidates recorded")
-            if prev is not None:
-                store[key] = dict(prev, candidates=candidates)
-                changed = True
-            continue
-        print(f"{key}: adopt {best['engine']}"
-              f"{' pack' if best['pack'] else ''} "
-              f"@ {best['gcells_per_sec']} Gcell/s"
-              + (f" (was {prev.get('gcells_per_sec')})" if prev else ""))
-        store[key] = dict(best, candidates=candidates)
-        changed = True
+            new = dict(prev, candidates=candidates) if prev else None
+        else:
+            print(f"{key}: adopt {best['engine']}"
+                  f"{' pack' if best['pack'] else ''} "
+                  f"@ {best['gcells_per_sec']} Gcell/s"
+                  + (f" (was {prev.get('gcells_per_sec')})" if prev
+                     else ""))
+            new = dict(best, candidates=candidates)
+        if new is not None and new != prev:
+            store[key] = new
+            changed = True
     if args.dry_run:
         print("(dry run: store not written)")
         return 0

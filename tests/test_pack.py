@@ -1,10 +1,11 @@
 """Species-packed layout (x = [U | V] along lanes) numerics validation.
 
-The packed step claims bit-identity with the unpacked zero-boundary
-kernel (same multiply order per lane half, see
-ops/pallas_stencil.py "species-packed layout"), so besides the oracle
-parity checks these tests assert EXACT equality against the unpacked
-pallas path.
+The packed step reuses the unpacked zero kernel's scalars and multiply
+orders per lane half (see ops/pallas_stencil.py "species-packed
+layout"), but its graph shape gives the compiler different
+FMA-contraction freedom — so besides the oracle parity checks these
+tests assert ulp-scale closeness (not bit equality) against the
+unpacked pallas path, the same budget the fold layout uses.
 """
 
 import numpy as np
@@ -186,3 +187,43 @@ def test_pack_tuned_verdict_adopted(monkeypatch, tmp_path, rng, params):
     assert not sim2._use_pack(shape)
     assert PallasSimulation(params, boundary="zero")._use_pack(shape) \
         is False
+
+
+def test_pack_record_tiles_never_leak_unpacked(monkeypatch, tmp_path,
+                                               rng, params):
+    """A pack=True record's tiles were measured at the doubled width;
+    with packing disabled the unpacked path must fall back to
+    heuristics, not adopt them."""
+    import jax
+
+    from grayscott_tpu.ops import pallas_stencil as ps
+    from grayscott_tpu.utils import cache as c
+
+    monkeypatch.setattr(c, "CACHE_DIR", str(tmp_path))
+    shape = (64, 128)
+    platform = jax.devices()[0].platform
+    key = c.autotune_key(platform, shape, "zero", params.stencil_name(),
+                         ps.KERNEL_VERSION)
+    c.save_autotune({key: {
+        "pack": True, "engine": "windowed", "block_rows": 8,
+        "steps_per_call": 4, "block_cols": None, "fold": 1,
+    }})
+    u, v = random_uv(rng, shape)
+    sim = PallasSimulation(params, boundary="zero", interpret=True,
+                           pack="off")
+    storage = sim.build_storage(u, v)
+    tr = storage[2]
+    assert tr != 8  # heuristic tile, not the packed record's
+    assert tr == ps.choose_block_rows(64, 128, halo=storage[5],
+                                      boundary="zero")
+
+
+def test_pack_forced_mega_validates_domain(params):
+    """engine='mega' + pack on an unsupported (compile-ceiling) domain
+    raises immediately instead of hanging the remote compiler."""
+    sim = PallasSimulation(params, boundary="zero", interpret=True,
+                           pack="on", engine="mega")
+    u = np.zeros((64, 60000), np.float32)
+    v = np.ones_like(u)
+    with pytest.raises(ValueError, match="mega"):
+        sim.build_storage(u, v)
