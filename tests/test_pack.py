@@ -121,6 +121,29 @@ def test_pack_rejects_naive_boundary(rng, params):
     with pytest.raises(ValueError, match="pack"):
         sim.build_storage(u, v)
 
+def test_packed_random_geometry_fuzz(rng, params):
+    """Randomized shapes/steps across all three packed engines vs the
+    oracle — the corner cases live where row round-up, panel lane
+    padding and remainder calls meet."""
+    for _ in range(6):
+        r = int(rng.randint(9, 40))
+        c = int(rng.randint(10, 36) // 2 * 2)
+        steps = int(rng.randint(1, 18))
+        u, v = random_uv(rng, (r, c))
+        ou, ov = oracle.run(u, v, params, steps, "zero")
+        for kw in (dict(engine="windowed", block_rows=8,
+                        steps_per_call=4),
+                   dict(resident="on"),
+                   dict(engine="mega", block_rows=8)):
+            gu, gv = run_pallas(u, v, params, steps, pack="on", **kw)
+            np.testing.assert_allclose(
+                gu, ou, rtol=0, atol=1e-6,
+                err_msg=f"shape=({r},{c}) steps={steps} {kw}")
+            np.testing.assert_allclose(
+                gv, ov, rtol=0, atol=1e-6,
+                err_msg=f"shape=({r},{c}) steps={steps} {kw}")
+
+
 def test_pack_rejects_bad_value(params):
     with pytest.raises(ValueError, match="pack"):
         PallasSimulation(params, interpret=True, pack="maybe")
