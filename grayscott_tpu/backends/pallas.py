@@ -51,6 +51,7 @@ class PallasSimulation(Simulation):
         fold: str | int = "auto",
         engine: str = "auto",
         pack: str = "auto",
+        naive_fix: str = "select",
         **kwargs,
     ):
         self._explicit_k = steps_per_call is not None
@@ -115,6 +116,17 @@ class PallasSimulation(Simulation):
         if pack not in ("auto", "on", "off"):
             raise ValueError(f"pack must be auto/on/off, got {pack!r}")
         self.pack = pack
+        # naive fix-up mechanism: 'select' = full-window masked selects
+        # (the proven path); 'store' = narrow scratch-ref strip stores
+        # (bit-identical values, hardware experiment — ROADMAP
+        # "strip-store"). Windowed + mega engines, full-width only.
+        if naive_fix not in ("select", "store"):
+            raise ValueError(
+                f"naive_fix must be select/store, got {naive_fix!r}"
+            )
+        if naive_fix == "store" and boundary != "naive":
+            raise ValueError("naive_fix='store' requires the naive boundary")
+        self.naive_fix = naive_fix
         # opt-in bf16 STORAGE mode (beyond-reference capability): state
         # rides HBM in bf16 — half the memory traffic and footprint (wins
         # on memory-bound configs and doubles the max domain per chip) —
@@ -245,12 +257,15 @@ class PallasSimulation(Simulation):
     def _use_mega(self, shape, tuned=_MISS) -> bool:
         if self.engine == "windowed":
             return False
-        tr = self.block_rows or mk.choose_mega_rows(*shape)
+        strip = self.naive_fix == "store"
+        tr = self.block_rows or mk.choose_mega_rows(
+            *shape, strip_store=strip
+        )
         supported = (
             self.dtype == jnp.float32
             and self.block_cols is None
             and not (isinstance(self.fold, int) and self.fold > 1)
-            and mk.mega_ok(shape, tr)
+            and mk.mega_ok(shape, tr, strip_store=strip)
         )
         if self.engine == "mega":
             if not supported:
@@ -395,7 +410,9 @@ class PallasSimulation(Simulation):
             tr = self.block_rows
             if tr is None and tuned and tuned.get("engine") == "mega":
                 tr = tuned.get("block_rows")
-            tr = tr or mk.choose_mega_rows(*u.shape)
+            tr = tr or mk.choose_mega_rows(
+                *u.shape, strip_store=self.naive_fix == "store"
+            )
             u_pair, v_pair = mk.mega_pad_state(u, v, tr)
             return ("mega", jnp.asarray(u_pair), jnp.asarray(v_pair), tr)
         f = self._fold_factor(u.shape, tuned)
@@ -487,7 +504,8 @@ class PallasSimulation(Simulation):
             return self.vmem_limit_bytes
         w_cols = (tc + 2 * chalo) if tc else c
         return ps.choose_vmem_limit(
-            tr, halo, w_cols, dtype_bytes, self.boundary
+            tr, halo, w_cols, dtype_bytes, self.boundary,
+            strip_store=self.naive_fix == "store" and tc is None,
         )
 
     def _reaction(self):
@@ -556,6 +574,7 @@ class PallasSimulation(Simulation):
                 tr=tr, r=r, params=kernel_params, boundary=self.boundary,
                 interpret=self.interpret, dt_is_one=dt_is_one,
                 vmem_limit_bytes=self.vmem_limit_bytes,
+                strip_store=self.naive_fix == "store",
             )
             n_full, rem = divmod(steps, mk.MEGA_STEPS)
             if n_full:
@@ -625,6 +644,7 @@ class PallasSimulation(Simulation):
             # the HBM padding rows with 4 host-graph updates per call
             # (bit-identical; saves per-call fixed cost on small domains)
             sanitize=True,
+            strip_store=self.naive_fix == "store" and tc is None,
             # liveness scales with the f32 compute copies even when HBM
             # storage is bf16, so always budget at 4 bytes/element
             vmem_limit_bytes=self._vmem_limit(tr, tc, chalo, c, halo, 4),
@@ -689,6 +709,14 @@ class PallasSimulation(Simulation):
             "autotuner measured pack winning on this domain",
         )
         parser.add_argument(
+            "--pallas-naive-fix", choices=["select", "store"],
+            default=env_default("GRAYSCOTT_NAIVE_FIX", "select"),
+            help="Naive-boundary fix-up mechanism: 'select' (default) "
+            "patches the quirk strips with full-window masked selects; "
+            "'store' uses narrow scratch-ref stores instead "
+            "(bit-identical values; perf experiment)",
+        )
+        parser.add_argument(
             "--pallas-engine", choices=["auto", "windowed", "mega"],
             default=env_default("GRAYSCOTT_PALLAS_ENGINE", "auto"),
             help="Kernel engine: 'mega' runs the whole step loop in one "
@@ -728,6 +756,7 @@ class PallasSimulation(Simulation):
             "fold": cls._parse_fold(getattr(ns, "pallas_fold", "auto")),
             "engine": getattr(ns, "pallas_engine", "auto"),
             "pack": getattr(ns, "pallas_pack", "auto"),
+            "naive_fix": getattr(ns, "pallas_naive_fix", "select"),
         }
 
     @staticmethod

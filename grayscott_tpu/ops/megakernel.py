@@ -67,12 +67,19 @@ def _mega_kernel(
     steps: int, tr: int, b_blocks: int, c: int, halo: int,
     r: int, params, boundary: str,
     runtime_params: bool, dt_is_one: bool, pack: bool = False,
+    strip_store: bool = False,
 ):
     """One whole run: scal = [n_time_blocks]; refs = optional reaction
     SMEM, then (u_pair, v_pair) HBM inputs, (u_out, v_out) aliased
     outputs, then scratch (in/out window slots + DMA semaphores). In
     species-packed mode (``pack``) a single x = [U | V] pair replaces
-    the two species pairs — half the DMA count at twice the width."""
+    the two species pairs — half the DMA count at twice the width.
+    ``strip_store`` (naive only) appends two fix-up scratch windows,
+    see pallas_stencil._fix_naive_store."""
+    fix_refs = None
+    if strip_store:
+        *refs, u_fix, v_fix = refs
+        fix_refs = (u_fix, v_fix)
     if runtime_params:
         react_ref = refs[0]
         refs = refs[1:]
@@ -153,8 +160,9 @@ def _mega_kernel(
                 if ctx["dommask"] is not None:
                     u = jnp.where(ctx["dommask"], u, 0.0)
                     v = jnp.where(ctx["dommask"], v, 0.0)
+                fix = (*fix_refs, b == 0) if fix_refs is not None else None
                 for _ in range(steps):
-                    u, v = step(u, v, ctx)
+                    u, v = step(u, v, ctx, fix)
                 uv_out = (u[halo : halo + tr], v[halo : halo + tr])
             if b_blocks > 2:
                 # slot s's previous output DMA (row block b-2) may still
@@ -192,23 +200,29 @@ def _mega_kernel(
             ).wait()
 
 
-def _mega_vmem_est(tr: int, halo: int, c: int, species: int) -> float:
+def _mega_vmem_est(tr: int, halo: int, c: int, species: int,
+                   strip_store: bool = False) -> float:
     """Scoped-VMEM estimate: per-species 2 window slots + 2 output slots,
     plus the step loop's stack liveness. The 13.3x liveness anchor was
     measured on the unpacked kernel per ONE species' window bytes with
     the PAIR in flight; the species-packed kernel (species=1) holds the
     same total state in one double-wide array, so its liveness estimate
-    is the pair-equivalent (half the packed array width)."""
+    is the pair-equivalent (half the packed array width).
+    ``strip_store`` adds the two explicit (W, C) fix-up scratch
+    windows."""
     w = tr + 2 * halo
     slots = species * 2 * (w + tr) * c * 4
     liveness = 13.3 * w * c * 4 * (species / 2)
+    if strip_store:
+        slots += 2 * w * c * 4
     return slots + liveness
 
 
-def mega_vmem_limit(tr: int, halo: int, c: int, species: int = 2) -> int:
+def mega_vmem_limit(tr: int, halo: int, c: int, species: int = 2,
+                    strip_store: bool = False) -> int:
     """Scoped-VMEM tier for the estimate (quantized so standard configs
     keep stable compile params)."""
-    est = _mega_vmem_est(tr, halo, c, species)
+    est = _mega_vmem_est(tr, halo, c, species, strip_store)
     for tier in (64 << 20, 100 << 20, 120 << 20):
         if est <= tier:
             return tier
@@ -216,24 +230,24 @@ def mega_vmem_limit(tr: int, halo: int, c: int, species: int = 2) -> int:
 
 
 def mega_ok(shape, tr: int | None = None, halo: int = MEGA_STEPS,
-            species: int = 2) -> bool:
+            species: int = 2, strip_store: bool = False) -> bool:
     """Whether the megakernel supports this domain: full-width windows
     must fit the VMEM budget (very wide domains need the windowed
     kernel's column tiling) and the K-unrolled graph must clear the
     Mosaic compile ceiling. ``species=1`` = the packed layout (shape is
     then the packed (r, 2*c) extent)."""
     r, c = shape
-    tr = tr or choose_mega_rows(r, c, halo, species)
+    tr = tr or choose_mega_rows(r, c, halo, species, strip_store)
     w = tr + 2 * halo
     return (
-        mega_vmem_limit(tr, halo, c, species)
-        >= _mega_vmem_est(tr, halo, c, species)
+        mega_vmem_limit(tr, halo, c, species, strip_store)
+        >= _mega_vmem_est(tr, halo, c, species, strip_store)
         and ps.window_compile_ok(tr, halo, c, steps=halo)
     )
 
 
 def choose_mega_rows(r: int, c: int, halo: int = MEGA_STEPS,
-                     species: int = 2) -> int:
+                     species: int = 2, strip_store: bool = False) -> int:
     """Row-block size: largest padding-free tile whose window pair plus
     slots fit the 120 MB VMEM tier, preferring >= 2 blocks so the inner
     loop can prefetch (B=1 serializes each time block's DMA against
@@ -244,7 +258,7 @@ def choose_mega_rows(r: int, c: int, halo: int = MEGA_STEPS,
         w = tr + 2 * halo
         if not ps.window_compile_ok(tr, halo, c, steps=halo):
             break
-        if _mega_vmem_est(tr, halo, c, species) > (120 << 20):
+        if _mega_vmem_est(tr, halo, c, species, strip_store) > (120 << 20):
             break
         n = -(-r // tr)
         if n == 1 and r > 2 * halo + 8:
@@ -278,12 +292,15 @@ def megastep_impl(
     *, steps: int, tr: int, r: int, params: Parameters, boundary: str,
     halo: int = MEGA_STEPS, interpret: bool = False,
     vmem_limit_bytes: int | None = None, dt_is_one: bool = False,
+    strip_store: bool = False,
 ):
     """Advance the pair state by ``n_blocks`` (traced) x ``steps`` (static,
     <= halo) simulation steps in ONE kernel launch. Returns the new pairs
     with the current state in slot 0."""
     if not (1 <= steps <= halo):
         raise ValueError(f"steps must be in [1, {halo}], got {steps}")
+    if strip_store and boundary != "naive":
+        raise ValueError("strip_store is naive-only")
     _, hp, c = u_pair.shape
     rp = hp - 2 * halo
     if rp % tr != 0 or tr % 8 != 0 or halo % 8 != 0:
@@ -298,6 +315,7 @@ def megastep_impl(
         _mega_kernel, steps=steps, tr=tr, b_blocks=b_blocks, c=c,
         halo=halo, r=r, params=params, boundary=boundary,
         runtime_params=reaction is not None, dt_is_one=dt_is_one,
+        strip_store=strip_store,
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     operands = [scalars]
@@ -325,9 +343,11 @@ def megastep_impl(
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + ([pltpu.VMEM((w, c), jnp.float32),
+              pltpu.VMEM((w, c), jnp.float32)] if strip_store else []),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=vmem_limit_bytes or mega_vmem_limit(tr, halo, c),
+            vmem_limit_bytes=vmem_limit_bytes
+            or mega_vmem_limit(tr, halo, c, strip_store=strip_store),
         ),
         interpret=interpret,
     )(*operands)
@@ -335,7 +355,7 @@ def megastep_impl(
 
 
 _STATIC = ("steps", "tr", "r", "params", "boundary", "halo", "interpret",
-           "vmem_limit_bytes", "dt_is_one")
+           "vmem_limit_bytes", "dt_is_one", "strip_store")
 
 megastep = jax.jit(
     megastep_impl,

@@ -549,6 +549,7 @@ def make_window_stepper(
         elif boundary == "naive":
             in_dom = jnp.logical_and(giota >= 1, giota < r_total)
             ctx["col0_mask"] = jnp.logical_and(gcol == 0, in_dom)
+            ctx["col0_in"] = in_dom  # (W, 1) row part, for strip stores
             ctx["top_mask"] = giota == 0
             ctx["ok_s"] = (giota <= r_total - 2).astype(dtype)
             ctx["gcol"] = gcol
@@ -589,14 +590,52 @@ def make_window_stepper(
                 fixed = jnp.where(ctx["col0_masks"][p], strip_p, fixed)
         return jnp.where(ctx["top_mask"], top, fixed)
 
-    def step(u, v, ctx):
+    def _fix_naive_store(x, full, ctx, ref, at_top):
+        """Strip-STORE variant of :func:`_fix_naive`: write ``full`` to a
+        VMEM scratch ref once, then patch the quirk strips with NARROW
+        ref stores — a (W, 1) column-0 store plus, only in the window
+        holding global row 0, a (1, C) top-row store — instead of 2
+        full-window selects per species per step. The strip expressions
+        and overwrite order (column first, top row last) match the
+        select path, but the ref round trip MATERIALIZES the gradient,
+        changing FMA contraction — ulp-scale drift vs the select path
+        (tests/test_stripstore.py budgets 3e-7, like fold/pack); the
+        select path stays the bit-frozen default. Full-width
+        single-shard-column windows only (``chalo == 0``, no fold):
+        the strip positions are static.
+        Trade-off under test (ROADMAP "strip-store"): saves 4 full-window
+        VPU ops/step but adds a full store/load round-trip per species
+        per step — the same materialization pressure that sank the ILP
+        split."""
+        ref[:] = full
+        strip = _left_col_strip(x, w, ctx["ok_s"], chalo)
+        ref[:, chalo : chalo + 1] = jnp.where(
+            ctx["col0_in"], strip, full[:, chalo : chalo + 1]
+        )
+
+        @pl.when(at_top)
+        def _():
+            top = _edge_strip_1xc(
+                x[halo : halo + 1, :], x[halo + 1 : halo + 2, :],
+                w[0:2, :], ctx["gcol"], ctx["c_total"], chalo, shift_cols,
+            )
+            ref[halo : halo + 1, :] = top
+
+        return ref[:]
+
+    def step(u, v, ctx, fix=None):
         full_u = laplacian(u, ctx["b_field"])
         full_v = laplacian(v, ctx["b_field"])
         if boundary == "naive":
             # the bit-frozen path: exact reference-CPU semantics — the
             # parity suite and goldens pin every rounding in this order
-            full_u = _fix_naive(u, full_u, ctx)
-            full_v = _fix_naive(v, full_v, ctx)
+            if fix is None:
+                full_u = _fix_naive(u, full_u, ctx)
+                full_v = _fix_naive(v, full_v, ctx)
+            else:
+                u_fix, v_fix, at_top = fix
+                full_u = _fix_naive_store(u, full_u, ctx, u_fix, at_top)
+                full_v = _fix_naive_store(v, full_v, ctx, v_fix, at_top)
             uv_square = u * v * v
             du = du_rate * full_u - uv_square + f * (1.0 - u)
             dv = dv_rate * full_v + uv_square + mfk * v
@@ -659,7 +698,11 @@ def _kernel(scal_ref, *refs,
             boundary: str, tc: int | None = None,
             runtime_params: bool = False, dt_is_one: bool = False,
             fold: Tuple[int, int, int] | None = None,
-            sanitize: bool = False):
+            sanitize: bool = False, strip_store: bool = False):
+    fix_refs = None
+    if strip_store:
+        *refs, u_fix, v_fix = refs
+        fix_refs = (u_fix, v_fix)
     if runtime_params:
         react_ref, u_ref, v_ref, uo_ref, vo_ref = refs
         reaction = tuple(
@@ -706,8 +749,13 @@ def _kernel(scal_ref, *refs,
         # those cells were exactly 0.0 before)
         u = jnp.where(ctx["dommask"], u, 0.0)
         v = jnp.where(ctx["dommask"], v, 0.0)
+    fix = None
+    if fix_refs is not None:
+        # the window holding global row 0 starts exactly at g0 == -halo
+        # (true for the single-chip origin and the sharded top shard)
+        fix = (*fix_refs, g0 == -halo)
     for _ in range(steps):
-        u, v = step(u, v, ctx)
+        u, v = step(u, v, ctx, fix)
     if store_dtype != jnp.float32:
         u, v = u.astype(store_dtype), v.astype(store_dtype)
     if tc is None:
@@ -778,6 +826,7 @@ def multistep_impl(
     vmem_limit_bytes: int | None = None, zero_padding: bool = True,
     tc: int | None = None, dt_is_one: bool = False,
     fold: Tuple[int, int, int] | None = None, sanitize: bool = False,
+    strip_store: bool = False,
 ):
     """Advance padded state by ``steps`` (<= halo) simulation steps.
 
@@ -831,6 +880,14 @@ def multistep_impl(
                 f"fold needs panel stride >= halo, got Rp={fold_rp} < "
                 f"{halo} (domain too short for this fold factor)"
             )
+    if strip_store and (
+        boundary != "naive" or tc is not None or chalo != 0
+        or fold is not None
+    ):
+        raise ValueError(
+            "strip_store is naive-only with full-width windows "
+            "(no column tiling/halos, no fold)"
+        )
     if c_total is None:
         c_total = c  # single-chip, no column halos
     w_rows = tr + 2 * halo
@@ -878,7 +935,7 @@ def multistep_impl(
         _kernel, steps=steps, tr=tr, c=w_cols, halo=halo, chalo=chalo,
         params=params, boundary=boundary, tc=tc,
         runtime_params=reaction is not None, dt_is_one=dt_is_one,
-        fold=fold, sanitize=sanitize,
+        fold=fold, sanitize=sanitize, strip_store=strip_store,
     )
     zero_map = (lambda i: (0, 0)) if tc is None else (lambda i, j: (0, 0))
     in_specs = [pl.BlockSpec((1, 4), zero_map, memory_space=pltpu.SMEM)]
@@ -894,6 +951,10 @@ def multistep_impl(
         pl.BlockSpec(in_block, in_map, memory_space=pltpu.VMEM),
     ]
     operands += [u_pad, v_pad]
+    scratch = []
+    if strip_store:
+        scratch = [pltpu.VMEM((w_rows, w_cols), jnp.float32),
+                   pltpu.VMEM((w_rows, w_cols), jnp.float32)]
     out_u, out_v = pl.pallas_call(
         kernel,
         grid=grid,
@@ -906,6 +967,7 @@ def multistep_impl(
             jax.ShapeDtypeStruct(u_pad.shape, u_pad.dtype),
             jax.ShapeDtypeStruct(v_pad.shape, v_pad.dtype),
         ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             # tiles are independent (outputs disjoint, inputs read-only)
             dimension_semantics=semantics,
@@ -926,7 +988,7 @@ def multistep_impl(
 
 _STATIC = ("steps", "tr", "params", "boundary", "halo", "chalo",
            "interpret", "vmem_limit_bytes", "zero_padding", "tc",
-           "dt_is_one", "fold", "sanitize")
+           "dt_is_one", "fold", "sanitize", "strip_store")
 
 multistep = jax.jit(
     multistep_impl,
@@ -948,6 +1010,7 @@ def run_blocks(
     vmem_limit_bytes: int | None = None, zero_padding: bool = True,
     tc: int | None = None, dt_is_one: bool = False,
     fold: Tuple[int, int, int] | None = None, sanitize: bool = False,
+    strip_store: bool = False,
 ):
     """Run ``n_blocks`` successive K-step kernel calls in ONE executable.
 
@@ -975,6 +1038,7 @@ def run_blocks(
             vmem_limit_bytes=vmem_limit_bytes,
             zero_padding=zero_padding and fold is None,
             tc=tc, dt_is_one=dt_is_one, fold=fold, sanitize=sanitize,
+            strip_store=strip_store,
         )
 
     return jax.lax.fori_loop(0, n_blocks, body, (u_pad, v_pad))
@@ -1584,6 +1648,7 @@ COL_HALO = 128
 def choose_vmem_limit(
     tr: int, halo: int, w_cols: int, dtype_bytes: int = 4,
     boundary: str = "zero", fold: bool = False,
+    strip_store: bool = False,
 ) -> int:
     """Scoped-VMEM limit for Mosaic, scaled with the tile footprint.
 
@@ -1599,6 +1664,9 @@ def choose_vmem_limit(
         est *= 1.25
     if fold:
         est *= 1.10  # the (W, F*Cd) panel-row mask stays live in the loop
+    if strip_store:
+        # two explicit (W, C) f32 fix-up scratch windows (scoped too)
+        est += 2 * w_rows * w_cols * 4
     for tier in (64 << 20, 100 << 20, 120 << 20):
         if est <= tier:
             return tier

@@ -33,6 +33,7 @@ sim = PallasSimulation(
     fold=cfg.get("fold", "off"),
     engine=cfg.get("engine", "auto"),
     pack=cfg.get("pack", "auto"),
+    naive_fix=cfg.get("fix", "select"),
 )
 steps = cfg.get("steps", max(64 * cfg.get("k", 16), 256))
 res = run_one(sim, shape, steps, "compute", reps=3)
