@@ -48,7 +48,7 @@ _FREE = re.compile(
 
 def mosaic_module(boundary: str, steps: int, tr: int = 16, cols: int = 256,
                   runtime: bool = True, fold: int = 1,
-                  pack: bool = False) -> str:
+                  pack: bool = False, strip_store: bool = False) -> str:
     """Capture the Mosaic MLIR for one kernel specialization.
 
     With ``pack`` the species-packed kernel is captured instead: ``cols``
@@ -86,6 +86,7 @@ def mosaic_module(boundary: str, steps: int, tr: int = 16, cols: int = 256,
                 u_pad, v_pad, -ps.HALO, r, 0, None, reaction,
                 steps=steps, tr=tr, params=kp, boundary=boundary,
                 fold=fold_arg, zero_padding=fold_arg is None,
+                strip_store=strip_store,
             )
 
         operands = (jnp.asarray(u_pad), jnp.asarray(v_pad))
@@ -136,10 +137,13 @@ def count_ops(module: str) -> collections.Counter:
 
 def per_step(boundary: str, tr: int = 16, cols: int = 256,
              runtime: bool = True, fold: int = 1,
-             pack: bool = False) -> collections.Counter:
+             pack: bool = False, strip_store: bool = False,
+             ) -> collections.Counter:
     """Per-step op counts: diff of a 2-step and a 1-step unroll."""
-    one = count_ops(mosaic_module(boundary, 1, tr, cols, runtime, fold, pack))
-    two = count_ops(mosaic_module(boundary, 2, tr, cols, runtime, fold, pack))
+    one = count_ops(mosaic_module(boundary, 1, tr, cols, runtime, fold,
+                                  pack, strip_store))
+    two = count_ops(mosaic_module(boundary, 2, tr, cols, runtime, fold,
+                                  pack, strip_store))
     return collections.Counter(
         {k: two[k] - one[k] for k in two if two[k] - one[k] > 0}
     )
@@ -167,11 +171,21 @@ def main(argv=None) -> int:
                    help="species-packed kernel (cols = domain width; "
                    "ops run at 2x width — element-equivalent work is "
                    "2*packed ops)")
+    p.add_argument("--stripstore", action="store_true",
+                   help="naive strip-store vs select per-step table")
     p.add_argument("--compare", action="store_true",
                    help="zero vs naive per-step table")
     args = p.parse_args(argv)
     rt = not args.static_params
-    if args.pack:
+    if args.stripstore:
+        st = per_step("naive", args.tr, args.cols, rt, strip_store=True)
+        se = per_step("naive", args.tr, args.cols, rt)
+        fs = sum(c for (_, f), c in st.items() if f == "full")
+        fe = sum(c for (_, f), c in se.items() if f == "full")
+        print(f"naive strip-store (per step):\n{table(st)}\n")
+        print(f"naive select (per step):\n{table(se)}\n")
+        print(f"full-window op ratio store/select: {fs / max(fe, 1):.3f}")
+    elif args.pack:
         pc = per_step("zero", args.tr, args.cols, rt, pack=True)
         uz = per_step("zero", args.tr, args.cols, rt)
         fp = sum(c for (_, f), c in pc.items() if f == "full")
