@@ -121,7 +121,16 @@ def main(argv=None) -> int:
     for key, group in by_key.items():
         ranked = sorted(group, key=lambda r: r["gcells_per_sec"],
                         reverse=True)
-        best = to_record(ranked[0])
+        # strip-store results are never auto-adopted: the autotune
+        # record schema has no naive_fix field, and silently switching
+        # the naive path's fix-up mechanism would change its bit-frozen
+        # rounding — store mode stays an explicit CLI opt-in
+        adoptable = [r for r in ranked
+                     if r["config"].get("fix", "select") == "select"]
+        if not adoptable:
+            print(f"{key}: only strip-store results — nothing to adopt")
+            continue
+        best = to_record(adoptable[0])
         prev = store.get(key)
         candidates = [to_record(r) for r in ranked]
         if prev:

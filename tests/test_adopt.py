@@ -53,6 +53,30 @@ def test_adopt_writes_pack_record(adopt, tmp_path, monkeypatch, params):
     assert sim._use_pack((64, 128))
 
 
+def test_adopt_skips_strip_store(adopt, tmp_path, monkeypatch, params):
+    """A winning strip-store result is never auto-adopted (records cannot
+    express naive_fix; silently switching it would change the naive
+    path's bit-frozen rounding)."""
+    import jax
+
+    from grayscott_tpu.utils import cache as c
+
+    monkeypatch.setattr(c, "CACHE_DIR", str(tmp_path))
+    path = _log(tmp_path, [
+        {"config": {"shape": [64, 128], "boundary": "naive",
+                    "fix": "store"},
+         "gcells_per_sec": 99.0},
+        {"config": {"shape": [64, 128], "boundary": "naive", "tr": 16,
+                    "k": 8, "engine": "windowed"},
+         "gcells_per_sec": 40.0},
+    ])
+    platform = jax.devices()[0].platform
+    assert adopt.main([path, "--platform", platform]) == 0
+    rec = c.load_autotune()
+    (key,) = rec.keys()
+    assert rec[key]["block_rows"] == 16  # the select result, not store
+
+
 def test_adopt_keeps_better_existing(adopt, tmp_path, monkeypatch, params):
     import jax
 
