@@ -65,31 +65,11 @@ def measure(r=4096, c=4096, steps=1000, backend=None, boundary="zero"):
     return name, r * c * steps / dt / 1e9, dt
 
 
-def wait_for_device(max_wait_s: int = 1800, retry_s: int = 60) -> None:
-    """Best-effort wait for the tunneled TPU before measuring.
-
-    The axon tunnel has multi-hour outages during which every backend
-    init raises UNAVAILABLE after a long in-process backoff; probing in
-    a throwaway subprocess keeps this process's jax state clean and
-    turns a lost headline measurement into a bounded pause."""
-    import subprocess
-    import sys as _sys
-
-    deadline = time.monotonic() + max_wait_s
-    probe = "import jax; jax.devices()"
-    while time.monotonic() <= deadline:
-        try:
-            if subprocess.run(
-                [_sys.executable, "-c", probe],
-                capture_output=True, timeout=180,
-            ).returncode == 0:
-                return
-        except subprocess.TimeoutExpired:
-            pass
-        time.sleep(retry_s)
-
-
 def main() -> int:
+    # best-effort wait for the tunneled TPU (multi-hour outages observed);
+    # bench still runs on any platform via the fused-backend fallback below
+    from grayscott_tpu.utils.runtime import wait_for_device
+
     wait_for_device()
     try:
         name, gcells, dt = measure()

@@ -143,6 +143,19 @@ class PallasSimulation(Simulation):
             self._dtype_str = "bfloat16"
         else:
             raise ValueError(f"unsupported dtype {dtype!r}")
+        # an explicit resident pin is f32-only (the resident kernel keeps
+        # the whole f32 state in VMEM) and contradicts a pinned lane fold
+        # (build_storage would build folded storage and never attempt the
+        # resident kernel) — reject the conflict like engine='mega' does
+        # instead of silently running a different configuration
+        if self.resident == "on":
+            if self.dtype != jnp.float32:
+                raise ValueError("resident='on' requires float32 storage")
+            if isinstance(self.fold, int) and self.fold > 1:
+                raise ValueError(
+                    "resident='on' and a pinned lane fold conflict; "
+                    "pin at most one of them"
+                )
 
     # -- storage: padded double buffers ------------------------------------
 
@@ -518,9 +531,14 @@ class PallasSimulation(Simulation):
 
     def run_steps(self, storage, shape, steps: int):
         r, c = shape
+        # runtime mode (every engine below): the executable is keyed on
+        # the stencil weights plus ONE predicate (is dt exactly 1.0, the
+        # default — worth 2 folded multiplies per step); the reaction
+        # scalars ride a traced SMEM operand, so f/k/Du/Dv changes never
+        # recompile and a dt change recompiles once
+        kernel_params, reaction, dt_is_one = self._reaction()
         if storage[0] == "megapack":
             _, x, tr = storage
-            kernel_params, reaction, dt_is_one = self._reaction()
             common = dict(
                 tr=tr, r=r, params=kernel_params,
                 interpret=self.interpret, dt_is_one=dt_is_one,
@@ -539,7 +557,6 @@ class PallasSimulation(Simulation):
             return ("megapack", x, tr)
         if storage[0] == "respack":
             _, x = storage
-            kernel_params, reaction, dt_is_one = self._reaction()
             x = ps.packed_resident_multistep(
                 x, jnp.int32(steps), reaction,
                 r=r, c=c, params=kernel_params,
@@ -552,7 +569,6 @@ class PallasSimulation(Simulation):
             return ("respack", x)
         if storage[0] == "packed":
             _, x, tr, halo, k = storage
-            kernel_params, reaction, dt_is_one = self._reaction()
             common = dict(
                 tr=tr, r=r, c=c, params=kernel_params, halo=halo,
                 interpret=self.interpret, dt_is_one=dt_is_one,
@@ -569,7 +585,6 @@ class PallasSimulation(Simulation):
             return ("packed", x, tr, halo, k)
         if storage[0] == "mega":
             _, u, v, tr = storage
-            kernel_params, reaction, dt_is_one = self._reaction()
             common = dict(
                 tr=tr, r=r, params=kernel_params, boundary=self.boundary,
                 interpret=self.interpret, dt_is_one=dt_is_one,
@@ -589,7 +604,6 @@ class PallasSimulation(Simulation):
             return ("mega", u, v, tr)
         if storage[0] == "folded":
             _, u, v, tr, halo, k, f, rp = storage
-            kernel_params, reaction, dt_is_one = self._reaction()
             common = dict(
                 tr=tr, params=kernel_params, boundary=self.boundary,
                 halo=halo, interpret=self.interpret,
@@ -615,7 +629,6 @@ class PallasSimulation(Simulation):
             return ("folded", u, v, tr, halo, k, f, rp)
         if storage[0] == "resident":
             _, u, v = storage
-            kernel_params, reaction, dt_is_one = self._reaction()
             u, v = ps.resident_multistep(
                 u, v, jnp.int32(steps), reaction,
                 r=r, c=c, params=kernel_params, boundary=self.boundary,
@@ -630,11 +643,6 @@ class PallasSimulation(Simulation):
             return ("resident", u, v)
         u, v, tr, tc, chalo, halo, k = storage
         n_full, rem = divmod(steps, k)
-        # runtime mode: executable keyed on the weights plus ONE predicate
-        # (is dt exactly 1.0, the default — worth 2 folded multiplies per
-        # step); the reaction scalars ride a traced SMEM operand, so f/k/
-        # Du/Dv changes never recompile and a dt change recompiles once
-        kernel_params, reaction, dt_is_one = self._reaction()
         common = dict(
             tr=tr, tc=tc, chalo=chalo, params=kernel_params,
             boundary=self.boundary, halo=halo,

@@ -304,10 +304,12 @@ def autotune(
         return store[key]
     configs = [_as_config(c) for c in candidates]
     configs += _wide_domain_candidates(shape, configs[:2], boundary)
-    configs += _fold_candidates(shape, boundary, dtype)
     if platform == "tpu":
-        # alternative engines are a hardware question: interpret-mode
-        # timings would rank them meaninglessly on CPU
+        # alternative engines/layouts are a hardware question:
+        # interpret-mode timings would rank them meaninglessly on CPU,
+        # and the backend refuses to act on a fold/pack record off-TPU
+        # anyway (build_storage nulls fold>1 records under interpret)
+        configs += _fold_candidates(shape, boundary, dtype)
         configs += _engine_candidates(shape, dtype)
         configs += _pack_candidates(shape, boundary, dtype, params)
     viable = []

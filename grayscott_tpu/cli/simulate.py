@@ -164,8 +164,14 @@ def main(argv=None) -> int:
         )
 
         def snap():
+            # must yield a FRESH device buffer: result() views the donated
+            # state, which the next prepare_steps overwrites. The bf16
+            # path's dtype-changing cast already materializes a new
+            # buffer, so only the f32 path needs an explicit copy.
             v = species.result()
-            return v if transfer_dtype is None else v.astype(transfer_dtype)
+            if transfer_dtype is None:
+                return jnp.copy(v)
+            return v.astype(transfer_dtype)
 
         def to_host(x):
             out = dist.fetch(x)
@@ -176,7 +182,7 @@ def main(argv=None) -> int:
             # Enqueue the next batch + an independent snapshot copy on the
             # device stream (prepare_steps is asynchronous).
             sim.prepare_steps(species, steps_per_image)
-            snapshot = jnp.copy(snap())
+            snapshot = snap()
             if pending is not None:
                 # sync point: previous image only
                 put_checked(to_host(pending))

@@ -36,3 +36,41 @@ def apply_env_config() -> None:
     if env_flag("GRAYSCOTT_DEBUG"):
         jax.config.update("jax_debug_nans", True)
         jax.config.update("jax_debug_infs", True)
+
+
+def wait_for_device(
+    require_tpu: bool = False,
+    max_wait_s: float = 1800,
+    retry_s: float = 60,
+    probe_timeout_s: float = 180,
+) -> bool:
+    """Best-effort wait for a usable JAX backend; True when one appears.
+
+    The tunneled TPU has multi-hour outages during which every backend
+    init raises UNAVAILABLE after a long in-process backoff (observed:
+    ~20 min per failed init, burning one sweep config each). Probing in
+    a throwaway subprocess keeps the caller's jax state clean and turns
+    a lost measurement into a bounded pause. Shared by the headline
+    bench (any platform: it falls back to the pure-XLA backend) and the
+    hardware sweep harness (require_tpu=True)."""
+    import subprocess
+    import sys
+    import time
+
+    probe = "import jax; jax.devices()"
+    if require_tpu:
+        probe = "import jax; assert jax.devices()[0].platform == 'tpu'"
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            if subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True, timeout=probe_timeout_s,
+            ).returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            return False
+        print(f"device unavailable; retrying in {retry_s}s", flush=True)
+        time.sleep(retry_s)

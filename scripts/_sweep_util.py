@@ -41,32 +41,15 @@ print("RESULT " + json.dumps({"config": cfg, **res.to_json()}), flush=True)
 """
 
 
-PROBE = "import jax; assert jax.devices()[0].platform == 'tpu'"
-
-
 def wait_for_tpu(retry_s: int = 120, max_wait_s: int = 6 * 3600) -> bool:
-    """Block until the tunneled TPU initializes in a fresh subprocess.
+    """Block until the tunneled TPU initializes in a fresh subprocess
+    (grayscott_tpu.utils.runtime.wait_for_device, require_tpu)."""
+    sys.path.insert(0, REPO)
+    from grayscott_tpu.utils.runtime import wait_for_device
 
-    The tunnel goes down for stretches (observed: ~2 h outage where
-    every backend init raised UNAVAILABLE after a ~20 min backoff,
-    burning one sweep config per failure); probing in a throwaway
-    process before each config turns that into a cheap pause."""
-    import time
-
-    deadline = time.monotonic() + max_wait_s
-    while time.monotonic() <= deadline:
-        try:
-            ok = subprocess.run(
-                [sys.executable, "-c", PROBE],
-                capture_output=True, timeout=180,
-            ).returncode == 0
-        except subprocess.TimeoutExpired:
-            ok = False
-        if ok:
-            return True
-        print(f"TPU unavailable; retrying in {retry_s}s", flush=True)
-        time.sleep(retry_s)
-    return False
+    return wait_for_device(
+        require_tpu=True, max_wait_s=max_wait_s, retry_s=retry_s
+    )
 
 
 def run_configs(configs, timeout: int | None = None) -> None:

@@ -142,9 +142,12 @@ def main(argv=None) -> int:
                   f"{prev.get('gcells_per_sec')} >= {best['gcells_per_sec']}"
                   f"/{args.margin}")
             new = dict(prev, candidates=candidates)
-        elif best["engine"] is None and not best["pack"]:
-            # engine=auto unpacked winner: the heuristics already choose
-            # it — record candidates only, never adopt auto as a pin
+        elif best["engine"] is None and not best["pack"] \
+                and best.get("fold", 1) <= 1:
+            # engine=auto unpacked unfolded winner: the heuristics already
+            # choose it — record candidates only, never adopt auto as a
+            # pin. (A fold>1 winner MUST be adopted: fold='auto' only ever
+            # folds on a persisted record, never heuristically.)
             print(f"{key}: best is engine=auto unpacked "
                   f"({best['gcells_per_sec']}) — heuristics already "
                   "choose it; candidates recorded")

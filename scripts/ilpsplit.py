@@ -176,10 +176,11 @@ def main():
         cv_host = np.asarray(cv[:r, :c])
         if ref is None:
             ref = cv_host
+            ref_split = split
         else:
             same = np.array_equal(ref, cv_host)
-            print(f"split={split}: bitwise match vs split=1: {same}",
-                  flush=True)
+            print(f"split={split}: bitwise match vs split={ref_split}: "
+                  f"{same}", flush=True)
         fn(u, v, jnp.int32(args.steps))[0].block_until_ready()  # warm
         best = float("inf")
         for _ in range(3):

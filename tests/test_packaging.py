@@ -3,7 +3,12 @@ analog, /root/reference/Cargo.toml:1-19 and per-crate [[bin]] entries)."""
 
 import importlib
 import os
-import tomllib
+
+import pytest
+
+# stdlib tomllib is 3.11+; the package itself supports 3.10
+# (requires-python >= 3.10), so skip rather than fail collection there
+tomllib = pytest.importorskip("tomllib")
 
 PYPROJECT = os.path.join(os.path.dirname(__file__), "..", "pyproject.toml")
 
