@@ -285,6 +285,18 @@ def test_resident_auto_selection(params):
     assert not off._use_resident((64, 64))
 
 
+def test_resident_pin_conflicts_rejected(params):
+    """resident='on' is f32-only and excludes a pinned lane fold — the
+    conflicting combination errors up front (like engine='mega' on bf16)
+    instead of silently running a different configuration."""
+    import pytest
+
+    with pytest.raises(ValueError, match="float32"):
+        PallasSimulation(params, resident="on", dtype="bfloat16")
+    with pytest.raises(ValueError, match="fold"):
+        PallasSimulation(params, boundary="zero", resident="on", fold=2)
+
+
 def test_sanitize_on_load_bit_identical(rng, params):
     """Masking garbage padding on window load == pre-zeroed HBM padding,
     bit for bit (the padding cells were exactly 0.0 either way), across
