@@ -10,6 +10,15 @@ data/Cargo.toml:14-16). The TPU-native equivalents here:
   reference's named Vulkan objects: they label host-side phases in the
   trace timeline (the Pallas kernels already appear under their own names);
 - the benchmark harness (grayscott_tpu/bench) for throughput numbers.
+
+Tracing WORKS on the tunneled TPU (round-2 finding): the round-1 "trace
+hangs" diagnosis was actually the per-process remote compile/load in the
+warm-up step (~10 min) — start the trace AFTER a warmed dispatch and it
+completes in milliseconds, device plane included. ``scripts/trace_ops.py``
+parses the resulting xplane.pb without TensorFlow (per-op device time);
+``scripts/device_rate.py`` measures device-time throughput per config,
+which the tunnel's ~25-30 ms per-measurement dispatch+sync overhead
+otherwise hides (it deflates small-domain wall-clock numbers).
 """
 
 from __future__ import annotations

@@ -1,0 +1,103 @@
+"""Device-time throughput: what the chip actually sustains, without the
+tunnel's per-dispatch/sync latency.
+
+The jax.profiler trace (working — see trace_ops.py) shows the XLA
+module's device_duration directly. Wall-clock benches through the
+tunneled TPU carry a roughly constant per-measurement overhead
+(dispatch request + data-dependent sync readback RTTs) that deflates
+small-domain numbers: at 1080x1920 the wall measurement is ~49 ms for
+1024 steps of which only ~21 ms is device time. This script measures
+the device rate per configuration: warm up (pays the per-process
+executable load), then trace ONE timed dispatch and report the TPU
+plane's module duration.
+
+Usage::
+
+    nohup python -u scripts/device_rate.py > .devrate.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import trace_ops  # noqa: E402
+
+CONFIGS = [
+    # the reference-default family: is 1080p actually slow on-chip?
+    {"shape": (1080, 1920), "label": "1080p auto(resident)"},
+    {"shape": (1080, 1920), "engine": "mega", "label": "1080p mega"},
+    {"shape": (1080, 1920), "pack": "on", "engine": "mega",
+     "label": "1080p packed-mega"},
+    # the headline
+    {"shape": (4096, 4096), "engine": "mega", "label": "4096 mega"},
+    {"shape": (2048, 2048), "engine": "mega", "pack": "off",
+     "label": "2048 mega"},
+    {"shape": (2048, 2048), "engine": "mega", "pack": "on",
+     "label": "2048 packed-mega"},
+    {"shape": (4096, 4096), "engine": "mega", "boundary": "naive",
+     "label": "4096 mega naive"},
+]
+
+STEPS = 1024
+
+
+def module_device_ms(trace_dir: str) -> float:
+    """Total XLA-module device time (ms) on the TPU plane."""
+    path = trace_ops.find_xplane(trace_dir)
+    total = 0
+    for plane in trace_ops.parse_xspace(path):
+        if "TPU" not in plane["name"]:
+            continue
+        for lname, events in plane["lines"]:
+            if lname != "XLA Modules":
+                continue
+            for _, dur, _ in events:
+                total += dur
+    return total / 1e9
+
+
+def main() -> int:
+    import jax
+
+    from grayscott_tpu.backends.pallas import PallasSimulation
+    from grayscott_tpu.params import Parameters
+    from grayscott_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    results = []
+    for cfg in CONFIGS:
+        label = cfg["label"]
+        shape = cfg["shape"]
+        sim = PallasSimulation(
+            Parameters(), boundary=cfg.get("boundary", "zero"),
+            engine=cfg.get("engine", "auto"), pack=cfg.get("pack", "auto"),
+        )
+        sp = sim.make_species(shape)
+        # warm: compile/load every executable the timed run will use
+        sim.perform_steps(sp, STEPS)
+        sp.result_host()
+        tdir = f"/tmp/devrate/{label.replace(' ', '_')}"
+        shutil.rmtree(tdir, ignore_errors=True)
+        jax.profiler.start_trace(tdir)
+        sim.perform_steps(sp, STEPS)
+        sp.result_host()
+        jax.profiler.stop_trace()
+        dev_ms = module_device_ms(tdir)
+        cells = shape[0] * shape[1]
+        rate = cells * STEPS / (dev_ms * 1e-3) / 1e9 if dev_ms else 0.0
+        row = {"label": label, "device_ms": round(dev_ms, 3),
+               "device_gcells_per_sec": round(rate, 2)}
+        results.append(row)
+        print("RESULT " + json.dumps(row), flush=True)
+    print("DONE", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
