@@ -23,10 +23,9 @@ import os
 import shutil
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import trace_ops  # noqa: E402
+from grayscott_tpu.utils import xplane  # noqa: E402
 
 CONFIGS = [
     # the reference-default family: is 1080p actually slow on-chip?
@@ -47,19 +46,7 @@ CONFIGS = [
 STEPS = 1024
 
 
-def module_device_ms(trace_dir: str) -> float:
-    """Total XLA-module device time (ms) on the TPU plane."""
-    path = trace_ops.find_xplane(trace_dir)
-    total = 0
-    for plane in trace_ops.parse_xspace(path):
-        if "TPU" not in plane["name"]:
-            continue
-        for lname, events in plane["lines"]:
-            if lname != "XLA Modules":
-                continue
-            for _, dur, _ in events:
-                total += dur
-    return total / 1e9
+module_device_ms = xplane.module_device_ms
 
 
 def main() -> int:
