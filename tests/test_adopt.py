@@ -105,3 +105,26 @@ def test_adopt_keeps_better_existing(adopt, tmp_path, monkeypatch, params):
     # the losing sweep result is still auditable
     assert any(cand.get("source") == "sweep"
                for cand in rec["candidates"])
+
+
+def test_adopt_writes_fold_record(adopt, tmp_path, monkeypatch, params):
+    """A fold-pinned winner MUST be adopted: fold='auto' only ever folds
+    on a persisted record, never heuristically — the engine=auto skip
+    branch does not apply to it (review finding, round 2)."""
+    import jax
+
+    from grayscott_tpu.utils import cache as c
+
+    monkeypatch.setattr(c, "CACHE_DIR", str(tmp_path))
+    path = _log(tmp_path, [
+        {"config": {"shape": [64, 128], "boundary": "zero", "fold": 2},
+         "gcells_per_sec": 50.0},
+        {"config": {"shape": [64, 128], "boundary": "zero"},
+         "gcells_per_sec": 40.0},
+    ])
+    platform = jax.devices()[0].platform
+    assert adopt.main([path, "--platform", platform]) == 0
+    rec = c.load_autotune()
+    (key,) = rec.keys()
+    assert rec[key]["fold"] == 2
+    assert rec[key]["engine"] is None and rec[key]["pack"] is False
