@@ -1,9 +1,11 @@
-"""Attempt an xprof/TensorBoard trace of the Pallas kernel on hardware.
+"""Capture an xprof/TensorBoard trace of the Pallas kernel on hardware.
 
-ROADMAP item: per-step VPU op attribution needs trace-level data; this
-captures a jax.profiler trace around a short kernel run and reports what
-artifacts appeared (the tunneled-TPU runtime may not support device
-tracing — in that case the host-side trace still shows dispatch gaps).
+This WORKS on the tunneled TPU (round-2 finding — the round-1 "hang"
+was the ~10 min per-process remote compile in the warm-up step; the
+trace itself completes in ms, device plane included). Attribute the
+result with ``python scripts/trace_ops.py <outdir>`` or measure
+device-time throughput per config with ``scripts/device_rate.py`` /
+the bench harness's ``device`` workload.
 
 Usage: python scripts/profile_trace.py [outdir]
 """
