@@ -391,10 +391,18 @@ def autotune(
 
 def lookup(params: Parameters, shape, boundary: str,
            dtype: str = "float32") -> dict | None:
-    """Cached best config for this configuration, if any."""
+    """Best known config for this configuration, if any: the local
+    autotune store first, then the package's shipped v5e-measured
+    verdicts (bench/defaults.py) — some layout decisions (pack/fold)
+    act only on measured records, so a fresh install still gets them."""
     import jax
 
     platform = jax.devices()[0].platform
     key = cache.autotune_key(platform, shape, boundary,
                              params.stencil_name(), ps.KERNEL_VERSION, dtype)
-    return cache.load_autotune().get(key)
+    rec = cache.load_autotune().get(key)
+    if rec is not None:
+        return rec
+    from .defaults import SHIPPED
+
+    return SHIPPED.get(key)

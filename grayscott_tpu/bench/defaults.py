@@ -1,0 +1,52 @@
+"""Hardware-measured tuning verdicts shipped with the package.
+
+The autotune store (``~/.cache/grayscott_tpu/autotune.json``) holds
+locally-measured winners, but a fresh install has none — and some
+verdicts cannot be derived heuristically at all (``pack='auto'`` and
+``fold='auto'`` act ONLY on a measured record, never on a heuristic;
+see backends/pallas.py). These are the round-2 sweep winners measured
+on one TPU v5e (scripts/SWEEPS.md "pack"/"small" rows, BENCHMARKS.md),
+in exactly the record schema ``scripts/adopt_sweep.py`` persists.
+
+Precedence: a local autotune record always wins (``bench.autotune
+.lookup`` consults this table only on a local miss), so re-tuning or
+re-adopting on different hardware overrides the shipped verdicts. The
+analog in the reference is the compiled-in block-size defaults
+(compute/block/src/default.rs) — except these are measured, not
+computed from cache sizes.
+"""
+
+from __future__ import annotations
+
+#: key format: utils.cache.autotune_key (kernel version, platform,
+#: shape, boundary, stencil[, dtype])
+SHIPPED: dict[str, dict] = {
+    # species-packed megakernel wins at 2048^2-zero (54.6 vs 53.3)
+    "v4:tpu:2048x2048:zero:oono-puri": {
+        "engine": "mega", "block_rows": None, "steps_per_call": 16,
+        "fold": 1, "pack": True, "gcells_per_sec": 54.57,
+        "source": "shipped-v5e-r2",
+    },
+    # packed VMEM-resident wins at 512x1024-zero (16.3 vs 14.8)
+    "v4:tpu:512x1024:zero:oono-puri": {
+        "engine": "resident", "block_rows": None, "steps_per_call": 16,
+        "fold": 1, "pack": True, "gcells_per_sec": 16.331,
+        "source": "shipped-v5e-r2",
+    },
+    # unpacked megakernel everywhere else it was measured
+    "v4:tpu:4096x4096:zero:oono-puri": {
+        "engine": "mega", "block_rows": None, "steps_per_call": 16,
+        "fold": 1, "pack": False, "gcells_per_sec": 76.657,
+        "source": "shipped-v5e-r2",
+    },
+    "v4:tpu:8192x8192:zero:oono-puri": {
+        "engine": "mega", "block_rows": None, "steps_per_call": 16,
+        "fold": 1, "pack": False, "gcells_per_sec": 83.919,
+        "source": "shipped-v5e-r2",
+    },
+    "v4:tpu:4096x4096:naive:oono-puri": {
+        "engine": "mega", "block_rows": None, "steps_per_call": 16,
+        "fold": 1, "pack": False, "gcells_per_sec": 67.337,
+        "source": "shipped-v5e-r2",
+    },
+}

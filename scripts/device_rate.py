@@ -13,7 +13,11 @@ plane's module duration.
 
 Usage::
 
-    nohup python -u scripts/device_rate.py > .devrate.log 2>&1 &
+    nohup python -u scripts/device_rate.py [configs.json] > .devrate.log 2>&1 &
+
+With no argument the default CONFIGS below run; a JSON argument is a
+list of dicts with keys shape (required), label, engine, pack,
+boundary, dtype, steps.
 """
 
 from __future__ import annotations
@@ -49,7 +53,7 @@ STEPS = 1024
 module_device_ms = xplane.module_device_ms
 
 
-def main() -> int:
+def main(argv=None) -> int:
     import jax
 
     from grayscott_tpu.backends.pallas import PallasSimulation
@@ -57,28 +61,40 @@ def main() -> int:
     from grayscott_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    args = argv if argv is not None else sys.argv[1:]
+    configs = CONFIGS
+    if args:
+        with open(args[0]) as f:
+            configs = json.load(f)
     results = []
-    for cfg in CONFIGS:
-        label = cfg["label"]
-        shape = cfg["shape"]
+    for cfg in configs:
+        shape = tuple(cfg["shape"])
+        label = cfg.get("label") or "_".join(
+            str(cfg.get(k, "")) for k in
+            ("shape", "engine", "pack", "boundary", "dtype") if cfg.get(k)
+        )
+        steps = int(cfg.get("steps", STEPS))
         sim = PallasSimulation(
             Parameters(), boundary=cfg.get("boundary", "zero"),
             engine=cfg.get("engine", "auto"), pack=cfg.get("pack", "auto"),
+            dtype=cfg.get("dtype", "float32"),
         )
         sp = sim.make_species(shape)
         # warm: compile/load every executable the timed run will use
-        sim.perform_steps(sp, STEPS)
+        sim.perform_steps(sp, steps)
         sp.result_host()
-        tdir = f"/tmp/devrate/{label.replace(' ', '_')}"
+        tdir = "/tmp/devrate/" + "".join(
+            c if c.isalnum() else "_" for c in label
+        )
         shutil.rmtree(tdir, ignore_errors=True)
         jax.profiler.start_trace(tdir)
-        sim.perform_steps(sp, STEPS)
+        sim.perform_steps(sp, steps)
         sp.result_host()
         jax.profiler.stop_trace()
         dev_ms = module_device_ms(tdir)
         cells = shape[0] * shape[1]
-        rate = cells * STEPS / (dev_ms * 1e-3) / 1e9 if dev_ms else 0.0
-        row = {"label": label, "device_ms": round(dev_ms, 3),
+        rate = cells * steps / (dev_ms * 1e-3) / 1e9 if dev_ms else 0.0
+        row = {"label": label, "steps": steps, "device_ms": round(dev_ms, 3),
                "device_gcells_per_sec": round(rate, 2)}
         results.append(row)
         print("RESULT " + json.dumps(row), flush=True)

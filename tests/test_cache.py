@@ -330,3 +330,46 @@ def test_engine_verdict_adoption(monkeypatch, tmp_path, params):
                            "fold": 1}})
     st = build(engine="windowed", resident="off")
     assert not isinstance(st[0], str) and st[2] != 48
+
+
+def test_shipped_defaults_schema_and_fallback(monkeypatch, tmp_path, params):
+    """Shipped v5e-measured verdicts (bench/defaults.py): well-formed
+    records, used by lookup only on a local-store miss, overridden by a
+    local record. pack/fold='auto' act only on measured records, so a
+    fresh install needs these to reach the measured winners."""
+    import jax
+
+    from grayscott_tpu.bench import autotune
+    from grayscott_tpu.bench.defaults import SHIPPED
+    from grayscott_tpu.ops import pallas_stencil as ps
+    from grayscott_tpu.utils import cache as c
+
+    monkeypatch.setattr(c, "CACHE_DIR", str(tmp_path))  # empty local store
+    for key, rec in SHIPPED.items():
+        assert key.startswith(f"v{ps.KERNEL_VERSION}:tpu:")
+        assert set(rec) >= {"engine", "block_rows", "steps_per_call",
+                            "fold", "pack", "gcells_per_sec", "source"}
+        assert "block_cols" not in rec  # never pin column tiling blind
+
+    class _Dev:
+        platform = "tpu"
+
+    monkeypatch.setattr(jax, "devices", lambda *a: [_Dev()])
+    rec = autotune.lookup(params, (2048, 2048), "zero")
+    assert rec is not None and rec["pack"] is True
+    assert rec["source"] == "shipped-v5e-r2"
+    # the backend acts on the shipped verdict like any measured record
+    from grayscott_tpu.backends.pallas import PallasSimulation
+
+    sim = PallasSimulation(params, boundary="zero", interpret=False)
+    sim.interpret = False
+    assert sim._use_pack((2048, 2048))
+    assert not sim._use_pack((4096, 4096))  # shipped says unpacked there
+    # a local record always wins over the shipped table
+    key = c.autotune_key("tpu", (2048, 2048), "zero",
+                         params.stencil_name(), ps.KERNEL_VERSION)
+    c.save_autotune({key: {"engine": "mega", "block_rows": None,
+                           "steps_per_call": 16, "fold": 1, "pack": False,
+                           "gcells_per_sec": 60.0, "source": "local"}})
+    rec2 = autotune.lookup(params, (2048, 2048), "zero")
+    assert rec2["source"] == "local" and rec2["pack"] is False
