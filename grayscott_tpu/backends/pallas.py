@@ -509,9 +509,9 @@ class PallasSimulation(Simulation):
     def _vmem_limit(self, tr: int, tc, chalo: int, c: int, halo: int,
                     dtype_bytes: int) -> int:
         """Scoped-VMEM limit for Mosaic. The kernel's stack liveness scales
-        with the window footprint: measured ~63 MB at a (288, 4096) f32
-        window (tr=256, K=16). Scale from that anchor with ~20% headroom,
-        floored at the 64 MB that covers all default configs and capped
+        with the window footprint: compiler-reported 67.61 MB at a
+        (288, 4096) f32 window (tr=256, K=16). Scale from that anchor
+        with headroom, quantized to hardware-validated tiers and capped
         below the 128 MB physical VMEM (pipeline buffers need the rest)."""
         if self.vmem_limit_bytes is not None:
             return self.vmem_limit_bytes

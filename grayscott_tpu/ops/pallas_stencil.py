@@ -1653,13 +1653,17 @@ def choose_vmem_limit(
     """Scoped-VMEM limit for Mosaic, scaled with the tile footprint.
 
     The kernel's stack liveness is ~proportional to the window bytes:
-    measured 62.7 MB for a (288, 4096) f32 window (tr=256, K=16,
-    zero-border) on v5e; naive semantics keeps ~25% more alive (the (W, C)
-    b_field and edge strips). Quantized to validated tiers so standard
-    configs keep stable compile params (persistent-cache keys)."""
+    the v5e compiler reported 67.61 MB scoped for a (288, 4096) f32
+    window (tr=256, K=16, zero-border; grew from the earlier 62.7 MB
+    when sanitize-on-load masking extended liveness — the stale anchor
+    OOMed exactly that config at the 64 MB tier); naive semantics keeps
+    ~25% more alive (the (W, C) b_field and edge strips). A 10% headroom
+    factor absorbs further drift. Quantized to validated tiers so
+    standard configs keep stable compile params (persistent-cache
+    keys)."""
     w_rows = tr + 2 * halo
-    anchor = (62.7 * (1 << 20)) / (288 * 4096 * 4)
-    est = anchor * w_rows * w_cols * dtype_bytes
+    anchor = (67.61 * (1 << 20)) / (288 * 4096 * 4)
+    est = 1.10 * anchor * w_rows * w_cols * dtype_bytes
     if boundary == "naive":
         est *= 1.25
     if fold:

@@ -124,6 +124,23 @@ def test_choose_block_cols_heuristic():
         assert (192 + 32) * (tc + 2 * ps.COL_HALO) * 8 <= 26 << 20
 
 
+def test_choose_vmem_limit_covers_measured_liveness():
+    """Regression: the v5e compiler reports 67.61 MB scoped for the
+    (288, 4096) f32 anchor window (tr=256, K=16, zero) — the 64 MB tier
+    OOMed exactly that config (.devrate_b.log). The anchor shape and
+    anything bigger must land on a tier above the measured liveness."""
+    from grayscott_tpu.ops import pallas_stencil as ps
+
+    measured = 67.61 * (1 << 20)
+    assert ps.choose_vmem_limit(256, 16, 4096) > measured
+    # naive keeps more alive; the validated naive config stays <= 100 MB
+    assert ps.choose_vmem_limit(256, 16, 4096, boundary="naive") == 100 << 20
+    # small windows keep the cheap tier (stable compile-cache keys)
+    assert ps.choose_vmem_limit(192, 16, 1920) == 64 << 20
+    # nothing ever exceeds the 120 MB ceiling
+    assert ps.choose_vmem_limit(512, 32, 32768) == 120 << 20
+
+
 def test_deep_halo_k16(rng, params):
     """steps_per_call=9 -> halo rounds up to 16: the deep-halo path stays
     exact. (9 not 16 unrolled steps: interpret-mode XLA compile time blows
