@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import megakernel as mk
 from ..ops import pallas_stencil as ps
 from ..parallel import halo
 from ..params import Parameters
@@ -37,13 +38,31 @@ class ShardedSimulation(Simulation):
         dtype: str = "float32",
         runtime_params: bool = True,
         overlap: bool = False,
+        engine: str = "windowed",
         **kwargs,
     ):
+        if engine not in ("windowed", "mega"):
+            raise ValueError(f"engine must be windowed/mega, got {engine!r}")
+        if engine == "mega":
+            if mesh_cols != 1:
+                raise ValueError("sharded engine='mega' needs a 1-D row mesh")
+            if dtype not in (None, "float32", "f32"):
+                raise ValueError("sharded engine='mega' needs f32 storage")
+            if overlap:
+                raise ValueError(
+                    "engine='mega' overlaps exchange with interior compute "
+                    "in-kernel; --sharded-overlap applies to the windowed "
+                    "engine"
+                )
+            # the megakernel's exchange depth IS its time-block depth
+            steps_per_call = mk.MEGA_STEPS
+        self.engine = engine
         if steps_per_call is None:
             on_tpu = jax.devices()[0].platform == "tpu"
             steps_per_call = 16 if on_tpu else ps.HALO
         super().__init__(params, boundary)
-        self.mesh = halo.make_mesh(n_devices, mesh_cols)
+        self.mesh = (halo.make_mesh_1d(n_devices) if engine == "mega"
+                     else halo.make_mesh(n_devices, mesh_cols))
         if not (1 <= steps_per_call <= 32):
             raise ValueError(
                 f"steps_per_call must be in [1, 32], got {steps_per_call}"
@@ -87,6 +106,16 @@ class ShardedSimulation(Simulation):
         return tr
 
     def build_storage(self, u: np.ndarray, v: np.ndarray):
+        if self.engine == "mega":
+            n_sh = self.mesh.devices.shape[0]
+            r_loc = -(-u.shape[0] // n_sh)
+            tr = self.block_rows or mk.choose_mega_rows(
+                r_loc, u.shape[1], self.halo
+            )
+            up, vp, _ = halo.mega_shard_state(
+                u, v, self.mesh, tr, self.halo
+            )
+            return ("mega", up, vp, tr)
         tr = self._tr(u.shape)
         ub, vb, _ = halo.shard_state(
             u, v, self.mesh, tr, self.chalo, self.halo, dtype=self.dtype
@@ -94,6 +123,11 @@ class ShardedSimulation(Simulation):
         return (ub, vb, tr)
 
     def extract_uv(self, storage, shape) -> Tuple[jax.Array, jax.Array]:
+        if isinstance(storage[0], str):  # ("mega", up, vp, tr)
+            return (
+                halo.mega_unshard_result(storage[1], shape, self.halo),
+                halo.mega_unshard_result(storage[2], shape, self.halo),
+            )
         out = (
             halo.unshard_result(storage[0], shape, self.chalo, self.halo),
             halo.unshard_result(storage[1], shape, self.chalo, self.halo),
@@ -103,6 +137,8 @@ class ShardedSimulation(Simulation):
         return out
 
     def run_steps(self, storage, shape, steps: int):
+        if isinstance(storage[0], str):
+            return self._run_steps_mega(storage, shape, steps)
         u, v, tr = storage
         r, c = shape
         k = self.steps_per_call
@@ -130,8 +166,43 @@ class ShardedSimulation(Simulation):
             )
         return (u, v, tr)
 
+    def _run_steps_mega(self, storage, shape, steps: int):
+        _, u, v, tr = storage
+        r, c = shape
+        if self.runtime_params:
+            kernel_params = self.params.structure_only()
+            reaction = ps.reaction_operand(self.params)
+            dt_is_one = bool(reaction[0, 4] == np.float32(1.0))
+        else:
+            kernel_params, reaction, dt_is_one = self.params, None, False
+        common = dict(
+            mesh=self.mesh, r_total=r, tr=tr, params=kernel_params,
+            boundary=self.boundary, halo=self.halo,
+            interpret=self.interpret, dt_is_one=dt_is_one,
+        )
+        n_full, rem = divmod(steps, mk.MEGA_STEPS)
+        if n_full:
+            u, v = halo.sharded_mega_run(
+                u, v, jnp.int32(n_full), reaction,
+                steps=mk.MEGA_STEPS, **common,
+            )
+        if rem:
+            u, v = halo.sharded_mega_run(
+                u, v, jnp.int32(1), reaction, steps=rem, **common,
+            )
+        return ("mega", u, v, tr)
+
     @classmethod
     def add_cli_args(cls, parser: argparse.ArgumentParser) -> None:
+        parser.add_argument(
+            "--sharded-engine", choices=["windowed", "mega"],
+            default=env_default("GRAYSCOTT_SHARDED_ENGINE", "windowed"),
+            help="Multi-chip engine: 'windowed' exchanges halos with "
+            "ppermute between per-K-block kernel launches; 'mega' runs "
+            "the WHOLE step loop in one kernel launch per chip with "
+            "in-kernel remote-DMA halo exchange over ICI (1-D row "
+            "meshes, f32)",
+        )
         parser.add_argument(
             "--sharded-devices", type=int,
             default=env_default("GRAYSCOTT_SHARDED_DEVICES", None, int),
@@ -163,4 +234,5 @@ class ShardedSimulation(Simulation):
             "runtime_params": getattr(
                 ns, "pallas_runtime_params", "on") != "off",
             "overlap": getattr(ns, "sharded_overlap", "off") == "on",
+            "engine": getattr(ns, "sharded_engine", "windowed"),
         }

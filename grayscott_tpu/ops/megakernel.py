@@ -67,16 +67,39 @@ def _mega_kernel(
     steps: int, tr: int, b_blocks: int, c: int, halo: int,
     r: int, params, boundary: str,
     runtime_params: bool, dt_is_one: bool, pack: bool = False,
-    strip_store: bool = False,
+    strip_store: bool = False, n_shards: int = 1,
 ):
-    """One whole run: scal = [n_time_blocks]; refs = optional reaction
-    SMEM, then (u_pair, v_pair) HBM inputs, (u_out, v_out) aliased
-    outputs, then scratch (in/out window slots + DMA semaphores). In
-    species-packed mode (``pack``) a single x = [U | V] pair replaces
-    the two species pairs — half the DMA count at twice the width.
-    ``strip_store`` (naive only) appends two fix-up scratch windows,
-    see pallas_stencil._fix_naive_store."""
+    """One whole run: scal = [n_time_blocks] (+ [my_shard] when
+    sharded); refs = optional reaction SMEM, then (u_pair, v_pair) HBM
+    inputs, (u_out, v_out) aliased outputs, then scratch (in/out window
+    slots + DMA semaphores). In species-packed mode (``pack``) a single
+    x = [U | V] pair replaces the two species pairs — half the DMA
+    count at twice the width. ``strip_store`` (naive only) appends two
+    fix-up scratch windows, see pallas_stencil._fix_naive_store.
+
+    ``n_shards > 1``: the multi-chip megakernel — this kernel instance
+    owns a row slab of the global domain and, at the end of every time
+    block, pushes its K-deep boundary rows straight into its row
+    neighbors' HBM halo slots with in-kernel remote DMAs over ICI
+    (``pltpu.make_async_remote_copy``), the whole run still ONE kernel
+    launch per chip. No barrier is needed: a shard can only *enter*
+    time block t after receiving both end-of-(t-1) halo pushes, and a
+    neighbor only *sends* its end-of-t push after finishing block t's
+    compute — so every remote write is transitively ordered after the
+    reads of the rows it overwrites (validated by the TPU interpret
+    mode's vector-clock race detector, tests/test_mega_sharded.py).
+    Receive waits sit at the window-DMA sites that actually read halo
+    rows (block 0 / block B-1), so interior row blocks compute while
+    neighbor pushes are still in flight — in-kernel exchange/compute
+    overlap, the megakernel analog of the windowed path's
+    ``--sharded-overlap`` (parallel/halo.py). The reference analog of
+    the whole construction is its fork-join split over shared memory
+    (compute/parallel/src/lib.rs:100-120), where halos are implicit
+    overlapping reads; here each "thread" is a chip and the halo is an
+    explicit ICI push."""
     fix_refs = None
+    if n_shards > 1:  # sems are appended last in the scratch list
+        *refs, sendsem, recvsem = refs
     if strip_store:
         *refs, u_fix, v_fix = refs
         fix_refs = (u_fix, v_fix)
@@ -126,14 +149,86 @@ def _mega_kernel(
             for i in range(len(hbm))
         )
 
+    if n_shards > 1:
+        my = scal_ref[1]
+        rp = b_blocks * tr
+        row0 = my * rp
+        has_up = my > 0
+        has_dn = my < n_shards - 1
+
+        def xchg_dma(slot):
+            """Remote halo-push descriptors for pair slot ``slot``.
+
+            ``down[i]`` pushes my bottom K boundary rows into the DOWN
+            neighbor's TOP halo ([0, halo)); ``up[i]`` pushes my top
+            boundary rows into the UP neighbor's BOTTOM halo. By SPMD
+            symmetry the recv semaphore named in ``down`` is the one
+            signaled when MY top halo arrives (from my up neighbor's
+            identical ``down`` push), so on the receive side:
+            ``down[i].wait_recv()`` = top halo arrived (guard: has_up),
+            ``up[i].wait_recv()`` = bottom halo arrived (has_dn)."""
+            down, up = [], []
+            for i in range(len(hbm)):
+                down.append(pltpu.make_async_remote_copy(
+                    hbm[i].at[slot, pl.ds(rp, halo)],
+                    hbm[i].at[slot, pl.ds(0, halo)],
+                    sendsem.at[0, i], recvsem.at[0, i],
+                    # LOGICAL: the driver's 1-D mesh enumerates devices
+                    # in order, so the row index IS the logical id (the
+                    # MESH form needs mesh axes the cross-platform
+                    # export lowering cannot see)
+                    device_id=my + 1,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                ))
+                up.append(pltpu.make_async_remote_copy(
+                    hbm[i].at[slot, pl.ds(halo, halo)],
+                    hbm[i].at[slot, pl.ds(halo + rp, halo)],
+                    sendsem.at[1, i], recvsem.at[1, i],
+                    device_id=my - 1,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                ))
+            return down, up
+    else:
+        row0 = 0
+
     def time_body(t, _):
         src = jax.lax.rem(t, 2)
         dst = 1 - src
+        if n_shards > 1:
+            src_down, src_up = xchg_dma(src)
+
+            # my top halo (rows [0, halo) of src, read by block 0's
+            # window) was pushed by the up neighbor at the end of its
+            # block t-1; consume the arrival before staging the window
+            @pl.when(jnp.logical_and(t > 0, has_up))
+            def _():
+                for cp in src_down:
+                    cp.wait_recv()
+            if b_blocks == 1:
+                # block 0 IS the last block: its window also reads the
+                # bottom halo
+                @pl.when(jnp.logical_and(t > 0, has_dn))
+                def _():
+                    for cp in src_up:
+                        cp.wait_recv()
         for d in in_dma(0, src, 0):  # warmup: block 0's window
             d.start()
 
         def block_body(b, _):
             s = jax.lax.rem(b, 2)
+
+            if n_shards > 1 and b_blocks > 1:
+                # the LAST block's window reads the bottom halo; its
+                # staging DMA starts at b == b_blocks - 2 (prefetch
+                # below), so consume the arrival here — interior blocks
+                # before this point compute with the push still in
+                # flight (in-kernel exchange/compute overlap)
+                @pl.when(jnp.logical_and(
+                    b == b_blocks - 2, jnp.logical_and(t > 0, has_dn)
+                ))
+                def _():
+                    for cp in src_up:
+                        cp.wait_recv()
 
             @pl.when(b + 1 < b_blocks)
             def _():
@@ -142,7 +237,7 @@ def _mega_kernel(
 
             for d in in_dma(s, src, b):
                 d.wait()
-            giota = (b * tr - halo) + jax.lax.broadcasted_iota(
+            giota = (row0 + b * tr - halo) + jax.lax.broadcasted_iota(
                 jnp.int32, (w, 1), 0
             )
             ctx = precompute(giota, r, gcol, c_dom)
@@ -183,8 +278,55 @@ def _mega_kernel(
                 d.wait()
         for d in out_dma((b_blocks - 1) % 2, dst, b_blocks - 1):
             d.wait()
+        if n_shards > 1:
+            # push this block's fresh boundary rows into the neighbors'
+            # halo slots. Safe without a barrier: the neighbor finished
+            # ALL of its block t-1 (including its last read of the slot
+            # being written) before it pushed the halo that gated THIS
+            # shard's entry into block t. Send completion is waited
+            # immediately — the source rows are rewritten no earlier
+            # than block t+2, but the local HBM read is microseconds
+            # and keeping it synchronous keeps the recv accounting
+            # one-in-flight-per-direction.
+            dst_down, dst_up = xchg_dma(dst)
+
+            @pl.when(has_dn)
+            def _():
+                for cp in dst_down:
+                    cp.start()
+
+            @pl.when(has_up)
+            def _():
+                for cp in dst_up:
+                    cp.start()
+
+            @pl.when(has_dn)
+            def _():
+                for cp in dst_down:
+                    cp.wait_send()
+
+            @pl.when(has_up)
+            def _():
+                for cp in dst_up:
+                    cp.wait_send()
 
     jax.lax.fori_loop(0, n_t, time_body, None, unroll=False)
+
+    if n_shards > 1:
+        # consume the final time block's arrivals (every earlier block's
+        # arrivals were consumed at the next block's read sites)
+        last = jax.lax.rem(n_t, 2)  # dst slot of time block n_t - 1
+        fin_down, fin_up = xchg_dma(last)
+
+        @pl.when(jnp.logical_and(n_t > 0, has_up))
+        def _():
+            for cp in fin_down:
+                cp.wait_recv()
+
+        @pl.when(jnp.logical_and(n_t > 0, has_dn))
+        def _():
+            for cp in fin_up:
+                cp.wait_recv()
 
     @pl.when(jax.lax.rem(n_t, 2) == 1)
     def _():
@@ -292,15 +434,24 @@ def megastep_impl(
     *, steps: int, tr: int, r: int, params: Parameters, boundary: str,
     halo: int = MEGA_STEPS, interpret: bool = False,
     vmem_limit_bytes: int | None = None, dt_is_one: bool = False,
-    strip_store: bool = False,
+    strip_store: bool = False, n_shards: int = 1, my_shard=None,
 ):
     """Advance the pair state by ``n_blocks`` (traced) x ``steps`` (static,
     <= halo) simulation steps in ONE kernel launch. Returns the new pairs
-    with the current state in slot 0."""
+    with the current state in slot 0.
+
+    ``n_shards > 1`` (call inside ``shard_map`` with ``my_shard`` =
+    this chip's row index, a traced scalar): the multi-chip megakernel
+    — ``r`` is then the GLOBAL row count, the pair holds this shard's
+    row slab, and slot 0's halo rows must be valid at entry (the
+    caller pre-exchanges once per run, parallel/halo.py); they are
+    fresh again at exit. See ``_mega_kernel``."""
     if not (1 <= steps <= halo):
         raise ValueError(f"steps must be in [1, {halo}], got {steps}")
     if strip_store and boundary != "naive":
         raise ValueError("strip_store is naive-only")
+    if (n_shards > 1) != (my_shard is not None):
+        raise ValueError("sharded mode needs both n_shards and my_shard")
     _, hp, c = u_pair.shape
     rp = hp - 2 * halo
     if rp % tr != 0 or tr % 8 != 0 or halo % 8 != 0:
@@ -310,12 +461,15 @@ def megastep_impl(
         )
     b_blocks = rp // tr
     w = tr + 2 * halo
-    scalars = jnp.asarray(n_blocks, jnp.int32).reshape(1)
+    scalars = [jnp.asarray(n_blocks, jnp.int32).reshape(1)]
+    if n_shards > 1:
+        scalars.append(jnp.asarray(my_shard, jnp.int32).reshape(1))
+    scalars = jnp.concatenate(scalars)
     kernel = functools.partial(
         _mega_kernel, steps=steps, tr=tr, b_blocks=b_blocks, c=c,
         halo=halo, r=r, params=params, boundary=boundary,
         runtime_params=reaction is not None, dt_is_one=dt_is_one,
-        strip_store=strip_store,
+        strip_store=strip_store, n_shards=n_shards,
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     operands = [scalars]
@@ -344,7 +498,9 @@ def megastep_impl(
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ] + ([pltpu.VMEM((w, c), jnp.float32),
-              pltpu.VMEM((w, c), jnp.float32)] if strip_store else []),
+              pltpu.VMEM((w, c), jnp.float32)] if strip_store else [])
+        + ([pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2))] if n_shards > 1 else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes
             or mega_vmem_limit(tr, halo, c, strip_store=strip_store),
@@ -355,7 +511,7 @@ def megastep_impl(
 
 
 _STATIC = ("steps", "tr", "r", "params", "boundary", "halo", "interpret",
-           "vmem_limit_bytes", "dt_is_one", "strip_store")
+           "vmem_limit_bytes", "dt_is_one", "strip_store", "n_shards")
 
 megastep = jax.jit(
     megastep_impl,

@@ -55,6 +55,15 @@ def make_mesh(n_devices: int | None = None, n_cols: int = 1) -> Mesh:
     return Mesh(grid, (ROWS, COLS))
 
 
+def make_mesh_1d(n_devices: int | None = None) -> Mesh:
+    """Single-axis row mesh — the megakernel's in-kernel remote DMAs
+    address neighbors by per-axis mesh coordinates, so its mesh must
+    carry exactly the one axis the exchange runs over."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.asarray(devices[:n]), (ROWS,))
+
+
 def _exchange_rows(x, r_loc: int, halo: int):
     """Fill the halo padding rows of a local block from row neighbors."""
     top_halo, bot_halo = _exchange_start(x, r_loc, halo)
@@ -217,6 +226,112 @@ def sharded_run_blocks(
         # metadata on its outputs yet; skip the vma check.
         check_vma=False,
     )(u, v, n_blocks, *extra)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "r_total", "steps", "tr", "params", "boundary",
+                     "halo", "interpret", "vmem_limit_bytes", "dt_is_one"),
+    donate_argnames=("u_pairs", "v_pairs"),
+)
+def sharded_mega_run(
+    u_pairs, v_pairs, n_blocks, reaction=None, *,
+    mesh: Mesh, r_total: int, steps: int, tr: int,
+    params: Parameters, boundary: str,
+    halo: int = 8, interpret=False,
+    vmem_limit_bytes: int | None = None, dt_is_one: bool = False,
+):
+    """Run the multi-chip megakernel: ONE kernel launch per chip for all
+    ``n_blocks`` K-step time blocks, halo exchange via in-kernel remote
+    DMAs over ICI (ops/megakernel.py ``n_shards > 1``). 1-D row meshes
+    only. State is the mega pair layout per shard:
+    ``(n_shards, 2, halo + Rp_loc + halo, C)`` sharded on axis 0.
+
+    Versus :func:`sharded_run_blocks` (ppermute between ``pallas_call``
+    blocks), this erases the per-block fixed launch cost (~0.42 ms,
+    BENCHMARKS.md) AND overlaps the exchange with interior row blocks
+    natively. Slot 0's halo rows are pre-exchanged here once per call
+    with a plain ppermute — every later exchange happens inside the
+    kernel. CPU validation: TPU interpret mode simulates the mesh,
+    remote DMAs and semaphores, including a vector-clock race detector
+    (tests/test_mega_sharded.py)."""
+    from ..ops import megakernel as mk
+
+    n_sh = mesh.devices.shape[0]
+    if mesh.devices.ndim > 1 and mesh.devices.shape[1] != 1:
+        raise ValueError("sharded megakernel supports 1-D row meshes only")
+    if interpret is True:
+        # plain pallas interpret cannot simulate cross-chip DMA; the TPU
+        # interpret mode can (and also race-checks the handshake)
+        from jax.experimental.pallas import tpu as pltpu
+
+        interpret = pltpu.InterpretParams()
+
+    def local(u_pairs, v_pairs, n_blocks, *maybe_reaction):
+        u_pair, v_pair = u_pairs[0], v_pairs[0]
+        reaction = maybe_reaction[0] if maybe_reaction else None
+        my = jax.lax.axis_index(ROWS).astype(jnp.int32)
+        h = halo
+        rp = u_pair.shape[1] - 2 * h
+        if n_sh > 1:
+            # slot 0 enters with unknown halos (fresh from the host, or
+            # the windowed engine); one ppermute round makes them valid
+            # for the kernel's first time block
+            u0 = _exchange_rows(u_pair[0], rp, h)
+            v0 = _exchange_rows(v_pair[0], rp, h)
+            u_pair = u_pair.at[0].set(u0)
+            v_pair = v_pair.at[0].set(v0)
+        u_pair, v_pair = mk.megastep_impl(
+            u_pair, v_pair, n_blocks, reaction,
+            steps=steps, tr=tr, r=r_total, params=params,
+            boundary=boundary, halo=h, interpret=interpret,
+            vmem_limit_bytes=vmem_limit_bytes, dt_is_one=dt_is_one,
+            n_shards=n_sh, my_shard=my if n_sh > 1 else None,
+        )
+        return u_pair[None], v_pair[None]
+
+    spec = P(ROWS, None, None, None)
+    extra = () if reaction is None else (jnp.asarray(reaction),)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec, P()) + tuple(P() for _ in extra),
+        out_specs=(spec, spec),
+        check_vma=False,
+    )(u_pairs, v_pairs, n_blocks, *extra)
+
+
+def mega_shard_state(
+    u: np.ndarray, v: np.ndarray, mesh: Mesh, tr: int, halo: int = 8,
+) -> Tuple[jax.Array, jax.Array, int]:
+    """Pack (R, C) host state into per-shard megakernel HBM pairs
+    ``(n_shards, 2, halo + Rp_loc + halo, C)`` on a 1-D row mesh.
+    Slot 0 holds the state; halos/padding start zero (the kernel
+    sanitizes out-of-domain cells on load and the driver pre-exchanges
+    live halos)."""
+    r, c = u.shape
+    n_sh = mesh.devices.shape[0]
+    r_loc = -(-(-(-r // n_sh)) // tr) * tr  # ceil(ceil(r/n)/tr)*tr
+    h = halo
+    out = []
+    for x in (u, v):
+        xp = np.zeros((n_sh * r_loc, c), dtype=np.float32)
+        xp[:r] = x.astype(np.float32)
+        blocks = np.zeros((n_sh, 2, h + r_loc + h, c), dtype=np.float32)
+        blocks[:, 0, h : h + r_loc] = xp.reshape(n_sh, r_loc, c)
+        out.append(jax.device_put(
+            blocks, NamedSharding(mesh, P(ROWS, None, None, None))
+        ))
+    return out[0], out[1], r_loc
+
+
+def mega_unshard_result(pairs, shape, halo: int = 8) -> jax.Array:
+    """Interior rows of slot 0 across shards, cropped to (R, C)."""
+    r, c = shape
+    h = halo
+    r_loc = pairs.shape[2] - 2 * h
+    interior = pairs[:, 0, h : h + r_loc, :]
+    return interior.reshape(pairs.shape[0] * r_loc, c)[:r, :c]
 
 
 def shard_extents(shape, mesh: Mesh, tr: int) -> Tuple[int, int]:
