@@ -140,6 +140,30 @@ def test_sharded_mega_lowers_for_tpu(params):
     assert "tpu_custom_call" in exp.mlir_module()
 
 
+def test_sharded_mega_cli_end_to_end(tmp_path):
+    """`simulate --backend sharded --sharded-engine mega` writes
+    oracle-exact HDF5 through the full CLI pipeline (writer thread,
+    snapshot chain) on a 2-device mesh."""
+    from grayscott_tpu.cli import simulate
+    from grayscott_tpu.io.hdf5 import Reader
+    from grayscott_tpu.species import initial_uv
+
+    out = tmp_path / "o.h5"
+    rc = simulate.main([
+        "-n", "2", "-r", "24", "-c", "32", "-e", "8",
+        "--backend", "sharded", "--sharded-engine", "mega",
+        "--sharded-devices", "2", "--pallas-block-rows", "8",
+        "-o", str(out),
+    ])
+    assert rc == 0
+    with Reader(out) as r:
+        frames = list(r)
+    u, v = initial_uv((24, 32))
+    for frame in frames:
+        u, v = oracle.run(u, v, Parameters(), 8)
+        np.testing.assert_allclose(frame, v, rtol=0, atol=1e-5)
+
+
 def test_sharded_mega_validations(params):
     with pytest.raises(ValueError, match="1-D row mesh"):
         ShardedSimulation(params, engine="mega", mesh_cols=2, n_devices=4)
