@@ -54,6 +54,11 @@ class ShardedSimulation(Simulation):
                     "in-kernel; --sharded-overlap applies to the windowed "
                     "engine"
                 )
+            if steps_per_call not in (None, mk.MEGA_STEPS):
+                raise ValueError(
+                    "engine='mega' fixes steps-per-call at its exchange "
+                    f"depth K={mk.MEGA_STEPS}; drop --pallas-steps-per-call"
+                )
             # the megakernel's exchange depth IS its time-block depth
             steps_per_call = mk.MEGA_STEPS
         self.engine = engine
@@ -136,6 +141,14 @@ class ShardedSimulation(Simulation):
             out = tuple(x.astype(jnp.float32) for x in out)
         return out
 
+    def _reaction(self):
+        """(kernel_params, reaction operand, dt_is_one) per the mode."""
+        if self.runtime_params:
+            reaction = ps.reaction_operand(self.params)
+            return (self.params.structure_only(), reaction,
+                    bool(reaction[0, 4] == np.float32(1.0)))
+        return self.params, None, False
+
     def run_steps(self, storage, shape, steps: int):
         if isinstance(storage[0], str):
             return self._run_steps_mega(storage, shape, steps)
@@ -143,12 +156,7 @@ class ShardedSimulation(Simulation):
         r, c = shape
         k = self.steps_per_call
         n_full, rem = divmod(steps, k)
-        if self.runtime_params:
-            kernel_params = self.params.structure_only()
-            reaction = ps.reaction_operand(self.params)
-            dt_is_one = bool(reaction[0, 4] == np.float32(1.0))
-        else:
-            kernel_params, reaction, dt_is_one = self.params, None, False
+        kernel_params, reaction, dt_is_one = self._reaction()
         common = dict(
             mesh=self.mesh, r_total=r, c_total=c,
             halo=self.halo, chalo=self.chalo,
@@ -168,13 +176,8 @@ class ShardedSimulation(Simulation):
 
     def _run_steps_mega(self, storage, shape, steps: int):
         _, u, v, tr = storage
-        r, c = shape
-        if self.runtime_params:
-            kernel_params = self.params.structure_only()
-            reaction = ps.reaction_operand(self.params)
-            dt_is_one = bool(reaction[0, 4] == np.float32(1.0))
-        else:
-            kernel_params, reaction, dt_is_one = self.params, None, False
+        r, _ = shape
+        kernel_params, reaction, dt_is_one = self._reaction()
         common = dict(
             mesh=self.mesh, r_total=r, tr=tr, params=kernel_params,
             boundary=self.boundary, halo=self.halo,

@@ -166,13 +166,24 @@ def _mega_kernel(
             signaled when MY top halo arrives (from my up neighbor's
             identical ``down`` push), so on the receive side:
             ``down[i].wait_recv()`` = top halo arrived (guard: has_up),
-            ``up[i].wait_recv()`` = bottom halo arrived (has_dn)."""
+            ``up[i].wait_recv()`` = bottom halo arrived (has_dn).
+
+            The recv semaphores are indexed BY PAIR SLOT: consecutive
+            pushes in a direction target alternating slots, and two
+            separate DMAs are not guaranteed to complete in issue order
+            on real ICI — with a shared per-direction semaphore, block
+            t's entry wait could be satisfied by the end-of-t push
+            (slot 1-s) while the end-of-(t-1) push (slot s, the one the
+            block actually reads) is still in flight. Per-slot
+            semaphores make that aliasing impossible; same-slot pushes
+            are already strictly ordered by the handshake (the t+2 push
+            is issued only after the receiver consumed the t push)."""
             down, up = [], []
             for i in range(len(hbm)):
                 down.append(pltpu.make_async_remote_copy(
                     hbm[i].at[slot, pl.ds(rp, halo)],
                     hbm[i].at[slot, pl.ds(0, halo)],
-                    sendsem.at[0, i], recvsem.at[0, i],
+                    sendsem.at[0, i], recvsem.at[slot, 0, i],
                     # LOGICAL: the driver's 1-D mesh enumerates devices
                     # in order, so the row index IS the logical id (the
                     # MESH form needs mesh axes the cross-platform
@@ -183,7 +194,7 @@ def _mega_kernel(
                 up.append(pltpu.make_async_remote_copy(
                     hbm[i].at[slot, pl.ds(halo, halo)],
                     hbm[i].at[slot, pl.ds(halo + rp, halo)],
-                    sendsem.at[1, i], recvsem.at[1, i],
+                    sendsem.at[1, i], recvsem.at[slot, 1, i],
                     device_id=my - 1,
                     device_id_type=pltpu.DeviceIdType.LOGICAL,
                 ))
@@ -452,6 +463,11 @@ def megastep_impl(
         raise ValueError("strip_store is naive-only")
     if (n_shards > 1) != (my_shard is not None):
         raise ValueError("sharded mode needs both n_shards and my_shard")
+    if n_shards > 1 and halo > tr:
+        # the bottom-halo recv wait sits at block B-2's prefetch site,
+        # which is only ahead of every halo-reading window DMA when one
+        # tile row covers the halo depth
+        raise ValueError(f"sharded mode needs halo <= tr, got {halo} > {tr}")
     _, hp, c = u_pair.shape
     rp = hp - 2 * halo
     if rp % tr != 0 or tr % 8 != 0 or halo % 8 != 0:
@@ -499,8 +515,9 @@ def megastep_impl(
             pltpu.SemaphoreType.DMA((2,)),
         ] + ([pltpu.VMEM((w, c), jnp.float32),
               pltpu.VMEM((w, c), jnp.float32)] if strip_store else [])
-        + ([pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2, 2))] if n_shards > 1 else []),
+        + ([pltpu.SemaphoreType.DMA((2, 2)),        # send: [dir, species]
+            pltpu.SemaphoreType.DMA((2, 2, 2))]     # recv: [slot, dir, sp]
+           if n_shards > 1 else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes
             or mega_vmem_limit(tr, halo, c, strip_store=strip_store),

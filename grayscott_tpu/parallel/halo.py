@@ -61,6 +61,8 @@ def make_mesh_1d(n_devices: int | None = None) -> Mesh:
     carry exactly the one axis the exchange runs over."""
     devices = jax.devices()
     n = n_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, have {len(devices)}")
     return Mesh(np.asarray(devices[:n]), (ROWS,))
 
 

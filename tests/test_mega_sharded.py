@@ -173,3 +173,22 @@ def test_sharded_mega_validations(params):
         ShardedSimulation(params, engine="mega", overlap=True)
     with pytest.raises(ValueError, match="windowed/mega"):
         ShardedSimulation(params, engine="resident")
+    # an explicit steps-per-call is rejected, not silently overwritten
+    with pytest.raises(ValueError, match="steps-per-call"):
+        ShardedSimulation(params, engine="mega", steps_per_call=16)
+    # asking for more devices than exist fails loudly (the windowed
+    # engine's make_mesh reshape already does; keep mega symmetric)
+    from grayscott_tpu.parallel import halo as h
+
+    with pytest.raises(ValueError, match="devices"):
+        h.make_mesh_1d(99)
+    # the recv-wait placement assumes one tile row covers the halo depth
+    from grayscott_tpu.ops import megakernel as mk
+
+    pair = jnp.zeros((2, 16 + 8 + 16, 16), jnp.float32)
+    with pytest.raises(ValueError, match="halo <= tr"):
+        mk.megastep_impl(
+            pair, pair, jnp.int32(1), None, steps=8, tr=8, r=16,
+            params=params, boundary="zero", halo=16,
+            n_shards=2, my_shard=jnp.int32(0),
+        )
