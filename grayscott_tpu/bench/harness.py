@@ -155,6 +155,11 @@ def sweep(
             print(f"{name}: dtype={kwargs['dtype']} unsupported, "
                   "running float32", flush=True)
             kwargs.pop("dtype")
+        if kwargs.get("engine") is not None and \
+                name not in ("pallas", "sharded"):
+            print(f"{name}: no kernel engines, ignoring "
+                  f"engine={kwargs['engine']}", flush=True)
+            kwargs.pop("engine")
         labels = {"boundary": boundary, **kwargs}
         sim = get_backend(name)(Parameters(), boundary=boundary, **kwargs)
         for shape in domains:
@@ -211,6 +216,10 @@ def main(argv=None) -> int:
                         help="pin the Pallas row-tile size")
     parser.add_argument("--steps-per-call", type=int, default=None,
                         help="pin the temporal-blocking depth")
+    parser.add_argument("--engine", default=None,
+                        help="pin the kernel engine (pallas: auto/windowed/"
+                        "mega; sharded: windowed/mega — the multi-chip "
+                        "megakernel with in-kernel remote-DMA exchange)")
     args = parser.parse_args(argv)
 
     if args.report:
@@ -244,6 +253,7 @@ def main(argv=None) -> int:
             ("dtype", args.dtype),
             ("block_rows", args.block_rows),
             ("steps_per_call", args.steps_per_call),
+            ("engine", args.engine),
         )
         if v is not None
     }

@@ -84,3 +84,16 @@ def test_report_cli(tmp_path, capsys):
     assert harness.main(["--report", str(p)]) == 0
     out = capsys.readouterr().out
     assert "| fused |" in out and "1.25" in out
+
+
+def test_sweep_engine_kwarg_plumbed_and_filtered(capsys):
+    # pallas accepts the engine pin; engine-less backends ignore it
+    # loudly instead of crashing on an unexpected kwarg
+    results = sweep(
+        ["fused", "pallas"], domains=[(16, 16)], step_counts=[2],
+        workloads=("compute",), reps=1, verbose=False,
+        backend_kwargs={"engine": "windowed"},
+    )
+    assert len(results) == 2
+    assert "ignoring engine" in capsys.readouterr().out
+    assert results[1].extra.get("engine") == "windowed"
