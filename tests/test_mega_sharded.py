@@ -114,6 +114,26 @@ def test_sharded_mega_single_device_mesh(rng, params):
     np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
 
 
+def test_sharded_mega_fuzz(rng, params):
+    """Randomized geometry: prime-ish row counts (global bottom padding
+    lands on different shards), 2/3/4-way meshes, step counts hitting
+    every remainder/parity combination."""
+    for _ in range(3):
+        r = int(rng.randint(17, 80))
+        c = 16 * int(rng.randint(1, 3))
+        n = int(rng.choice([2, 3, 4]))
+        steps = int(rng.randint(1, 25))
+        u, v = random_uv(rng, (r, c))
+        ou, ov = oracle.run(u, v, params, steps, "naive")
+        gu, gv = run_sharded_mega(u, v, params, "naive", steps,
+                                  n_devices=n, block_rows=8)
+        np.testing.assert_allclose(
+            gu, ou, rtol=0, atol=2e-6,
+            err_msg=f"r={r} c={c} n={n} steps={steps}",
+        )
+        np.testing.assert_allclose(gv, ov, rtol=0, atol=2e-6)
+
+
 def test_sharded_mega_lowers_for_tpu(params):
     """Mosaic lowering gate (see tests/test_lowering.py): the remote-DMA
     exchange, LOGICAL device ids, semaphore waits and the traced
