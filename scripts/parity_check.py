@@ -22,15 +22,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def main() -> int:
+def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=1000)
     parser.add_argument("--snapshot-every", type=int, default=100)
     parser.add_argument("--backends", default="fused,pallas")
     parser.add_argument("--boundary", default="naive")
     parser.add_argument("--shape", default="256x384")
+    parser.add_argument("--stencil", default="oono-puri",
+                        help="Laplacian stencil; '5points' exercises the "
+                        "kernels' DIRECT (non-separable) path")
     parser.add_argument("-o", "--output", default=None)
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     from grayscott_tpu import oracle
     from grayscott_tpu.backends import get_backend
@@ -38,7 +41,8 @@ def main() -> int:
     from grayscott_tpu.species import initial_uv
 
     shape = tuple(int(x) for x in args.shape.split("x"))
-    params = Parameters()  # f=0.014 k=0.054 are the defaults
+    # f=0.014 k=0.054 are the defaults
+    params = Parameters.with_stencil(args.stencil)
     u_ref, v_ref = initial_uv(shape)
 
     sims = {}
@@ -47,7 +51,8 @@ def main() -> int:
         species = sim.make_species(shape)
         sims[name] = (sim, species)
 
-    report = {"shape": shape, "boundary": args.boundary, "rows": []}
+    report = {"shape": shape, "boundary": args.boundary,
+              "stencil": args.stencil, "rows": []}
     t0 = time.time()
     done = 0
     while done < args.steps:
