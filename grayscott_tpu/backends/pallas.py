@@ -275,15 +275,14 @@ class PallasSimulation(Simulation):
             *shape, strip_store=strip
         )
         supported = (
-            self.dtype == jnp.float32
-            and self.block_cols is None
+            self.block_cols is None
             and not (isinstance(self.fold, int) and self.fold > 1)
             and mk.mega_ok(shape, tr, strip_store=strip)
         )
         if self.engine == "mega":
             if not supported:
                 raise ValueError(
-                    "engine='mega' needs f32 storage, full-width windows "
+                    "engine='mega' needs full-width windows "
                     f"and no lane fold; unsupported for shape {shape}"
                 )
             return True
@@ -311,6 +310,11 @@ class PallasSimulation(Simulation):
         verdict = (tuned or {}).get("engine")
         if verdict:
             return verdict == "mega"
+        if self.dtype != jnp.float32:
+            # bf16's static default stays the windowed kernel (its +4.6%
+            # deep-K result was measured there); mega+bf16 runs behind an
+            # explicit engine pin or a measured per-dtype verdict
+            return False
         # no measured verdict: static preference declines mega where the
         # resident kernel fits (hardware: 43.3 vs 39.4 Gcell/s at
         # 1080x1920) and on very wide domains whose tiny row blocks give
@@ -426,7 +430,7 @@ class PallasSimulation(Simulation):
             tr = tr or mk.choose_mega_rows(
                 *u.shape, strip_store=self.naive_fix == "store"
             )
-            u_pair, v_pair = mk.mega_pad_state(u, v, tr)
+            u_pair, v_pair = mk.mega_pad_state(u, v, tr, dtype=self.dtype)
             return ("mega", jnp.asarray(u_pair), jnp.asarray(v_pair), tr)
         f = self._fold_factor(u.shape, tuned)
         if f > 1:
@@ -489,7 +493,10 @@ class PallasSimulation(Simulation):
         if storage[0] == "mega":
             _, u_pair, v_pair, _ = storage
             h = mk.MEGA_STEPS
-            return u_pair[0, h : h + r, :], v_pair[0, h : h + r, :]
+            u, v = u_pair[0, h : h + r, :], v_pair[0, h : h + r, :]
+            if self.dtype != jnp.float32:  # host views are f32
+                u, v = u.astype(jnp.float32), v.astype(jnp.float32)
+            return u, v
         if storage[0] == "folded":
             _, u_pad, v_pad, _, halo, _, f, _ = storage
             return (ps.unfold_state(u_pad, halo, f, c, r),

@@ -122,6 +122,10 @@ def _mega_kernel(
         hbm, ins, outs = (u_hbm, v_hbm), (uin_s, vin_s), (uout_s, vout_s)
     n_t = scal_ref[0]
     w = tr + 2 * halo
+    # bf16 is a STORAGE mode (BENCHMARKS.md): windows upcast to f32 on
+    # load, round once per K-step block on store — same policy as the
+    # windowed kernel (pallas_stencil._kernel)
+    store_f32 = hbm[0].dtype == jnp.float32
     precompute, step = ps.make_window_stepper(
         params, boundary, w, c, halo, 0, dtype=jnp.float32,
         reaction=reaction, pack=pack,
@@ -254,6 +258,8 @@ def _mega_kernel(
             ctx = precompute(giota, r, gcol, c_dom)
             if pack:
                 x = xin_s[s]
+                if not store_f32:
+                    x = x.astype(jnp.float32)
                 if ctx["dommask"] is not None:
                     # sanitize on load: HBM padding is never re-zeroed
                     x = jnp.where(ctx["dommask"], x, 0.0)
@@ -263,6 +269,9 @@ def _mega_kernel(
             else:
                 u = uin_s[s]
                 v = vin_s[s]
+                if not store_f32:
+                    u = u.astype(jnp.float32)
+                    v = v.astype(jnp.float32)
                 if ctx["dommask"] is not None:
                     u = jnp.where(ctx["dommask"], u, 0.0)
                     v = jnp.where(ctx["dommask"], v, 0.0)
@@ -278,7 +287,7 @@ def _mega_kernel(
                     for d in out_dma(s, dst, b - 2):
                         d.wait()
             for o_ref, val in zip(outs, uv_out):
-                o_ref[s] = val
+                o_ref[s] = val if store_f32 else val.astype(o_ref.dtype)
             for d in out_dma(s, dst, b):
                 d.start()
 
@@ -425,17 +434,18 @@ def choose_mega_rows(r: int, c: int, halo: int = MEGA_STEPS,
 
 
 def mega_pad_state(u: np.ndarray, v: np.ndarray, tr: int,
-                   halo: int = MEGA_STEPS):
-    """(R, C) concentrations -> (2, halo + Rp + halo, C) f32 HBM pairs.
+                   halo: int = MEGA_STEPS, dtype=np.float32):
+    """(R, C) concentrations -> (2, halo + Rp + halo, C) HBM pairs.
     Slot 0 holds the current state; slot 1 starts zero (its in-domain
     cells are fully overwritten by the first time block; its padding is
-    sanitized on every window load)."""
+    sanitized on every window load). ``dtype`` selects the storage
+    precision (bfloat16 = the opt-in fast mode; compute stays f32)."""
     r, c = u.shape
     rp = -(-r // tr) * tr
     out = []
     for x in (u, v):
-        buf = np.zeros((2, halo + rp + halo, c), dtype=np.float32)
-        buf[0, halo : halo + r] = x.astype(np.float32)
+        buf = np.zeros((2, halo + rp + halo, c), dtype=dtype)
+        buf[0, halo : halo + r] = x.astype(dtype)
         out.append(buf)
     return out[0], out[1]
 
@@ -506,10 +516,10 @@ def megastep_impl(
         ],
         input_output_aliases={n_in - 2: 0, n_in - 1: 1},
         scratch_shapes=[
-            pltpu.VMEM((2, w, c), jnp.float32),
-            pltpu.VMEM((2, w, c), jnp.float32),
-            pltpu.VMEM((2, tr, c), jnp.float32),
-            pltpu.VMEM((2, tr, c), jnp.float32),
+            pltpu.VMEM((2, w, c), u_pair.dtype),
+            pltpu.VMEM((2, w, c), v_pair.dtype),
+            pltpu.VMEM((2, tr, c), u_pair.dtype),
+            pltpu.VMEM((2, tr, c), v_pair.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),

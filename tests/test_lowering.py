@@ -246,3 +246,28 @@ def test_sanitize_and_resident_unroll_lower_for_tpu():
 
     exp = jax.export.export(jax.jit(fn_res), platforms=["tpu"])(u, v)
     assert "tpu_custom_call" in exp.mlir_module()
+
+
+def test_megakernel_bf16_lowers_for_tpu():
+    """bf16-storage megakernel: bf16 window DMA + in-kernel f32 upcast
+    and per-block bf16 rounding must lower to Mosaic."""
+    from grayscott_tpu.ops import megakernel as mk
+
+    params = Parameters()
+    r, c, tr = 64, 256, 16
+    u0 = np.zeros((r, c), np.float32)
+    v0 = np.ones((r, c), np.float32)
+    u_pair, v_pair = mk.mega_pad_state(u0, v0, tr, dtype=jnp.bfloat16)
+    reaction = ps.reaction_operand(params)
+
+    def fn(u_pair, v_pair):
+        return mk.megastep_impl(
+            u_pair, v_pair, jnp.int32(2), reaction, steps=8, tr=tr, r=r,
+            params=params.structure_only(), boundary="zero",
+            dt_is_one=True,
+        )
+
+    exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(
+        jnp.asarray(u_pair), jnp.asarray(v_pair)
+    )
+    assert "tpu_custom_call" in exp.mlir_module()

@@ -134,11 +134,16 @@ def test_mega_auto_selection(params):
     off = PallasSimulation(params, engine="windowed", interpret=False)
     off.interpret = False
     assert not off._use_mega((64, 64))
+    # bf16 storage is supported behind an explicit mega pin, but the
+    # auto static default keeps bf16 on the windowed kernel (where its
+    # +4.6% deep-K result was measured)
     bf16 = PallasSimulation(params, dtype="bfloat16", engine="mega",
                             interpret=False)
     bf16.interpret = False
-    with pytest.raises(ValueError):
-        bf16._use_mega((64, 64))
+    assert bf16._use_mega((4096, 4096))
+    bf16_auto = PallasSimulation(params, dtype="bfloat16", interpret=False)
+    bf16_auto.interpret = False
+    assert not bf16_auto._use_mega((4096, 4096), None)
     with pytest.raises(ValueError):
         PallasSimulation(params, engine="nope")
     folded = PallasSimulation(params, fold=2, engine="mega",
@@ -170,3 +175,26 @@ def test_choose_mega_rows_geometry():
     sim = PallasSimulation(Parameters(), boundary="zero", interpret=True)
     sim.interpret = False
     assert not sim._use_mega((4096, 65536), None)
+
+
+def test_mega_bf16_storage(params):
+    """bf16 storage with the megakernel engine: pairs ride HBM in bf16,
+    windows upcast to f32 on load and round once per K-step block on
+    store (the windowed kernel's policy; same documented
+    not-bit-compatible caveat as --pallas-dtype bfloat16 elsewhere)."""
+    import jax.numpy as jnp
+
+    from grayscott_tpu.species import initial_uv
+
+    u0, v0 = initial_uv((32, 16))
+    ou, ov = oracle.run(u0, v0, params, 16)
+    sim = PallasSimulation(params, boundary="naive", interpret=True,
+                           engine="mega", block_rows=8, dtype="bfloat16")
+    species = sim.make_species((32, 16))
+    species.storage = sim.build_storage(u0, v0)
+    sim.perform_steps(species, 16)
+    gu, gv = species.uv_host()
+    assert gu.dtype == np.float32  # host view is f32 regardless
+    assert species.storage[1].dtype == jnp.bfloat16
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=0.05)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=0.05)
