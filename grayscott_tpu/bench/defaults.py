@@ -49,4 +49,13 @@ SHIPPED: dict[str, dict] = {
         "fold": 1, "pack": False, "gcells_per_sec": 67.337,
         "source": "shipped-v5e-r2",
     },
+    # bf16 storage: the megakernel beats the windowed kernel 69.2 vs
+    # 61.7 (+12.1%, same-process A/B, 1024 steps) — halved window DMA
+    # pays even at K=8. Per-dtype key: bf16 engine verdicts never leak
+    # into f32 runs (utils/cache.autotune_key).
+    "v4:tpu:4096x4096:zero:oono-puri:bfloat16": {
+        "engine": "mega", "block_rows": None, "steps_per_call": 16,
+        "fold": 1, "pack": False, "gcells_per_sec": 69.21,
+        "source": "shipped-v5e-r2",
+    },
 }
