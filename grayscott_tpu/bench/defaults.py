@@ -58,4 +58,12 @@ SHIPPED: dict[str, dict] = {
         "fold": 1, "pack": False, "gcells_per_sec": 69.21,
         "source": "shipped-v5e-r2",
     },
+    # 8192^2 bf16: mega 84.3 vs windowed 68.7 (+22.7% same-process) —
+    # the windowed bf16 kernel is compile-ceiling-constrained to small
+    # tiles at this width; the megakernel's K=8 window is not
+    "v4:tpu:8192x8192:zero:oono-puri:bfloat16": {
+        "engine": "mega", "block_rows": None, "steps_per_call": 16,
+        "fold": 1, "pack": False, "gcells_per_sec": 84.28,
+        "source": "shipped-v5e-r2",
+    },
 }
