@@ -66,4 +66,11 @@ SHIPPED: dict[str, dict] = {
         "fold": 1, "pack": False, "gcells_per_sec": 84.28,
         "source": "shipped-v5e-r2",
     },
+    # 16384^2 (the SURVEY weak-scaling shape): bf16 mega 86.8 vs f32
+    # mega 77.5 same-process (+11.9%) — and half the HBM state
+    "v4:tpu:16384x16384:zero:oono-puri:bfloat16": {
+        "engine": "mega", "block_rows": None, "steps_per_call": 16,
+        "fold": 1, "pack": False, "gcells_per_sec": 86.78,
+        "source": "shipped-v5e-r2",
+    },
 }
