@@ -77,15 +77,19 @@ def test_sharded_mega_matches_single_chip_mega(rng, params):
     np.testing.assert_array_equal(gv, sv)
 
 
-def test_sharded_mega_race_free(rng, params):
+@pytest.mark.parametrize("dma_mode", ["on_wait", "eager"])
+def test_sharded_mega_race_free(rng, params, dma_mode):
     """Run with the interpret mode's vector-clock race detector enabled:
     the barrier-free handshake (recv waits gate block entry; a neighbor
     sends only after the compute whose reads the send would race) must
-    produce no detected race."""
+    produce no detected race. Both DMA execution models are exercised —
+    'eager' completes every copy at issue, 'on_wait' at the wait — two
+    extreme interleavings of the same protocol."""
     u, v = random_uv(rng, (32, 16))
     sim = ShardedSimulation(params, boundary="zero", engine="mega",
                             n_devices=4, block_rows=8)
-    sim.interpret = pltpu.InterpretParams(detect_races=True)
+    sim.interpret = pltpu.InterpretParams(detect_races=True,
+                                          dma_execution_mode=dma_mode)
     species = sim.make_species((32, 16))
     species.storage = sim.build_storage(u, v)
     sim.perform_steps(species, 16)
