@@ -73,4 +73,10 @@ SHIPPED: dict[str, dict] = {
         "fold": 1, "pack": False, "gcells_per_sec": 86.78,
         "source": "shipped-v5e-r2",
     },
+    # naive boundary too: mega bf16 57.9 vs windowed bf16 52.9 (+9.5%)
+    "v4:tpu:4096x4096:naive:oono-puri:bfloat16": {
+        "engine": "mega", "block_rows": None, "steps_per_call": 16,
+        "fold": 1, "pack": False, "gcells_per_sec": 57.91,
+        "source": "shipped-v5e-r2",
+    },
 }
