@@ -58,10 +58,15 @@ def measure(r=4096, c=4096, steps=1000, backend=None, boundary="zero"):
     k = getattr(sim, "steps_per_call", 8)
     sim.prepare_steps(species, 2 * k + steps % k)
     sync()
-    t0 = time.time()
-    sim.prepare_steps(species, steps)
-    sync()
-    dt = time.time() - t0
+    # best-of-3, like the in-repo harness (bench/harness.py) and the
+    # reference's criterion sampling: the tunneled dispatch path adds
+    # run-to-run noise that a single sample conflates with kernel time
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        sim.prepare_steps(species, steps)
+        sync()
+        dt = min(dt, time.time() - t0)
     return name, r * c * steps / dt / 1e9, dt
 
 
