@@ -52,6 +52,7 @@ class PallasSimulation(Simulation):
         engine: str = "auto",
         pack: str = "auto",
         naive_fix: str = "select",
+        tuned_lookup: bool = True,
         **kwargs,
     ):
         self._explicit_k = steps_per_call is not None
@@ -108,6 +109,15 @@ class PallasSimulation(Simulation):
             raise ValueError(
                 f"engine must be auto/windowed/mega, got {engine!r}"
             )
+        if engine == "mega" and self._explicit_k and \
+                steps_per_call != mk.MEGA_STEPS:
+            # same contract as ShardedSimulation: the megakernel's halo
+            # depth IS its time-block depth — silently running K=8 under
+            # a different pin would mislabel any A/B measurement
+            raise ValueError(
+                "engine='mega' fixes steps-per-call at its halo depth "
+                f"K={mk.MEGA_STEPS}; drop --pallas-steps-per-call"
+            )
         self.engine = engine
         # species-packed layout (see ops.pallas_stencil "species-packed
         # layout"): x = [U | V] along lanes halves the diffusion op count
@@ -156,6 +166,15 @@ class PallasSimulation(Simulation):
                     "resident='on' and a pinned lane fold conflict; "
                     "pin at most one of them"
                 )
+            if self.engine != "auto":
+                raise ValueError(
+                    "resident='on' and an explicit engine pin conflict; "
+                    "pin at most one of them"
+                )
+        # the autotuner measures candidates with tuned_lookup=False so a
+        # persisted/shipped record can never hijack what a candidate pins
+        # ('auto' modes then act as if no record exists)
+        self.tuned_lookup = tuned_lookup
 
     # -- storage: padded double buffers ------------------------------------
 
@@ -165,6 +184,8 @@ class PallasSimulation(Simulation):
         """The persisted autotune winner for this configuration, fetched
         ONCE per build_storage and threaded through the tile/K adoption
         below (three separate lookups each re-read the JSON store)."""
+        if not self.tuned_lookup:
+            return None
         from ..bench import autotune
 
         return autotune.lookup(
@@ -329,6 +350,7 @@ class PallasSimulation(Simulation):
             return True
         if not (
             self.resident == "auto"
+            and self.engine == "auto"  # an engine pin names its kernel
             and not self.interpret  # keep CPU/test runs on the windowed path
             and self.dtype == jnp.float32
             and ps.resident_ok(shape)
@@ -362,8 +384,15 @@ class PallasSimulation(Simulation):
             return True
         # 'auto': like fold, pack only on a measured autotune verdict —
         # hardware must confirm the op-count win before it becomes the
-        # default for a shape
-        if not supported or self.interpret:
+        # default for a shape. Explicit tile/K pins mean "I want THE
+        # windowed kernel with these knobs" (same contract as
+        # _use_mega/_use_resident): a packed record must not hijack them
+        if (
+            not supported
+            or self.interpret
+            or self.block_rows is not None
+            or self._explicit_k
+        ):
             return False
         if tuned is self._MISS:
             tuned = self._lookup_tuned(shape)
@@ -378,8 +407,11 @@ class PallasSimulation(Simulation):
         pk = tuned if tuned and tuned.get("pack") else None
         verdict = (pk or {}).get("engine")
         # packed-resident liveness envelope is unvalidated: only an
-        # explicit pin or a measured verdict selects it
-        if self.resident == "on" or verdict == "resident":
+        # explicit pin or a measured verdict selects it — and a verdict
+        # never overrides an explicit engine pin (the constructor rejects
+        # resident='on' combined with an engine pin)
+        if self.resident == "on" or \
+                (self.engine == "auto" and verdict == "resident"):
             x = ps.pack_state(u, v, tr=8, halo=0, cquant=128,
                               dtype=np.float32)
             return ("respack", jnp.asarray(x))

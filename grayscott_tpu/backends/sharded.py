@@ -117,6 +117,15 @@ class ShardedSimulation(Simulation):
             tr = self.block_rows or mk.choose_mega_rows(
                 r_loc, u.shape[1], self.halo
             )
+            if not mk.mega_ok((r_loc, u.shape[1]), tr, self.halo):
+                # choose_mega_rows falls back to tr=8 even when no tile
+                # fits: fail here instead of a Mosaic scoped-VMEM
+                # failure or a remote-compile hang on an ultra-wide slab
+                raise ValueError(
+                    f"sharded engine='mega' cannot fit a {r_loc}x"
+                    f"{u.shape[1]} per-chip slab in VMEM windows; use "
+                    "the windowed engine (column tiling) for this domain"
+                )
             up, vp, _ = halo.mega_shard_state(
                 u, v, self.mesh, tr, self.halo
             )

@@ -79,23 +79,25 @@ def _guard_ok(cfg: Mapping, shape, boundary: str) -> bool:
         return mk.mega_ok(shape, cfg.get("block_rows"))
     if cfg.get("resident") == "on":
         return ps.resident_ok(shape)
-    halo = ps.halo_for_steps(cfg["steps_per_call"])
+    # arbitrary Mapping candidates may omit either windowed knob: default
+    # like the runtime does instead of crashing the viability loop
+    k = cfg.get("steps_per_call") or 16
+    halo = ps.halo_for_steps(k)
     fold = int(cfg.get("fold") or 1)
     if fold > 1:
         w_cols = shape[1] * fold
         tr = cfg.get("block_rows") or ps.choose_block_rows(
             -(-shape[0] // fold), w_cols, halo=halo, boundary=boundary
         )
-        return ps.window_compile_ok(
-            tr, halo, w_cols, boundary, cfg["steps_per_call"]
-        )
+        return ps.window_compile_ok(tr, halo, w_cols, boundary, k)
     if cfg.get("block_cols"):
         w_cols = cfg["block_cols"] + 2 * ps.COL_HALO
     else:
         w_cols = shape[1]
-    return ps.window_compile_ok(
-        cfg["block_rows"], halo, w_cols, boundary, cfg["steps_per_call"]
+    tr = cfg.get("block_rows") or ps.choose_block_rows(
+        shape[0], w_cols, halo=halo, boundary=boundary
     )
+    return ps.window_compile_ok(tr, halo, w_cols, boundary, k)
 
 
 def _wide_domain_candidates(
@@ -152,20 +154,23 @@ def _engine_candidates(shape, dtype: str) -> list[dict]:
     VMEM-resident kernel, wherever each supports the domain. The winner's
     record carries ``engine`` so the backend follows the measured verdict
     instead of the static preference order."""
-    if dtype != "float32":
-        return []
     out = []
     tr = mk.choose_mega_rows(*shape)
     # skip mega candidates whose forced row blocks carry high halo
     # redundancy (very wide domains): measuring a known-inefficient
-    # config only wastes tuner budget
+    # config only wastes tuner budget. The megakernel supports bf16
+    # storage too (the shipped per-dtype verdicts measured it +9.5% to
+    # +22.7% over bf16-windowed) — without a mega candidate here, bf16
+    # tuning at unlisted shapes would persist a windowed record that
+    # then pins the shape to the slower kernel permanently.
     if mk.mega_ok(shape, tr) and (tr + 2 * mk.MEGA_STEPS) / tr <= 1.3:
         out.append(dict(engine="mega"))
         half = tr // 2 // 8 * 8
         if half >= 8 and mk.mega_ok(shape, half) and \
                 (half + 2 * mk.MEGA_STEPS) / half <= 1.3:
             out.append(dict(engine="mega", block_rows=half))
-    if ps.resident_ok(shape):
+    # the resident kernel keeps the whole f32 state in VMEM: f32-only
+    if dtype == "float32" and ps.resident_ok(shape):
         out.append(dict(resident="on"))
     return out
 
@@ -235,7 +240,12 @@ def measure_config(
 
     from ..backends.pallas import PallasSimulation
 
-    sim = PallasSimulation(params, boundary=boundary, dtype=dtype, **config)
+    # tuned_lookup=False isolates the measurement from the autotune store
+    # and the shipped verdicts: each candidate must run exactly what it
+    # pins — a persisted pack/engine record acting through the 'auto'
+    # modes would otherwise make every candidate measure the same config
+    sim = PallasSimulation(params, boundary=boundary, dtype=dtype,
+                           tuned_lookup=False, **config)
     species = sim.make_species(shape)
     engine, pack = "windowed", False
     if species.storage[0] == "mega":
@@ -261,9 +271,12 @@ def measure_config(
         _, _, tr_used, tc_used, _chalo, _halo, k = species.storage
         f_used = 1
     if steps is None:
-        # 64 blocks, the sweep methodology: short runs compress the gap
-        # between configs (fixed warmup dominates) and can misrank them
-        steps = 64 * k
+        # a FIXED work target across candidates (rounded up to this
+        # candidate's K): with steps proportional to K, the constant
+        # per-measurement dispatch+sync overhead (~25-30 ms on a tunneled
+        # TPU) is amortized over half the work for K=8 candidates,
+        # systematically misranking them against K=16 ones
+        steps = -(-1024 // k) * k
     sim.prepare_steps(species, k)  # compile + warmup
     float(np.asarray(jnp.sum(species.result()[:1, :128])))
     best = float("inf")

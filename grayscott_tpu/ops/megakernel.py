@@ -400,7 +400,6 @@ def mega_ok(shape, tr: int | None = None, halo: int = MEGA_STEPS,
     then the packed (r, 2*c) extent)."""
     r, c = shape
     tr = tr or choose_mega_rows(r, c, halo, species, strip_store)
-    w = tr + 2 * halo
     return (
         mega_vmem_limit(tr, halo, c, species, strip_store)
         >= _mega_vmem_est(tr, halo, c, species, strip_store)
@@ -471,6 +470,11 @@ def megastep_impl(
         raise ValueError(f"steps must be in [1, {halo}], got {steps}")
     if strip_store and boundary != "naive":
         raise ValueError("strip_store is naive-only")
+    if strip_store and n_shards > 1:
+        # the strip-store top-edge predicate is "first row block", which
+        # on shard > 0 is NOT global row 0 — applying the row-0 edge
+        # formula there would silently corrupt interior rows
+        raise ValueError("strip_store is single-chip only")
     if (n_shards > 1) != (my_shard is not None):
         raise ValueError("sharded mode needs both n_shards and my_shard")
     if n_shards > 1 and halo > tr:

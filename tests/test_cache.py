@@ -264,7 +264,8 @@ def test_fold_record_adoption(monkeypatch, tmp_path, params):
 
 def test_engine_candidates():
     """Engine candidates: mega wherever the domain supports full-width
-    windows, resident for VMEM-resident sizes, none for bf16 storage."""
+    windows (any storage dtype — the megakernel runs bf16 too), resident
+    for VMEM-resident f32 sizes only."""
     from grayscott_tpu.bench import autotune
 
     cands = autotune._engine_candidates((1080, 1920), "float32")
@@ -272,7 +273,9 @@ def test_engine_candidates():
     assert any(c.get("resident") == "on" for c in cands)
     for c in cands:
         assert autotune._guard_ok(c, (1080, 1920), "naive"), c
-    assert autotune._engine_candidates((1080, 1920), "bfloat16") == []
+    bf = autotune._engine_candidates((1080, 1920), "bfloat16")
+    assert any(c.get("engine") == "mega" for c in bf)
+    assert not any(c.get("resident") for c in bf)  # resident is f32-only
     big = autotune._engine_candidates((8192, 8192), "float32")
     assert any(c.get("engine") == "mega" for c in big)
     assert not any(c.get("resident") for c in big)  # far past residency
