@@ -30,11 +30,16 @@ odd. Padding rows are never re-zeroed in HBM: windows sanitize
 out-of-domain cells on load exactly like the windowed kernel's
 ``sanitize`` mode.
 
-Pipeline per time block: the inner loop prefetches row block ``b+1``'s
-window while computing block ``b`` (same-``t`` prefetch is always safe:
-reads and writes go to different pair slots). Crossing a time boundary
-drains the two outstanding output DMAs first — the next block reads the
-rows they write — a ~10 us bubble per K steps instead of T0.
+Pipeline: the loop prefetches the next window while computing the
+current one (same-``t`` prefetch is always safe: reads and writes go to
+different pair slots). Single-chip domains with >= 4 row blocks run one
+SEAMLESS flat loop over (time block, row block) whose prefetch crosses
+time boundaries — the slot-restage wait at ``g-2`` orders every
+cross-boundary read after the previous block's writes, so the DMA
+pipeline never drains mid-run. Shorter domains and the sharded
+handshake keep the two-loop form, which drains the two outstanding
+output DMAs at each time boundary — a small bubble per K steps
+instead of T0.
 
 Boundary semantics, runtime reaction parameters, and the K-step in-VMEM
 step loop are shared with the windowed kernel
@@ -153,6 +158,36 @@ def _mega_kernel(
             for i in range(len(hbm))
         )
 
+    def run_window(s, b):
+        """Wait nothing, start nothing: sanitize slot ``s``'s staged
+        window, run the K-step in-VMEM loop, return the interior rows."""
+        giota = (row0 + b * tr - halo) + jax.lax.broadcasted_iota(
+            jnp.int32, (w, 1), 0
+        )
+        ctx = precompute(giota, r, gcol, c_dom)
+        if pack:
+            x = ins[0][s]
+            if not store_f32:
+                x = x.astype(jnp.float32)
+            if ctx["dommask"] is not None:
+                # sanitize on load: HBM padding is never re-zeroed
+                x = jnp.where(ctx["dommask"], x, 0.0)
+            for _ in range(steps):
+                x = step(x, ctx)
+            return (x[halo : halo + tr],)
+        u = ins[0][s]
+        v = ins[1][s]
+        if not store_f32:
+            u = u.astype(jnp.float32)
+            v = v.astype(jnp.float32)
+        if ctx["dommask"] is not None:
+            u = jnp.where(ctx["dommask"], u, 0.0)
+            v = jnp.where(ctx["dommask"], v, 0.0)
+        fix = (*fix_refs, b == 0) if fix_refs is not None else None
+        for _ in range(steps):
+            u, v = step(u, v, ctx, fix)
+        return (u[halo : halo + tr], v[halo : halo + tr])
+
     if n_shards > 1:
         my = scal_ref[1]
         rp = b_blocks * tr
@@ -252,33 +287,7 @@ def _mega_kernel(
 
             for d in in_dma(s, src, b):
                 d.wait()
-            giota = (row0 + b * tr - halo) + jax.lax.broadcasted_iota(
-                jnp.int32, (w, 1), 0
-            )
-            ctx = precompute(giota, r, gcol, c_dom)
-            if pack:
-                x = xin_s[s]
-                if not store_f32:
-                    x = x.astype(jnp.float32)
-                if ctx["dommask"] is not None:
-                    # sanitize on load: HBM padding is never re-zeroed
-                    x = jnp.where(ctx["dommask"], x, 0.0)
-                for _ in range(steps):
-                    x = step(x, ctx)
-                uv_out = (x[halo : halo + tr],)
-            else:
-                u = uin_s[s]
-                v = vin_s[s]
-                if not store_f32:
-                    u = u.astype(jnp.float32)
-                    v = v.astype(jnp.float32)
-                if ctx["dommask"] is not None:
-                    u = jnp.where(ctx["dommask"], u, 0.0)
-                    v = jnp.where(ctx["dommask"], v, 0.0)
-                fix = (*fix_refs, b == 0) if fix_refs is not None else None
-                for _ in range(steps):
-                    u, v = step(u, v, ctx, fix)
-                uv_out = (u[halo : halo + tr], v[halo : halo + tr])
+            uv_out = run_window(s, b)
             if b_blocks > 2:
                 # slot s's previous output DMA (row block b-2) may still
                 # be in flight; finish it before restaging the slot
@@ -330,7 +339,77 @@ def _mega_kernel(
                 for cp in dst_up:
                     cp.wait_send()
 
-    jax.lax.fori_loop(0, n_t, time_body, None, unroll=False)
+    if n_shards == 1 and b_blocks >= 4:
+        # --- seamless pipeline: one flat loop over (time block, row
+        # block), so the DMA pipeline never drains at a time boundary.
+        # The next iteration's window prefetch crosses the boundary (the
+        # first windows of time block t+1 are staged while block t's
+        # last rows still compute), which removes the per-time-block
+        # serial bubble of the two-loop form (drain outputs -> load
+        # block 0 -> compute); measured as the f32 kernel's residual
+        # DMA-overlap slack (BENCHMARKS.md "on-chip device time").
+        # Safety: in(g+1)'s window reads rows written by outputs up to
+        # global index g+2-B of the previous time block, and the slot
+        # restage below waits out(g-2) before the prefetch issues — so
+        # every read-after-write is semaphore-ordered iff B >= 4 (the
+        # two-loop form remains for shorter domains and the sharded
+        # handshake, whose recv waits assume the per-t structure).
+        n_g = n_t * b_blocks
+
+        @pl.when(n_g > 0)
+        def _():
+            for d in in_dma(0, 0, 0):  # g=0: time block 0 reads slot 0
+                d.start()
+
+        def g_body(g, _):
+            t = jax.lax.div(g, b_blocks)
+            b = g - t * b_blocks
+            src = jax.lax.rem(t, 2)
+            dst = 1 - src
+            s = jax.lax.rem(g, 2)
+
+            # finish the slot's previous output DMA (iteration g-2)
+            # before restaging it below AND before the prefetch: by
+            # induction every output <= g-2 is then complete. The wait
+            # descriptor only contributes the copy's extent (all outputs
+            # are (tr, c)); the actual rows/slot of g-2's copy are
+            # irrelevant to the semaphore it waits on.
+            @pl.when(g >= 2)
+            def _():
+                for d in out_dma(s, dst, b):
+                    d.wait()
+
+            @pl.when(g + 1 < n_g)
+            def _():
+                t1 = jax.lax.div(g + 1, b_blocks)
+                for d in in_dma(1 - s, jax.lax.rem(t1, 2),
+                                g + 1 - t1 * b_blocks):
+                    d.start()
+
+            for d in in_dma(s, src, b):
+                d.wait()
+            uv_out = run_window(s, b)
+            for o_ref, val in zip(outs, uv_out):
+                o_ref[s] = val if store_f32 else val.astype(o_ref.dtype)
+            for d in out_dma(s, dst, b):
+                d.start()
+
+        jax.lax.fori_loop(0, n_g, g_body, None, unroll=False)
+
+        # drain the final two output DMAs (every earlier one was waited
+        # at its slot's restage); with B >= 2 both belong to the last
+        # time block, so their true destination slot is derivable
+        @pl.when(n_g > 0)
+        def _():
+            last_dst = 1 - jax.lax.rem(n_t - 1, 2)
+            for d in out_dma(jax.lax.rem(n_g - 1, 2), last_dst,
+                             b_blocks - 1):
+                d.wait()
+            for d in out_dma(jax.lax.rem(n_g - 2, 2), last_dst,
+                             b_blocks - 2):
+                d.wait()
+    else:
+        jax.lax.fori_loop(0, n_t, time_body, None, unroll=False)
 
     if n_shards > 1:
         # consume the final time block's arrivals (every earlier block's
