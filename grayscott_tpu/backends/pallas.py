@@ -288,23 +288,41 @@ class PallasSimulation(Simulation):
             return int(tuned["fold"] or 1)  # the measured verdict
         return 1
 
+    def _mega_tiles(self, shape, tuned=None) -> Tuple[int, int | None]:
+        """(tr, tc) the megakernel would run with: explicit pins first,
+        then an engine='mega' record's measured tiles, then the geometry
+        heuristic (tc=None = full-width windows; a pinned tr alone also
+        means full-width, the pre-column-tiling contract)."""
+        strip = self.naive_fix == "store"
+        tr, tc = self.block_rows, self.block_cols
+        if tuned and tuned.get("engine") == "mega":
+            if tr is None:
+                tr = tuned.get("block_rows")
+            if tc is None:
+                tc = tuned.get("block_cols")
+        if tc is not None and tc >= shape[1]:
+            tc = None
+        if tr is None and tc is None:
+            return mk.choose_mega_geometry(*shape, strip_store=strip)
+        if tr is None:
+            tr = mk.choose_mega_rows(
+                *shape, strip_store=strip, tc=tc,
+                chalo=ps.COL_HALO if tc is not None else 0,
+            )
+        return tr, tc
+
     def _use_mega(self, shape, tuned=_MISS) -> bool:
         if self.engine == "windowed":
             return False
         strip = self.naive_fix == "store"
-        tr = self.block_rows or mk.choose_mega_rows(
-            *shape, strip_store=strip
-        )
-        supported = (
-            self.block_cols is None
-            and not (isinstance(self.fold, int) and self.fold > 1)
-            and mk.mega_ok(shape, tr, strip_store=strip)
-        )
         if self.engine == "mega":
-            if not supported:
+            tr, tc = self._mega_tiles(shape)  # pins only: forced engine
+            if (isinstance(self.fold, int) and self.fold > 1) or \
+                    not mk.mega_ok(shape, tr, strip_store=strip, tc=tc):
                 raise ValueError(
-                    "engine='mega' needs full-width windows "
-                    f"and no lane fold; unsupported for shape {shape}"
+                    "engine='mega' needs windows under the VMEM/compile "
+                    f"ceilings and no lane fold; unsupported for shape "
+                    f"{shape} at tr={tr}, tc={tc}"
                 )
             return True
         # auto: the megakernel is the TPU default for every domain it
@@ -317,11 +335,14 @@ class PallasSimulation(Simulation):
         # engine='mega' explicitly); explicit tile/K pins mean "I want
         # THE windowed kernel with these knobs" (also what persisted
         # windowed autotune records rely on).
+        tr, tc = mk.choose_mega_geometry(*shape, strip_store=strip)
         if not (
-            supported
+            not (isinstance(self.fold, int) and self.fold > 1)
+            and mk.mega_ok(shape, tr, strip_store=strip, tc=tc)
             and not self.interpret
             and not self._explicit_k
             and self.block_rows is None
+            and self.block_cols is None
             and self.resident != "on"
             and self._fold_factor(shape, tuned) == 1
         ):
@@ -338,10 +359,12 @@ class PallasSimulation(Simulation):
             return False
         # no measured verdict: static preference declines mega where the
         # resident kernel fits (hardware: 43.3 vs 39.4 Gcell/s at
-        # 1080x1920) and on very wide domains whose tiny row blocks give
-        # high halo redundancy (windowed column tiling is the right tool)
+        # 1080x1920) and on domains whose best window geometry still
+        # carries high halo redundancy (windowed column tiling is the
+        # right tool there)
+        r, c = shape
         return (
-            (tr + 2 * mk.MEGA_STEPS) / tr <= 1.3
+            mk.mega_window_cells(r, c, tr, tc) <= 1.3 * r * c
             and not (self.resident == "auto" and ps.resident_ok(shape))
         )
 
@@ -456,14 +479,11 @@ class PallasSimulation(Simulation):
             # (pack is disabled here): fall back to heuristics
             tuned = None
         if self._use_mega(u.shape, tuned):
-            tr = self.block_rows
-            if tr is None and tuned and tuned.get("engine") == "mega":
-                tr = tuned.get("block_rows")
-            tr = tr or mk.choose_mega_rows(
-                *u.shape, strip_store=self.naive_fix == "store"
-            )
-            u_pair, v_pair = mk.mega_pad_state(u, v, tr, dtype=self.dtype)
-            return ("mega", jnp.asarray(u_pair), jnp.asarray(v_pair), tr)
+            tr, tc = self._mega_tiles(u.shape, tuned)
+            u_pair, v_pair = mk.mega_pad_state(u, v, tr, dtype=self.dtype,
+                                               tc=tc)
+            return ("mega", jnp.asarray(u_pair), jnp.asarray(v_pair),
+                    tr, tc)
         f = self._fold_factor(u.shape, tuned)
         if f > 1:
             r, c = u.shape
@@ -523,9 +543,11 @@ class PallasSimulation(Simulation):
             _, x_pad, _, halo, _ = storage
             return ps.unpack_state(x_pad, halo, r, c)
         if storage[0] == "mega":
-            _, u_pair, v_pair, _ = storage
+            _, u_pair, v_pair, _, tc = storage
             h = mk.MEGA_STEPS
-            u, v = u_pair[0, h : h + r, :], v_pair[0, h : h + r, :]
+            ch = ps.COL_HALO if tc is not None else 0
+            u = u_pair[0, h : h + r, ch : ch + c]
+            v = v_pair[0, h : h + r, ch : ch + c]
             if self.dtype != jnp.float32:  # host views are f32
                 u, v = u.astype(jnp.float32), v.astype(jnp.float32)
             return u, v
@@ -623,12 +645,13 @@ class PallasSimulation(Simulation):
                 x = ps.packed_multistep(x, reaction, steps=rem, **common)
             return ("packed", x, tr, halo, k)
         if storage[0] == "mega":
-            _, u, v, tr = storage
+            _, u, v, tr, tc = storage
             common = dict(
                 tr=tr, r=r, params=kernel_params, boundary=self.boundary,
                 interpret=self.interpret, dt_is_one=dt_is_one,
                 vmem_limit_bytes=self.vmem_limit_bytes,
                 strip_store=self.naive_fix == "store",
+                tc=tc, c_dom=c if tc is not None else None,
             )
             n_full, rem = divmod(steps, mk.MEGA_STEPS)
             if n_full:
@@ -640,7 +663,7 @@ class PallasSimulation(Simulation):
                 u, v = mk.megastep(
                     u, v, jnp.int32(1), reaction, steps=rem, **common,
                 )
-            return ("mega", u, v, tr)
+            return ("mega", u, v, tr, tc)
         if storage[0] == "folded":
             _, u, v, tr, halo, k, f, rp = storage
             common = dict(
@@ -723,7 +746,8 @@ class PallasSimulation(Simulation):
             "--pallas-block-cols", type=int,
             default=env_default("GRAYSCOTT_PALLAS_BLOCK_COLS", None, int),
             help="Column-tile size (multiple of 128) for very wide domains; "
-            "default: full width unless the window would exceed VMEM",
+            "default: full width unless the window would exceed VMEM. "
+            "With --pallas-engine mega, pins the megakernel's column tile",
         )
         parser.add_argument(
             "--pallas-dtype", choices=["float32", "bfloat16"],

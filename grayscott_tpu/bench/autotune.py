@@ -76,7 +76,10 @@ def _guard_ok(cfg: Mapping, shape, boundary: str) -> bool:
         )
         return ps.window_compile_ok(tr, halo, 2 * c, "zero", k)
     if cfg.get("engine") == "mega":
-        return mk.mega_ok(shape, cfg.get("block_rows"))
+        # pin semantics mirror the runtime: block_rows alone = full-width
+        # windows; block_cols = the megakernel's column tile
+        return mk.mega_ok(shape, cfg.get("block_rows"),
+                          tc=cfg.get("block_cols"))
     if cfg.get("resident") == "on":
         return ps.resident_ok(shape)
     # arbitrary Mapping candidates may omit either windowed knob: default
@@ -155,20 +158,35 @@ def _engine_candidates(shape, dtype: str) -> list[dict]:
     record carries ``engine`` so the backend follows the measured verdict
     instead of the static preference order."""
     out = []
-    tr = mk.choose_mega_rows(*shape)
-    # skip mega candidates whose forced row blocks carry high halo
-    # redundancy (very wide domains): measuring a known-inefficient
-    # config only wastes tuner budget. The megakernel supports bf16
-    # storage too (the shipped per-dtype verdicts measured it +9.5% to
-    # +22.7% over bf16-windowed) — without a mega candidate here, bf16
-    # tuning at unlisted shapes would persist a windowed record that
-    # then pins the shape to the slower kernel permanently.
-    if mk.mega_ok(shape, tr) and (tr + 2 * mk.MEGA_STEPS) / tr <= 1.3:
+    r, c = shape
+    tr, tc = mk.choose_mega_geometry(r, c)
+    # skip mega candidates whose forced window geometry carries high halo
+    # redundancy (measuring a known-inefficient config only wastes tuner
+    # budget). The megakernel supports bf16 storage too (the shipped
+    # per-dtype verdicts measured it +9.5% to +22.7% over bf16-windowed)
+    # — without a mega candidate here, bf16 tuning at unlisted shapes
+    # would persist a windowed record that then pins the shape to the
+    # slower kernel permanently.
+    if mk.mega_ok(shape, tr, tc=tc) and \
+            mk.mega_window_cells(r, c, tr, tc) <= 1.3 * r * c:
         out.append(dict(engine="mega"))
-        half = tr // 2 // 8 * 8
-        if half >= 8 and mk.mega_ok(shape, half) and \
-                (half + 2 * mk.MEGA_STEPS) / half <= 1.3:
-            out.append(dict(engine="mega", block_rows=half))
+        if tc is None:
+            half = tr // 2 // 8 * 8
+            if half >= 8 and mk.mega_ok(shape, half) and \
+                    (half + 2 * mk.MEGA_STEPS) / half <= 1.3:
+                out.append(dict(engine="mega", block_rows=half))
+        else:
+            # the geometry heuristic picked column tiles on a 3%-bias
+            # cost model — let the hardware also rank the full-width
+            # form (pin semantics: block_rows alone = full-width
+            # windows) and the double-width tile (fewer column halos,
+            # thinner row tiles) when they exist
+            tr_fw = mk.choose_mega_rows(r, c)
+            if mk.mega_ok(shape, tr_fw) and \
+                    (tr_fw + 2 * mk.MEGA_STEPS) / tr_fw <= 1.3:
+                out.append(dict(engine="mega", block_rows=tr_fw))
+            if 2 * tc < c and mk.mega_ok(shape, None, tc=2 * tc):
+                out.append(dict(engine="mega", block_cols=2 * tc))
     # the resident kernel keeps the whole f32 state in VMEM: f32-only
     if dtype == "float32" and ps.resident_ok(shape):
         out.append(dict(resident="on"))
@@ -250,7 +268,8 @@ def measure_config(
     engine, pack = "windowed", False
     if species.storage[0] == "mega":
         engine = "mega"
-        tr_used, tc_used, f_used, k = species.storage[3], None, 1, mk.MEGA_STEPS
+        tr_used, tc_used = species.storage[3], species.storage[4]
+        f_used, k = 1, mk.MEGA_STEPS
     elif species.storage[0] == "megapack":
         engine, pack = "mega", True
         tr_used, tc_used, f_used, k = species.storage[2], None, 1, mk.MEGA_STEPS
@@ -377,7 +396,8 @@ def autotune(
                            "block_rows": m["block_rows"],
                            "steps_per_call": m["steps_per_call"]}
             elif m.get("engine") == "mega":
-                cfg = {"engine": "mega", "block_rows": m["block_rows"]}
+                cfg = {"engine": "mega", "block_rows": m["block_rows"],
+                       "block_cols": m.get("block_cols")}
             elif m.get("engine") == "resident":
                 cfg = {"resident": "on"}
             else:

@@ -30,6 +30,15 @@ odd. Padding rows are never re-zeroed in HBM: windows sanitize
 out-of-domain cells on load exactly like the windowed kernel's
 ``sanitize`` mode.
 
+Column tiling (``tc``): on very wide domains the VMEM budget forces
+full-width row tiles so thin that their halo redundancy dominates (22%
+window overhead at 16384-wide f32). The flat block loop then enumerates
+(row block, column block) pairs, windows become ``(tr + 16, tc + 256)``
+column slices with a 128-lane halo ring (the windowed kernel's 2-D grid
+made manual), and ``choose_mega_geometry`` picks the cheaper of the two
+forms by total window cells. The pair layout gains column padding:
+``(2, halo + Rp + halo, 128 + Cp + 128)``.
+
 Pipeline: the loop prefetches the next window while computing the
 current one (same-``t`` prefetch is always safe: reads and writes go to
 different pair slots). Single-chip domains with >= 4 row blocks run one
@@ -73,6 +82,8 @@ def _mega_kernel(
     r: int, params, boundary: str,
     runtime_params: bool, dt_is_one: bool, pack: bool = False,
     strip_store: bool = False, n_shards: int = 1,
+    tc: int | None = None, chalo: int = 0, c_blocks: int = 1,
+    c_dom: int | None = None,
 ):
     """One whole run: scal = [n_time_blocks] (+ [my_shard] when
     sharded); refs = optional reaction SMEM, then (u_pair, v_pair) HBM
@@ -127,32 +138,53 @@ def _mega_kernel(
         hbm, ins, outs = (u_hbm, v_hbm), (uin_s, vin_s), (uout_s, vout_s)
     n_t = scal_ref[0]
     w = tr + 2 * halo
+    # column tiling (``tc``): flat block index b enumerates (row block,
+    # column block) pairs column-fastest; windows become (w, tc + 2*chalo)
+    # slices with a 128-lane column halo ring — the megakernel analog of
+    # the windowed kernel's 2-D grid (multistep_impl ``tc``), for domains
+    # so wide that full-width windows force thin, halo-redundant row tiles
+    wc = (tc + 2 * chalo) if tc is not None else c
+    n_b = b_blocks * c_blocks
     # bf16 is a STORAGE mode (BENCHMARKS.md): windows upcast to f32 on
     # load, round once per K-step block on store — same policy as the
     # windowed kernel (pallas_stencil._kernel)
     store_f32 = hbm[0].dtype == jnp.float32
     precompute, step = ps.make_window_stepper(
-        params, boundary, w, c, halo, 0, dtype=jnp.float32,
+        params, boundary, w, wc, halo, chalo, dtype=jnp.float32,
         reaction=reaction, pack=pack,
     )
-    gcol = ps._col_iota(c)
-    c_dom = c // 2 if pack else c
+    # block-local column index; column-tiled windows add bc*tc per window
+    gcol0 = ps._col_iota(wc) - chalo
+    c_tot = c // 2 if pack else (c_dom if c_dom is not None else c)
+
+    def split_b(b):
+        """Flat block index -> (row block, column block)."""
+        if c_blocks == 1:
+            return b, None
+        br = jax.lax.div(b, c_blocks)
+        return br, b - br * c_blocks
 
     def in_dma(slot, src, b):
-        row = pl.multiple_of(b * tr, 8)
+        br, bc = split_b(b)
+        idx = (src, pl.ds(pl.multiple_of(br * tr, 8), w))
+        if bc is not None:
+            idx += (pl.ds(pl.multiple_of(bc * tc, 128), wc),)
         return tuple(
             pltpu.make_async_copy(
-                hbm[i].at[src, pl.ds(row, w)], ins[i].at[slot],
+                hbm[i].at[idx], ins[i].at[slot],
                 insem.at[slot, i],
             )
             for i in range(len(hbm))
         )
 
     def out_dma(slot, dst, b):
-        row = pl.multiple_of(halo + b * tr, 8)
+        br, bc = split_b(b)
+        idx = (dst, pl.ds(pl.multiple_of(halo + br * tr, 8), tr))
+        if bc is not None:
+            idx += (pl.ds(pl.multiple_of(chalo + bc * tc, 128), tc),)
         return tuple(
             pltpu.make_async_copy(
-                outs[i].at[slot], hbm[i].at[dst, pl.ds(row, tr)],
+                outs[i].at[slot], hbm[i].at[idx],
                 outsem.at[slot, i],
             )
             for i in range(len(hbm))
@@ -161,10 +193,14 @@ def _mega_kernel(
     def run_window(s, b):
         """Wait nothing, start nothing: sanitize slot ``s``'s staged
         window, run the K-step in-VMEM loop, return the interior rows."""
-        giota = (row0 + b * tr - halo) + jax.lax.broadcasted_iota(
+        br, bc = split_b(b)
+        giota = (row0 + br * tr - halo) + jax.lax.broadcasted_iota(
             jnp.int32, (w, 1), 0
         )
-        ctx = precompute(giota, r, gcol, c_dom)
+        gcol = gcol0 if bc is None else bc * tc + gcol0
+        interior = (slice(halo, halo + tr),) if tc is None else (
+            slice(halo, halo + tr), slice(chalo, chalo + tc))
+        ctx = precompute(giota, r, gcol, c_tot)
         if pack:
             x = ins[0][s]
             if not store_f32:
@@ -174,7 +210,7 @@ def _mega_kernel(
                 x = jnp.where(ctx["dommask"], x, 0.0)
             for _ in range(steps):
                 x = step(x, ctx)
-            return (x[halo : halo + tr],)
+            return (x[interior],)
         u = ins[0][s]
         v = ins[1][s]
         if not store_f32:
@@ -186,7 +222,7 @@ def _mega_kernel(
         fix = (*fix_refs, b == 0) if fix_refs is not None else None
         for _ in range(steps):
             u, v = step(u, v, ctx, fix)
-        return (u[halo : halo + tr], v[halo : halo + tr])
+        return (u[interior], v[interior])
 
     if n_shards > 1:
         my = scal_ref[1]
@@ -280,7 +316,7 @@ def _mega_kernel(
                     for cp in src_up:
                         cp.wait_recv()
 
-            @pl.when(b + 1 < b_blocks)
+            @pl.when(b + 1 < n_b)
             def _():
                 for d in in_dma(1 - s, src, b + 1):
                     d.start()
@@ -288,8 +324,8 @@ def _mega_kernel(
             for d in in_dma(s, src, b):
                 d.wait()
             uv_out = run_window(s, b)
-            if b_blocks > 2:
-                # slot s's previous output DMA (row block b-2) may still
+            if n_b > 2:
+                # slot s's previous output DMA (flat block b-2) may still
                 # be in flight; finish it before restaging the slot
                 @pl.when(b >= 2)
                 def _():
@@ -300,12 +336,12 @@ def _mega_kernel(
             for d in out_dma(s, dst, b):
                 d.start()
 
-        jax.lax.fori_loop(0, b_blocks, block_body, None, unroll=False)
+        jax.lax.fori_loop(0, n_b, block_body, None, unroll=False)
         # drain before the next time block reads these rows from `dst`
-        if b_blocks >= 2:
-            for d in out_dma((b_blocks - 2) % 2, dst, b_blocks - 2):
+        if n_b >= 2:
+            for d in out_dma((n_b - 2) % 2, dst, n_b - 2):
                 d.wait()
-        for d in out_dma((b_blocks - 1) % 2, dst, b_blocks - 1):
+        for d in out_dma((n_b - 1) % 2, dst, n_b - 1):
             d.wait()
         if n_shards > 1:
             # push this block's fresh boundary rows into the neighbors'
@@ -339,22 +375,28 @@ def _mega_kernel(
                 for cp in dst_up:
                     cp.wait_send()
 
-    if n_shards == 1 and b_blocks >= 4:
+    if n_shards == 1 and (
+        n_b >= 4 if c_blocks == 1 else (b_blocks - 1) * c_blocks >= 4
+    ):
         # --- seamless pipeline: one flat loop over (time block, row
-        # block), so the DMA pipeline never drains at a time boundary.
-        # The next iteration's window prefetch crosses the boundary (the
-        # first windows of time block t+1 are staged while block t's
-        # last rows still compute), which removes the per-time-block
-        # serial bubble of the two-loop form (drain outputs -> load
-        # block 0 -> compute); measured as the f32 kernel's residual
-        # DMA-overlap slack (BENCHMARKS.md "on-chip device time").
-        # Safety: in(g+1)'s window reads rows written by outputs up to
-        # global index g+2-B of the previous time block, and the slot
-        # restage below waits out(g-2) before the prefetch issues — so
-        # every read-after-write is semaphore-ordered iff B >= 4 (the
-        # two-loop form remains for shorter domains and the sharded
-        # handshake, whose recv waits assume the per-t structure).
-        n_g = n_t * b_blocks
+        # block, column block), so the DMA pipeline never drains at a
+        # time boundary. The next iteration's window prefetch crosses the
+        # boundary (the first windows of time block t+1 are staged while
+        # block t's last rows still compute), which removes the
+        # per-time-block serial bubble of the two-loop form (drain
+        # outputs -> load block 0 -> compute); measured as the f32
+        # kernel's residual DMA-overlap slack (BENCHMARKS.md "on-chip
+        # device time").
+        # Safety: in(g+1)'s window reads cells written by the previous
+        # time block's outputs up to flat index g+2-B for full-width
+        # windows (neighbor row block br+1) and g+2-B+Bc for column-tiled
+        # ones (corner neighbor (br+1, bc+1)); the slot restage below
+        # waits out(g-2) before the prefetch issues — so every
+        # read-after-write is semaphore-ordered iff B >= 4 (full-width)
+        # resp. B - Bc >= 4 (column-tiled). The two-loop form remains for
+        # shorter domains and the sharded handshake, whose recv waits
+        # assume the per-t structure.
+        n_g = n_t * n_b
 
         @pl.when(n_g > 0)
         def _():
@@ -362,8 +404,8 @@ def _mega_kernel(
                 d.start()
 
         def g_body(g, _):
-            t = jax.lax.div(g, b_blocks)
-            b = g - t * b_blocks
+            t = jax.lax.div(g, n_b)
+            b = g - t * n_b
             src = jax.lax.rem(t, 2)
             dst = 1 - src
             s = jax.lax.rem(g, 2)
@@ -381,9 +423,9 @@ def _mega_kernel(
 
             @pl.when(g + 1 < n_g)
             def _():
-                t1 = jax.lax.div(g + 1, b_blocks)
+                t1 = jax.lax.div(g + 1, n_b)
                 for d in in_dma(1 - s, jax.lax.rem(t1, 2),
-                                g + 1 - t1 * b_blocks):
+                                g + 1 - t1 * n_b):
                     d.start()
 
             for d in in_dma(s, src, b):
@@ -403,10 +445,10 @@ def _mega_kernel(
         def _():
             last_dst = 1 - jax.lax.rem(n_t - 1, 2)
             for d in out_dma(jax.lax.rem(n_g - 1, 2), last_dst,
-                             b_blocks - 1):
+                             n_b - 1):
                 d.wait()
             for d in out_dma(jax.lax.rem(n_g - 2, 2), last_dst,
-                             b_blocks - 2):
+                             n_b - 2):
                 d.wait()
     else:
         jax.lax.fori_loop(0, n_t, time_body, None, unroll=False)
@@ -442,7 +484,8 @@ def _mega_kernel(
 
 
 def _mega_vmem_est(tr: int, halo: int, c: int, species: int,
-                   strip_store: bool = False) -> float:
+                   strip_store: bool = False, tc: int | None = None,
+                   chalo: int = 0) -> float:
     """Scoped-VMEM estimate: per-species 2 window slots + 2 output slots,
     plus the step loop's stack liveness. The 13.3x liveness anchor was
     measured on the unpacked kernel per ONE species' window bytes with
@@ -450,20 +493,29 @@ def _mega_vmem_est(tr: int, halo: int, c: int, species: int,
     same total state in one double-wide array, so its liveness estimate
     is the pair-equivalent (half the packed array width).
     ``strip_store`` adds the two explicit (W, C) fix-up scratch
-    windows."""
+    windows. ``tc``: column-tiled windows — slots and liveness scale
+    with the (w, tc + 2*chalo) window instead of the full width."""
     w = tr + 2 * halo
-    slots = species * 2 * (w + tr) * c * 4
-    liveness = 13.3 * w * c * 4 * (species / 2)
+    wc = (tc + 2 * chalo) if tc is not None else c
+    otc = tc if tc is not None else c
+    slots = species * 2 * (w * wc + tr * otc) * 4
+    liveness = 13.3 * w * wc * 4 * (species / 2)
+    if tc is not None:
+        # the column-joined domain mask is a full (W, Wc) boolean (the
+        # full-width kernel's is (W, 1)): surcharge the liveness anchor
+        # the way choose_vmem_limit derates naive's (W, C) b_field
+        liveness *= 1.10
     if strip_store:
-        slots += 2 * w * c * 4
+        slots += 2 * w * wc * 4
     return slots + liveness
 
 
 def mega_vmem_limit(tr: int, halo: int, c: int, species: int = 2,
-                    strip_store: bool = False) -> int:
+                    strip_store: bool = False, tc: int | None = None,
+                    chalo: int = 0) -> int:
     """Scoped-VMEM tier for the estimate (quantized so standard configs
     keep stable compile params)."""
-    est = _mega_vmem_est(tr, halo, c, species, strip_store)
+    est = _mega_vmem_est(tr, halo, c, species, strip_store, tc, chalo)
     for tier in (64 << 20, 100 << 20, 120 << 20):
         if est <= tier:
             return tier
@@ -471,34 +523,51 @@ def mega_vmem_limit(tr: int, halo: int, c: int, species: int = 2,
 
 
 def mega_ok(shape, tr: int | None = None, halo: int = MEGA_STEPS,
-            species: int = 2, strip_store: bool = False) -> bool:
-    """Whether the megakernel supports this domain: full-width windows
-    must fit the VMEM budget (very wide domains need the windowed
-    kernel's column tiling) and the K-unrolled graph must clear the
-    Mosaic compile ceiling. ``species=1`` = the packed layout (shape is
-    then the packed (r, 2*c) extent)."""
+            species: int = 2, strip_store: bool = False,
+            tc: int | None = None) -> bool:
+    """Whether the megakernel supports this domain: windows (full-width,
+    or ``(w, tc + 256)`` column tiles) must fit the VMEM budget and the
+    K-unrolled graph must clear the Mosaic compile ceiling. Resolution
+    mirrors the runtime: ``tr`` pinned alone means full-width windows at
+    that row block; neither pinned means the geometry heuristic picks
+    both. ``species=1`` = the packed layout (shape is then the packed
+    (r, 2*c) extent; full-width only)."""
     r, c = shape
-    tr = tr or choose_mega_rows(r, c, halo, species, strip_store)
+    if tc is not None and (strip_store or species != 2):
+        return False
+    if tr is None and tc is None and species == 2 and not strip_store:
+        tr, tc = choose_mega_geometry(r, c, halo)
+    chalo = ps.COL_HALO if tc is not None else 0
+    if tc is not None and not (128 <= tc < c and tc % 128 == 0):
+        return False
+    tr = tr or choose_mega_rows(r, c, halo, species, strip_store,
+                                tc=tc, chalo=chalo)
+    wc = (tc + 2 * chalo) if tc is not None else c
     return (
-        mega_vmem_limit(tr, halo, c, species, strip_store)
-        >= _mega_vmem_est(tr, halo, c, species, strip_store)
-        and ps.window_compile_ok(tr, halo, c, steps=halo)
+        mega_vmem_limit(tr, halo, c, species, strip_store, tc, chalo)
+        >= _mega_vmem_est(tr, halo, c, species, strip_store, tc, chalo)
+        and ps.window_compile_ok(tr, halo, wc, steps=halo)
     )
 
 
 def choose_mega_rows(r: int, c: int, halo: int = MEGA_STEPS,
-                     species: int = 2, strip_store: bool = False) -> int:
+                     species: int = 2, strip_store: bool = False,
+                     tc: int | None = None, chalo: int = 0) -> int:
     """Row-block size: largest padding-free tile whose window pair plus
     slots fit the 120 MB VMEM tier, preferring >= 2 blocks so the inner
     loop can prefetch (B=1 serializes each time block's DMA against
-    compute). Scored like choose_block_rows: total window rows."""
+    compute). Scored like choose_block_rows: total window rows.
+    ``tc``: size for (w, tc + 2*chalo) column-tiled windows instead of
+    full-width ones."""
+    wc = (tc + 2 * chalo) if tc is not None else c
     rp8 = -(-r // 8) * 8
     best, best_score = None, None
     for tr in range(8, min(rp8, 1024) + 1, 8):
         w = tr + 2 * halo
-        if not ps.window_compile_ok(tr, halo, c, steps=halo):
+        if not ps.window_compile_ok(tr, halo, wc, steps=halo):
             break
-        if _mega_vmem_est(tr, halo, c, species, strip_store) > (120 << 20):
+        if _mega_vmem_est(tr, halo, c, species, strip_store,
+                          tc, chalo) > (120 << 20):
             break
         n = -(-r // tr)
         if n == 1 and r > 2 * halo + 8:
@@ -511,19 +580,71 @@ def choose_mega_rows(r: int, c: int, halo: int = MEGA_STEPS,
     return best
 
 
+def mega_window_cells(r: int, c: int, tr: int, tc: int | None,
+                      halo: int = MEGA_STEPS) -> int:
+    """Total window cells per time block — the kernel's VPU compute
+    volume, folding together halo redundancy and round-up padding."""
+    w = tr + 2 * halo
+    if tc is None:
+        return -(-r // tr) * w * c
+    wc = tc + 2 * ps.COL_HALO
+    return -(-r // tr) * w * -(-c // tc) * wc
+
+
+def choose_mega_geometry(r: int, c: int, halo: int = MEGA_STEPS,
+                         strip_store: bool = False,
+                         species: int = 2) -> tuple[int, int | None]:
+    """(tr, tc): the megakernel window geometry for this domain.
+
+    Full-width windows (tc=None) are preferred — no column-halo
+    redundancy, contiguous DMA rows. Column tiling pays only on very
+    wide domains where the VMEM budget forces full-width row tiles so
+    thin that their row-halo redundancy exceeds the column tiles'
+    combined row+column redundancy (measured crossover: c=16384, where
+    full-width tr=72 carries 22% window overhead vs ~13% for
+    tc=8192/tr=160). Candidates are scored by total window cells with a
+    3% full-width bias (strided column-sliced DMAs and the (W, Wc)
+    column mask are unmodeled costs)."""
+    tr_fw = choose_mega_rows(r, c, halo, species, strip_store)
+    best: tuple[int, int | None] = (tr_fw, None)
+    fw_ok = mega_ok((r, c), tr_fw, halo, species, strip_store)
+    best_score = (
+        mega_window_cells(r, c, tr_fw, None, halo) / 1.03 if fw_ok
+        else float("inf")
+    )
+    if strip_store or species != 2:
+        return best  # column tiling is plain two-species only
+    for tc in (8192, 4096, 2048, 1024):
+        if tc >= c:
+            continue
+        tr = choose_mega_rows(r, c, halo, species, strip_store,
+                              tc=tc, chalo=ps.COL_HALO)
+        if not mega_ok((r, c), tr, halo, species, tc=tc):
+            continue
+        score = mega_window_cells(r, c, tr, tc, halo)
+        if score < best_score:
+            best, best_score = (tr, tc), score
+    return best
+
+
 def mega_pad_state(u: np.ndarray, v: np.ndarray, tr: int,
-                   halo: int = MEGA_STEPS, dtype=np.float32):
-    """(R, C) concentrations -> (2, halo + Rp + halo, C) HBM pairs.
+                   halo: int = MEGA_STEPS, dtype=np.float32,
+                   tc: int | None = None):
+    """(R, C) concentrations -> (2, halo + Rp + halo, C) HBM pairs
+    (column-tiled: (2, halo + Rp + halo, chalo + Cp + chalo), Cp the
+    tc-rounded width, chalo the 128-lane column halo ring).
     Slot 0 holds the current state; slot 1 starts zero (its in-domain
     cells are fully overwritten by the first time block; its padding is
     sanitized on every window load). ``dtype`` selects the storage
     precision (bfloat16 = the opt-in fast mode; compute stays f32)."""
     r, c = u.shape
     rp = -(-r // tr) * tr
+    chalo = ps.COL_HALO if tc is not None else 0
+    cp = c if tc is None else -(-c // tc) * tc
     out = []
     for x in (u, v):
-        buf = np.zeros((2, halo + rp + halo, c), dtype=dtype)
-        buf[0, halo : halo + r] = x.astype(dtype)
+        buf = np.zeros((2, halo + rp + halo, cp + 2 * chalo), dtype=dtype)
+        buf[0, halo : halo + r, chalo : chalo + c] = x.astype(dtype)
         out.append(buf)
     return out[0], out[1]
 
@@ -534,17 +655,20 @@ def megastep_impl(
     halo: int = MEGA_STEPS, interpret: bool = False,
     vmem_limit_bytes: int | None = None, dt_is_one: bool = False,
     strip_store: bool = False, n_shards: int = 1, my_shard=None,
+    tc: int | None = None, c_dom: int | None = None,
 ):
     """Advance the pair state by ``n_blocks`` (traced) x ``steps`` (static,
     <= halo) simulation steps in ONE kernel launch. Returns the new pairs
     with the current state in slot 0.
 
-    ``n_shards > 1`` (call inside ``shard_map`` with ``my_shard`` =
-    this chip's row index, a traced scalar): the multi-chip megakernel
-    — ``r`` is then the GLOBAL row count, the pair holds this shard's
-    row slab, and slot 0's halo rows must be valid at entry (the
-    caller pre-exchanges once per run, parallel/halo.py); they are
-    fresh again at exit. See ``_mega_kernel``."""
+    ``tc``: column-tiled windows for very wide domains (pairs built with
+    ``mega_pad_state(..., tc=tc)``; ``c_dom`` = the true domain width,
+    single-chip only). ``n_shards > 1`` (call inside ``shard_map`` with
+    ``my_shard`` = this chip's row index, a traced scalar): the
+    multi-chip megakernel — ``r`` is then the GLOBAL row count, the pair
+    holds this shard's row slab, and slot 0's halo rows must be valid at
+    entry (the caller pre-exchanges once per run, parallel/halo.py);
+    they are fresh again at exit. See ``_mega_kernel``."""
     if not (1 <= steps <= halo):
         raise ValueError(f"steps must be in [1, {halo}], got {steps}")
     if strip_store and boundary != "naive":
@@ -568,8 +692,31 @@ def megastep_impl(
             f"interior rows {rp} must be a multiple of tr={tr} "
             "(tr and halo multiples of 8)"
         )
+    chalo = 0
+    c_blocks = 1
+    if tc is not None:
+        if n_shards > 1:
+            raise ValueError("column tiling is single-chip only")
+        if strip_store:
+            raise ValueError("strip_store needs full-width windows")
+        chalo = ps.COL_HALO
+        if tc % 128 != 0 or chalo < steps:
+            raise ValueError(f"tc must be a multiple of 128, got {tc}")
+        cp = c - 2 * chalo
+        if cp % tc != 0:
+            raise ValueError(
+                f"interior cols {cp} must be a multiple of tc={tc}"
+            )
+        c_blocks = cp // tc
+        if c_dom is None or not (cp - tc < c_dom <= cp):
+            raise ValueError(
+                f"column tiling needs the true domain width c_dom in "
+                f"({cp - tc}, {cp}], got {c_dom}"
+            )
     b_blocks = rp // tr
     w = tr + 2 * halo
+    wc = (tc + 2 * chalo) if tc is not None else c
+    otc = tc if tc is not None else c
     scalars = [jnp.asarray(n_blocks, jnp.int32).reshape(1)]
     if n_shards > 1:
         scalars.append(jnp.asarray(my_shard, jnp.int32).reshape(1))
@@ -579,6 +726,7 @@ def megastep_impl(
         halo=halo, r=r, params=params, boundary=boundary,
         runtime_params=reaction is not None, dt_is_one=dt_is_one,
         strip_store=strip_store, n_shards=n_shards,
+        tc=tc, chalo=chalo, c_blocks=c_blocks, c_dom=c_dom,
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     operands = [scalars]
@@ -599,10 +747,10 @@ def megastep_impl(
         ],
         input_output_aliases={n_in - 2: 0, n_in - 1: 1},
         scratch_shapes=[
-            pltpu.VMEM((2, w, c), u_pair.dtype),
-            pltpu.VMEM((2, w, c), v_pair.dtype),
-            pltpu.VMEM((2, tr, c), u_pair.dtype),
-            pltpu.VMEM((2, tr, c), v_pair.dtype),
+            pltpu.VMEM((2, w, wc), u_pair.dtype),
+            pltpu.VMEM((2, w, wc), v_pair.dtype),
+            pltpu.VMEM((2, tr, otc), u_pair.dtype),
+            pltpu.VMEM((2, tr, otc), v_pair.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -613,7 +761,8 @@ def megastep_impl(
            if n_shards > 1 else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes
-            or mega_vmem_limit(tr, halo, c, strip_store=strip_store),
+            or mega_vmem_limit(tr, halo, c, strip_store=strip_store,
+                               tc=tc, chalo=chalo),
         ),
         interpret=interpret,
     )(*operands)
@@ -621,7 +770,8 @@ def megastep_impl(
 
 
 _STATIC = ("steps", "tr", "r", "params", "boundary", "halo", "interpret",
-           "vmem_limit_bytes", "dt_is_one", "strip_store", "n_shards")
+           "vmem_limit_bytes", "dt_is_one", "strip_store", "n_shards",
+           "tc", "c_dom")
 
 megastep = jax.jit(
     megastep_impl,

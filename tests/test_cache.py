@@ -279,8 +279,15 @@ def test_engine_candidates():
     big = autotune._engine_candidates((8192, 8192), "float32")
     assert any(c.get("engine") == "mega" for c in big)
     assert not any(c.get("resident") for c in big)  # far past residency
+    # very wide domains: the geometry heuristic column-tiles the
+    # megakernel windows, so mega candidates exist (auto geometry plus
+    # the double-width tile); the full-width pin is excluded by its 3x
+    # halo redundancy at tr=8
     wide = autotune._engine_candidates((4096, 65536), "float32")
-    assert not any(c.get("engine") == "mega" for c in wide)
+    megas = [c for c in wide if c.get("engine") == "mega"]
+    assert megas and not any(c.get("block_rows") for c in megas)
+    for c in wide:
+        assert autotune._guard_ok(c, (4096, 65536), "zero"), c
 
 
 def test_engine_verdict_adoption(monkeypatch, tmp_path, params):

@@ -248,6 +248,32 @@ def test_sanitize_and_resident_unroll_lower_for_tpu():
     assert "tpu_custom_call" in exp.mlir_module()
 
 
+@pytest.mark.parametrize("boundary", ["zero", "naive"])
+def test_megakernel_column_tiled_lowers_for_tpu(boundary):
+    """The column-tiled megakernel's new Mosaic surfaces — column-sliced
+    (strided) HBM window DMAs at traced 128-lane offsets, the (W, Wc)
+    column-joined domain mask, per-window traced gcol — must lower."""
+    from grayscott_tpu.ops import megakernel as mk
+
+    params = Parameters()
+    r, c, tr, tc = 64, 640, 16, 256
+    u0 = np.zeros((r, c), np.float32)
+    v0 = np.ones((r, c), np.float32)
+    u_pair, v_pair = mk.mega_pad_state(u0, v0, tr, tc=tc)
+
+    def fn(u, v):
+        return mk.megastep_impl(
+            u, v, jnp.int32(3), ps.reaction_operand(params),
+            steps=8, tr=tr, r=r, params=params.structure_only(),
+            boundary=boundary, dt_is_one=True, tc=tc, c_dom=c,
+        )
+
+    exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(
+        jnp.asarray(u_pair), jnp.asarray(v_pair)
+    )
+    assert "tpu_custom_call" in exp.mlir_module()
+
+
 def test_megakernel_bf16_lowers_for_tpu():
     """bf16-storage megakernel: bf16 window DMA + in-kernel f32 upcast
     and per-block bf16 rounding must lower to Mosaic."""

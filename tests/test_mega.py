@@ -163,18 +163,47 @@ def test_choose_mega_rows_geometry():
     assert 4096 % tr4k == 0 or -(-4096 // tr4k) * tr4k - 4096 < tr4k
     assert ps.window_compile_ok(tr4k, 8, 4096, steps=8)
     assert mk.mega_ok((1080, 1920)) and mk.mega_ok((4096, 4096))
-    # very wide domains exceed the full-width VMEM budget -> windowed
-    assert not mk.mega_ok((4096, 262144))
-    # (4096, 65536) squeaks under the budget at tr=8, but 3x halo
-    # redundancy must make the auto engine decline it (windowed column
-    # tiling is the right tool); an explicit pin still allows it
-    assert mk.mega_ok((4096, 65536))
+    # very wide domains exceed the full-width VMEM budget at ANY row
+    # tile -> the geometry heuristic switches to column-tiled windows
+    assert not mk.mega_ok((4096, 262144), mk.choose_mega_rows(4096, 262144))
+    assert mk.mega_ok((4096, 262144))  # geometry resolution: column tiles
+    tr, tc = mk.choose_mega_geometry(4096, 262144)
+    assert tc is not None and tc % 128 == 0
     from grayscott_tpu.backends.pallas import PallasSimulation
     from grayscott_tpu.params import Parameters
 
     sim = PallasSimulation(Parameters(), boundary="zero", interpret=True)
     sim.interpret = False
-    assert not sim._use_mega((4096, 65536), None)
+    # (4096, 65536): full-width windows fit only at tr=8 (3x halo
+    # redundancy); the column-tiled geometry brings redundancy under the
+    # 1.3 gate, so auto now takes the megakernel WITH column tiles
+    assert sim._use_mega((4096, 65536), None)
+    trw, tcw = sim._mega_tiles((4096, 65536))
+    assert tcw is not None
+    assert mk.mega_window_cells(4096, 65536, trw, tcw) <= \
+        1.3 * 4096 * 65536
+
+
+def test_choose_mega_geometry():
+    """Full-width windows stay preferred wherever they are efficient
+    (contiguous DMA, no column halo); column tiles take over only when
+    thin full-width row tiles cost more window cells than the column
+    halo does (measured crossover: c = 16384)."""
+    for shape in ((1080, 1920), (2048, 2048), (4096, 4096), (8192, 8192)):
+        tr, tc = mk.choose_mega_geometry(*shape)
+        assert tc is None, shape
+        assert tr == mk.choose_mega_rows(*shape)
+    tr, tc = mk.choose_mega_geometry(16384, 16384)
+    assert tc is not None and tc % 128 == 0 and tc < 16384
+    assert mk.mega_ok((16384, 16384), tr, tc=tc)
+    # the tiled geometry must actually beat full-width on window cells
+    tr_fw = mk.choose_mega_rows(16384, 16384)
+    assert mk.mega_window_cells(16384, 16384, tr, tc) < \
+        mk.mega_window_cells(16384, 16384, tr_fw, None)
+    # column tiling is plain two-species only
+    assert mk.choose_mega_geometry(16384, 16384, species=1)[1] is None
+    assert mk.choose_mega_geometry(16384, 16384, strip_store=True)[1] is None
+    assert not mk.mega_ok((16384, 16384), tr, tc=tc, strip_store=True)
 
 
 def test_mega_bf16_storage(params):
@@ -231,6 +260,79 @@ def test_mega_seamless_bitwise_matches_two_loop(rng, params):
     g2u, g2v = run_mega(u, v, params, "naive", 16, block_rows=16)
     np.testing.assert_array_equal(g4u, g2u)
     np.testing.assert_array_equal(g4v, g2v)
+
+
+@pytest.mark.parametrize("boundary", ["naive", "zero"])
+@pytest.mark.parametrize("shape,tr,tc,steps", [
+    ((40, 640), 8, 256, 24),   # Br=5 x Bc=3: seamless, odd time blocks
+    ((19, 384), 8, 128, 19),   # Br=3 x Bc=3: seamless, padded rows + rem-3
+    ((24, 260), 16, 128, 16),  # Br=2 x Bc=3: two-loop form, padded cols
+])
+def test_mega_column_tiled_parity(rng, params, boundary, shape, tr, tc,
+                                  steps):
+    """Column-tiled megakernel windows (flat (row, column) block loop,
+    column-sliced DMAs, 128-lane halo ring, per-window traced gcol)
+    against the oracle — seamless and two-loop forms, padded rows and
+    columns, remainder calls, both boundaries."""
+    u, v = random_uv(rng, shape)
+    ou, ov = oracle.run(u, v, params, steps, boundary)
+    gu, gv = run_mega(u, v, params, boundary, steps, block_rows=tr,
+                      block_cols=tc)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=2e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=2e-6)
+
+
+def test_mega_column_tiled_matches_full_width(rng, params):
+    """Same domain, same row tile: the column-tiled kernel must agree
+    with the full-width megakernel to FMA-contraction ulps (the naive
+    fix-up strips and window geometry change the compiler's contraction
+    context, same budget as the fold/pack layouts)."""
+    u, v = random_uv(rng, (32, 512))
+    fu, fv = run_mega(u, v, params, "naive", 16, block_rows=8)
+    cu, cv = run_mega(u, v, params, "naive", 16, block_rows=8,
+                      block_cols=256)
+    np.testing.assert_allclose(cu, fu, rtol=0, atol=3e-7)
+    np.testing.assert_allclose(cv, fv, rtol=0, atol=3e-7)
+
+
+def test_mega_column_tiled_bf16(rng, params):
+    """bf16 storage composes with column tiling (bf16 window DMA slices,
+    f32 compute, per-block rounding)."""
+    from grayscott_tpu.species import initial_uv
+
+    u0, v0 = initial_uv((32, 384))
+    ou, ov = oracle.run(u0, v0, params, 16)
+    gu, gv = run_mega(u0, v0, params, "naive", 16, block_rows=8,
+                      block_cols=128, dtype="bfloat16")
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=0.05)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=0.05)
+
+
+@pytest.mark.parametrize("dma_mode", ["on_wait", "eager"])
+def test_mega_column_tiled_race_free(rng, params, dma_mode):
+    """The column-tiled flat loop under the interpret-mode vector-clock
+    race detector: the B - Bc >= 4 seamless gate's cross-boundary
+    prefetch must stay semaphore-ordered under both DMA extremes."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    u, v = random_uv(rng, (40, 640))  # Br=5 x Bc=3: seamless
+    sim = PallasSimulation(params, boundary="zero", engine="mega",
+                           interpret=True, block_rows=8, block_cols=256)
+    sim.interpret = pltpu.InterpretParams(detect_races=True,
+                                          dma_execution_mode=dma_mode)
+    species = sim.make_species((40, 640))
+    species.storage = sim.build_storage(u, v)
+    sim.perform_steps(species, 24)
+    gu, gv = species.uv_host()
+    ou, ov = oracle.run(u, v, params, 24, "zero")
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=2e-6)
+    try:
+        from jax._src.pallas.mosaic.interpret import (
+            interpret_pallas_call as _ipc,
+        )
+        assert _ipc.races is None or not _ipc.races.races_found
+    except ImportError:  # pragma: no cover - jax layout drift
+        pass
 
 
 @pytest.mark.parametrize("dma_mode", ["on_wait", "eager"])

@@ -160,7 +160,8 @@ def test_sharded_mega_rejects_unfittable_slab(params):
     sim = ShardedSimulation(params, boundary="zero", engine="mega",
                             n_devices=1)
     r, c = 64, 131072  # liveness estimate alone exceeds the 120 MB tier
-    assert not mk.mega_ok((r, c))
+    # (full-width windows: the sharded megakernel never column-tiles)
+    assert not mk.mega_ok((r, c), mk.choose_mega_rows(r, c))
     with pytest.raises(ValueError, match="windowed engine"):
         sim.build_storage(np.zeros((r, c), np.float32),
                           np.zeros((r, c), np.float32))
