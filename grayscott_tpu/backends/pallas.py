@@ -103,8 +103,8 @@ class PallasSimulation(Simulation):
         # pipeline (ops.pallas_stencil); 'mega' is the whole-run manual-DMA
         # kernel (ops.megakernel) that amortizes the measured ~0.42 ms
         # per-call fixed cost across the entire run; 'auto' picks mega on
-        # TPU f32 runs it supports (full-width windows, no fold) and
-        # windowed otherwise
+        # TPU runs it supports (full-width or column-tiled windows, no
+        # fold) and windowed otherwise
         if engine not in ("auto", "windowed", "mega"):
             raise ValueError(
                 f"engine must be auto/windowed/mega, got {engine!r}"

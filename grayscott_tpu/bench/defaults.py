@@ -67,10 +67,37 @@ SHIPPED: dict[str, dict] = {
         "source": "shipped-v5e-r2",
     },
     # 16384^2 (the SURVEY weak-scaling shape): bf16 mega 86.8 vs f32
-    # mega 77.5 same-process (+11.9%) — and half the HBM state
+    # mega 77.5 same-process (+11.9%) — and half the HBM state.
+    # block_rows=None re-derives choose_mega_geometry, which column-tiles
+    # at this width (88.2 measured on the column-tiled form, sweep
+    # "coltile")
     "v4:tpu:16384x16384:zero:oono-puri:bfloat16": {
         "engine": "mega", "block_rows": None, "steps_per_call": 16,
-        "fold": 1, "pack": False, "gcells_per_sec": 86.78,
+        "fold": 1, "pack": False, "gcells_per_sec": 88.217,
+        "source": "shipped-v5e-r2",
+    },
+    # column-tiled megakernel verdicts (sweep "coltile"): auto-geometry
+    # records (block_rows None, no block_cols) resolve through
+    # choose_mega_geometry — at these widths that is tc=4096 column
+    # tiles (83.0 vs 77.3 full-width at 16384^2-zero; 75.9 vs 53.8
+    # windowed at 4096x32768)
+    "v4:tpu:16384x16384:zero:oono-puri": {
+        "engine": "mega", "block_rows": None, "steps_per_call": 16,
+        "fold": 1, "pack": False, "gcells_per_sec": 83.049,
+        "source": "shipped-v5e-r2",
+    },
+    "v4:tpu:4096x32768:zero:oono-puri": {
+        "engine": "mega", "block_rows": None, "steps_per_call": 16,
+        "fold": 1, "pack": False, "gcells_per_sec": 75.864,
+        "source": "shipped-v5e-r2",
+    },
+    # naive boundary at 16384^2: FULL-WIDTH windows pinned — the
+    # column-joined naive masking/fix-up tax outweighs the halo saving
+    # (70.5 at tr=72 full-width vs 69.4 column-tiled; pinned block_rows
+    # alone = full-width, the _mega_tiles contract)
+    "v4:tpu:16384x16384:naive:oono-puri": {
+        "engine": "mega", "block_rows": 72, "steps_per_call": 16,
+        "fold": 1, "pack": False, "gcells_per_sec": 70.508,
         "source": "shipped-v5e-r2",
     },
     # naive boundary too: mega bf16 57.9 vs windowed bf16 52.9 (+9.5%)
