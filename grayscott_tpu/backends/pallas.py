@@ -16,6 +16,7 @@ used by the test suite for numerics validation).
 from __future__ import annotations
 
 import argparse
+import functools
 from typing import Tuple
 
 import jax
@@ -26,6 +27,18 @@ from ..ops import megakernel as mk
 from ..ops import pallas_stencil as ps
 from ..params import Parameters
 from .base import Simulation, env_default
+
+
+@functools.partial(jax.jit, static_argnames=("r", "c", "ch"))
+def _mega_result_view(v_pair, *, r: int, c: int, ch: int):
+    """Fused crop + f32 upcast of the megakernel pair's V slot 0 — one
+    V-sized device temporary instead of eager per-op materialization
+    (module-level so the executable is traced once per shape)."""
+    v = jax.lax.slice(
+        v_pair, (0, mk.MEGA_STEPS, ch),
+        (1, mk.MEGA_STEPS + r, ch + c),
+    )[0]
+    return v.astype(jnp.float32)
 
 
 class PallasSimulation(Simulation):
@@ -564,6 +577,20 @@ class PallasSimulation(Simulation):
         if self.dtype != jnp.float32:  # consumers (HDF5, views) expect f32
             u, v = u.astype(jnp.float32), v.astype(jnp.float32)
         return u, v
+
+    def extract_result(self, storage, shape):
+        """V's input concentration only. Overridden for the megakernel
+        pair layout: the base extract_uv()[1] would ALSO materialize U's
+        cropped f32 view eagerly, and at HBM-scale domains (32768^2 bf16:
+        8.1 GB of pairs) those two extra device temporaries are the
+        difference between fitting and ResourceExhausted. The jit fuses
+        crop + upcast into one V-sized output."""
+        if storage[0] != "mega":
+            return super().extract_result(storage, shape)
+        _, _, v_pair, _, tc = storage
+        r, c = shape
+        ch = ps.COL_HALO if tc is not None else 0
+        return _mega_result_view(v_pair, r=r, c=c, ch=ch)
 
     # -- stepping ------------------------------------------------------------
 

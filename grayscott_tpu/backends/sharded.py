@@ -33,6 +33,7 @@ class ShardedSimulation(Simulation):
         n_devices: int | None = None,
         mesh_cols: int = 1,
         block_rows: int | None = None,
+        block_cols: int | None = None,
         steps_per_call: int | None = None,
         interpret: bool | None = None,
         dtype: str = "float32",
@@ -61,7 +62,14 @@ class ShardedSimulation(Simulation):
                 )
             # the megakernel's exchange depth IS its time-block depth
             steps_per_call = mk.MEGA_STEPS
+        elif block_cols is not None:
+            raise ValueError(
+                "--pallas-block-cols pins the megakernel's column tile; "
+                "the windowed sharded engine derives its own column "
+                "layout (2-D meshes shard columns instead)"
+            )
         self.engine = engine
+        self.block_cols = block_cols
         if steps_per_call is None:
             on_tpu = jax.devices()[0].platform == "tpu"
             steps_per_call = 16 if on_tpu else ps.HALO
@@ -110,26 +118,40 @@ class ShardedSimulation(Simulation):
             tr -= 8
         return tr
 
+    def _mega_tiles(self, r_loc: int, c: int):
+        """(tr, tc) for the per-chip slab: pins first (a pinned tr alone
+        means full-width windows — the backends/pallas.py contract),
+        then the geometry heuristic (which column-tiles wide slabs)."""
+        tr, tc = self.block_rows, self.block_cols
+        if tc is not None and tc >= c:
+            tc = None
+        if tr is None and tc is None:
+            return mk.choose_mega_geometry(r_loc, c, self.halo)
+        if tr is None:
+            tr = mk.choose_mega_rows(
+                r_loc, c, self.halo,
+                tc=tc, chalo=ps.COL_HALO if tc is not None else 0,
+            )
+        return tr, tc
+
     def build_storage(self, u: np.ndarray, v: np.ndarray):
         if self.engine == "mega":
             n_sh = self.mesh.devices.shape[0]
             r_loc = -(-u.shape[0] // n_sh)
-            tr = self.block_rows or mk.choose_mega_rows(
-                r_loc, u.shape[1], self.halo
-            )
-            if not mk.mega_ok((r_loc, u.shape[1]), tr, self.halo):
+            tr, tc = self._mega_tiles(r_loc, u.shape[1])
+            if not mk.mega_ok((r_loc, u.shape[1]), tr, self.halo, tc=tc):
                 # choose_mega_rows falls back to tr=8 even when no tile
                 # fits: fail here instead of a Mosaic scoped-VMEM
                 # failure or a remote-compile hang on an ultra-wide slab
                 raise ValueError(
                     f"sharded engine='mega' cannot fit a {r_loc}x"
                     f"{u.shape[1]} per-chip slab in VMEM windows; use "
-                    "the windowed engine (column tiling) for this domain"
+                    "the windowed engine for this domain"
                 )
             up, vp, _ = halo.mega_shard_state(
-                u, v, self.mesh, tr, self.halo
+                u, v, self.mesh, tr, self.halo, tc=tc
             )
-            return ("mega", up, vp, tr)
+            return ("mega", up, vp, tr, tc)
         tr = self._tr(u.shape)
         ub, vb, _ = halo.shard_state(
             u, v, self.mesh, tr, self.chalo, self.halo, dtype=self.dtype
@@ -137,10 +159,13 @@ class ShardedSimulation(Simulation):
         return (ub, vb, tr)
 
     def extract_uv(self, storage, shape) -> Tuple[jax.Array, jax.Array]:
-        if isinstance(storage[0], str):  # ("mega", up, vp, tr)
+        if isinstance(storage[0], str):  # ("mega", up, vp, tr, tc)
+            chalo = ps.COL_HALO if storage[4] is not None else 0
             return (
-                halo.mega_unshard_result(storage[1], shape, self.halo),
-                halo.mega_unshard_result(storage[2], shape, self.halo),
+                halo.mega_unshard_result(storage[1], shape, self.halo,
+                                         chalo),
+                halo.mega_unshard_result(storage[2], shape, self.halo,
+                                         chalo),
             )
         out = (
             halo.unshard_result(storage[0], shape, self.chalo, self.halo),
@@ -184,13 +209,14 @@ class ShardedSimulation(Simulation):
         return (u, v, tr)
 
     def _run_steps_mega(self, storage, shape, steps: int):
-        _, u, v, tr = storage
-        r, _ = shape
+        _, u, v, tr, tc = storage
+        r, c = shape
         kernel_params, reaction, dt_is_one = self._reaction()
         common = dict(
             mesh=self.mesh, r_total=r, tr=tr, params=kernel_params,
             boundary=self.boundary, halo=self.halo,
             interpret=self.interpret, dt_is_one=dt_is_one,
+            tc=tc, c_dom=c if tc is not None else None,
         )
         n_full, rem = divmod(steps, mk.MEGA_STEPS)
         if n_full:
@@ -202,7 +228,7 @@ class ShardedSimulation(Simulation):
             u, v = halo.sharded_mega_run(
                 u, v, jnp.int32(1), reaction, steps=rem, **common,
             )
-        return ("mega", u, v, tr)
+        return ("mega", u, v, tr, tc)
 
     @classmethod
     def add_cli_args(cls, parser: argparse.ArgumentParser) -> None:
@@ -241,6 +267,7 @@ class ShardedSimulation(Simulation):
             "n_devices": getattr(ns, "sharded_devices", None),
             "mesh_cols": getattr(ns, "sharded_mesh_cols", 1),
             "block_rows": getattr(ns, "pallas_block_rows", None),
+            "block_cols": getattr(ns, "pallas_block_cols", None),
             "steps_per_call": k,
             "dtype": getattr(ns, "pallas_dtype", "float32"),
             "runtime_params": getattr(

@@ -304,13 +304,14 @@ def _mega_kernel(
             s = jax.lax.rem(b, 2)
 
             if n_shards > 1 and b_blocks > 1:
-                # the LAST block's window reads the bottom halo; its
-                # staging DMA starts at b == b_blocks - 2 (prefetch
-                # below), so consume the arrival here — interior blocks
-                # before this point compute with the push still in
-                # flight (in-kernel exchange/compute overlap)
+                # the LAST ROW's windows (flat blocks n_b - c_blocks ..
+                # n_b - 1) read the bottom halo; the first of them is
+                # staged by the prefetch at b == n_b - c_blocks - 1, so
+                # consume the arrival here — interior blocks before this
+                # point compute with the push still in flight (in-kernel
+                # exchange/compute overlap)
                 @pl.when(jnp.logical_and(
-                    b == b_blocks - 2, jnp.logical_and(t > 0, has_dn)
+                    b == n_b - c_blocks - 1, jnp.logical_and(t > 0, has_dn)
                 ))
                 def _():
                     for cp in src_up:
@@ -662,8 +663,11 @@ def megastep_impl(
     with the current state in slot 0.
 
     ``tc``: column-tiled windows for very wide domains (pairs built with
-    ``mega_pad_state(..., tc=tc)``; ``c_dom`` = the true domain width,
-    single-chip only). ``n_shards > 1`` (call inside ``shard_map`` with
+    ``mega_pad_state(..., tc=tc)`` / ``halo.mega_shard_state(..., tc=tc)``;
+    ``c_dom`` = the true domain width — the halo-exchange row slabs span
+    the full padded width, so sharding composes: only the bottom-halo
+    recv wait moves to the prefetch of the last row's FIRST column
+    block). ``n_shards > 1`` (call inside ``shard_map`` with
     ``my_shard`` = this chip's row index, a traced scalar): the
     multi-chip megakernel — ``r`` is then the GLOBAL row count, the pair
     holds this shard's row slab, and slot 0's halo rows must be valid at
@@ -695,8 +699,6 @@ def megastep_impl(
     chalo = 0
     c_blocks = 1
     if tc is not None:
-        if n_shards > 1:
-            raise ValueError("column tiling is single-chip only")
         if strip_store:
             raise ValueError("strip_store needs full-width windows")
         chalo = ps.COL_HALO

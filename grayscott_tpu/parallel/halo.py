@@ -233,7 +233,8 @@ def sharded_run_blocks(
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "r_total", "steps", "tr", "params", "boundary",
-                     "halo", "interpret", "vmem_limit_bytes", "dt_is_one"),
+                     "halo", "interpret", "vmem_limit_bytes", "dt_is_one",
+                     "tc", "c_dom"),
     donate_argnames=("u_pairs", "v_pairs"),
 )
 def sharded_mega_run(
@@ -242,12 +243,16 @@ def sharded_mega_run(
     params: Parameters, boundary: str,
     halo: int = 8, interpret=False,
     vmem_limit_bytes: int | None = None, dt_is_one: bool = False,
+    tc: int | None = None, c_dom: int | None = None,
 ):
     """Run the multi-chip megakernel: ONE kernel launch per chip for all
     ``n_blocks`` K-step time blocks, halo exchange via in-kernel remote
     DMAs over ICI (ops/megakernel.py ``n_shards > 1``). 1-D row meshes
     only. State is the mega pair layout per shard:
-    ``(n_shards, 2, halo + Rp_loc + halo, C)`` sharded on axis 0.
+    ``(n_shards, 2, halo + Rp_loc + halo, C)`` sharded on axis 0
+    (``tc``: column-tiled windows for wide slabs — pairs from
+    ``mega_shard_state(..., tc=tc)``, ``c_dom`` = the true width; the
+    exchange itself is column-agnostic, it pushes full-width row slabs).
 
     Versus :func:`sharded_run_blocks` (ppermute between ``pallas_call``
     blocks), this erases the per-block fixed launch cost (~0.42 ms,
@@ -289,6 +294,7 @@ def sharded_mega_run(
             boundary=boundary, halo=h, interpret=interpret,
             vmem_limit_bytes=vmem_limit_bytes, dt_is_one=dt_is_one,
             n_shards=n_sh, my_shard=my if n_sh > 1 else None,
+            tc=tc, c_dom=c_dom,
         )
         return u_pair[None], v_pair[None]
 
@@ -305,34 +311,44 @@ def sharded_mega_run(
 
 def mega_shard_state(
     u: np.ndarray, v: np.ndarray, mesh: Mesh, tr: int, halo: int = 8,
+    tc: int | None = None,
 ) -> Tuple[jax.Array, jax.Array, int]:
     """Pack (R, C) host state into per-shard megakernel HBM pairs
-    ``(n_shards, 2, halo + Rp_loc + halo, C)`` on a 1-D row mesh.
-    Slot 0 holds the state; halos/padding start zero (the kernel
+    ``(n_shards, 2, halo + Rp_loc + halo, C)`` on a 1-D row mesh
+    (column-tiled: last dim ``chalo + Cp + chalo``, Cp the tc-rounded
+    width). Slot 0 holds the state; halos/padding start zero (the kernel
     sanitizes out-of-domain cells on load and the driver pre-exchanges
     live halos)."""
+    from ..ops import pallas_stencil as ps
+
     r, c = u.shape
     n_sh = mesh.devices.shape[0]
     r_loc = -(-(-(-r // n_sh)) // tr) * tr  # ceil(ceil(r/n)/tr)*tr
     h = halo
+    chalo = ps.COL_HALO if tc is not None else 0
+    cp = c if tc is None else -(-c // tc) * tc
     out = []
     for x in (u, v):
-        xp = np.zeros((n_sh * r_loc, c), dtype=np.float32)
-        xp[:r] = x.astype(np.float32)
-        blocks = np.zeros((n_sh, 2, h + r_loc + h, c), dtype=np.float32)
-        blocks[:, 0, h : h + r_loc] = xp.reshape(n_sh, r_loc, c)
+        xp = np.zeros((n_sh * r_loc, cp + 2 * chalo), dtype=np.float32)
+        xp[:r, chalo : chalo + c] = x.astype(np.float32)
+        blocks = np.zeros(
+            (n_sh, 2, h + r_loc + h, cp + 2 * chalo), dtype=np.float32
+        )
+        blocks[:, 0, h : h + r_loc] = xp.reshape(n_sh, r_loc, -1)
         out.append(jax.device_put(
             blocks, NamedSharding(mesh, P(ROWS, None, None, None))
         ))
     return out[0], out[1], r_loc
 
 
-def mega_unshard_result(pairs, shape, halo: int = 8) -> jax.Array:
-    """Interior rows of slot 0 across shards, cropped to (R, C)."""
+def mega_unshard_result(pairs, shape, halo: int = 8,
+                        chalo: int = 0) -> jax.Array:
+    """Interior rows of slot 0 across shards, cropped to (R, C)
+    (column-tiled pairs: skip the ``chalo`` column-halo ring)."""
     r, c = shape
     h = halo
     r_loc = pairs.shape[2] - 2 * h
-    interior = pairs[:, 0, h : h + r_loc, :]
+    interior = pairs[:, 0, h : h + r_loc, chalo : chalo + c]
     return interior.reshape(pairs.shape[0] * r_loc, c)[:r, :c]
 
 

@@ -361,3 +361,23 @@ def test_mega_seamless_race_free(rng, params, dma_mode):
         assert _ipc.races is None or not _ipc.races.races_found
     except ImportError:  # pragma: no cover - jax layout drift
         pass
+
+
+@pytest.mark.parametrize("kw", [
+    dict(block_rows=16),                      # full-width pairs
+    dict(block_rows=8, block_cols=128),       # column-tiled pairs
+    dict(block_rows=16, dtype="bfloat16"),    # bf16 storage upcast
+])
+def test_mega_extract_result_matches_uv(rng, params, kw):
+    """extract_result (the jitted fused V crop that avoids materializing
+    U's view — at 32768^2 bf16 the eager path ResourceExhausts the chip)
+    must equal extract_uv()[1] exactly."""
+    shape = (40, 384)
+    u, v = random_uv(rng, shape)
+    sim = PallasSimulation(params, boundary="naive", engine="mega",
+                           interpret=True, **kw)
+    storage = sim.build_storage(u, v)
+    ref = sim.extract_uv(storage, shape)[1]
+    out = sim.extract_result(storage, shape)
+    assert out.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

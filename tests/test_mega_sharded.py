@@ -216,3 +216,99 @@ def test_sharded_mega_validations(params):
             params=params, boundary="zero", halo=16,
             n_shards=2, my_shard=jnp.int32(0),
         )
+
+
+@pytest.mark.parametrize("boundary", ["naive", "zero"])
+def test_sharded_mega_coltile_parity(rng, params, boundary):
+    """Column-tiled windows on the multi-chip megakernel: 4 row shards
+    x column-tiled (tr=8, tc=128) windows, 48 rows padding to 16-row
+    slabs and 260 true columns padding inside the 128-lane ring. The
+    bottom-halo recv wait moves to the prefetch of the last row's FIRST
+    column block (flat b = n_b - c_blocks - 1) — both boundaries, 27
+    steps (odd time blocks + remainder re-entry)."""
+    u, v = random_uv(rng, (48, 260))
+    ou, ov = oracle.run(u, v, params, 27, boundary)
+    gu, gv = run_sharded_mega(u, v, params, boundary, 27, block_rows=8,
+                              block_cols=128)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=2e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=2e-6)
+
+
+def test_sharded_mega_coltile_matches_single_chip(rng, params):
+    """Bit equality with the single-chip column-tiled megakernel (which
+    runs the SEAMLESS flat loop at this geometry; the sharded form keeps
+    the two-loop handshake): same windows, same bit-frozen naive step
+    math, different DMA schedules."""
+    u, v = random_uv(rng, (32, 384))
+    sim1 = PallasSimulation(params, boundary="naive", engine="mega",
+                            interpret=True, block_rows=8, block_cols=128)
+    sp1 = sim1.make_species((32, 384))
+    sp1.storage = sim1.build_storage(u, v)
+    sim1.perform_steps(sp1, 16)
+    su, sv = sp1.uv_host()
+    gu, gv = run_sharded_mega(u, v, params, "naive", 16, n_devices=2,
+                              block_rows=8, block_cols=128)
+    np.testing.assert_array_equal(gu, su)
+    np.testing.assert_array_equal(gv, sv)
+
+
+@pytest.mark.parametrize("dma_mode", ["on_wait", "eager"])
+def test_sharded_mega_coltile_race_free(rng, params, dma_mode):
+    """The column-tiled handshake under the vector-clock race detector:
+    interior column blocks of the last row must not read the bottom halo
+    before its recv wait, under both DMA execution extremes."""
+    u, v = random_uv(rng, (32, 384))
+    sim = ShardedSimulation(params, boundary="zero", engine="mega",
+                            n_devices=2, block_rows=8, block_cols=128)
+    sim.interpret = pltpu.InterpretParams(detect_races=True,
+                                          dma_execution_mode=dma_mode)
+    species = sim.make_species((32, 384))
+    species.storage = sim.build_storage(u, v)
+    sim.perform_steps(species, 16)
+    gu, gv = species.uv_host()
+    ou, ov = oracle.run(u, v, params, 16, "zero")
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    try:
+        from jax._src.pallas.mosaic.interpret import (
+            interpret_pallas_call as _ipc,
+        )
+        assert _ipc.races is None or not _ipc.races.races_found
+    except ImportError:  # pragma: no cover - jax layout drift
+        pass
+
+
+def test_sharded_mega_coltile_auto_geometry(rng, params):
+    """The backend's geometry heuristic picks column tiles for wide
+    slabs with no pins, and the windowed engine rejects a block_cols
+    pin loudly (it derives its own column layout)."""
+    from grayscott_tpu.backends.sharded import ShardedSimulation as S
+
+    sim = S(params, boundary="zero", engine="mega", n_devices=1)
+    tr, tc = sim._mega_tiles(4096, 32768)
+    assert tc is not None and tc % 128 == 0
+    with pytest.raises(ValueError, match="column"):
+        S(params, engine="windowed", block_cols=256)
+
+
+def test_sharded_mega_coltile_lowers_for_tpu(params):
+    """Mosaic lowering gate for the column-tiled multi-chip kernel:
+    column-sliced window DMAs at traced offsets + the remote-DMA
+    exchange in one kernel."""
+    from grayscott_tpu.parallel import halo
+
+    mesh = halo.make_mesh_1d(2)
+    u = np.zeros((32, 260), np.float32)
+    v = np.ones((32, 260), np.float32)
+    up, vp, _ = halo.mega_shard_state(u, v, mesh, 8, tc=128)
+
+    def fn(up, vp, n):
+        return halo.sharded_mega_run(
+            up, vp, n, None, mesh=mesh, r_total=32, steps=8, tr=8,
+            params=params, boundary="naive", interpret=False,
+            tc=128, c_dom=260,
+        )
+
+    exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(
+        jnp.asarray(up), jnp.asarray(vp), jnp.int32(2)
+    )
+    assert "tpu_custom_call" in exp.mlir_module()

@@ -152,16 +152,22 @@ def test_strip_store_rejected_when_sharded():
 
 
 def test_sharded_mega_rejects_unfittable_slab(params):
-    """choose_mega_rows falls back to tr=8 even when nothing fits; the
-    sharded backend must fail cleanly instead of compiling a slab the
-    VMEM budget can never hold."""
+    """A PINNED full-width config that cannot fit the VMEM budget must
+    fail cleanly instead of compiling a slab the budget can never hold
+    (the AUTO path column-tiles such slabs instead — asserted below)."""
     from grayscott_tpu.backends.sharded import ShardedSimulation
 
-    sim = ShardedSimulation(params, boundary="zero", engine="mega",
-                            n_devices=1)
-    r, c = 64, 131072  # liveness estimate alone exceeds the 120 MB tier
-    # (full-width windows: the sharded megakernel never column-tiles)
+    r, c = 64, 131072  # full-width liveness alone exceeds the 120 MB tier
     assert not mk.mega_ok((r, c), mk.choose_mega_rows(r, c))
+    sim = ShardedSimulation(params, boundary="zero", engine="mega",
+                            n_devices=1, block_rows=8)  # full-width pin
     with pytest.raises(ValueError, match="windowed engine"):
         sim.build_storage(np.zeros((r, c), np.float32),
                           np.zeros((r, c), np.float32))
+    # unpinned, the geometry heuristic column-tiles the slab instead
+    auto = ShardedSimulation(params, boundary="zero", engine="mega",
+                             n_devices=1)
+    storage = auto.build_storage(np.zeros((r, c), np.float32),
+                                 np.zeros((r, c), np.float32))
+    assert storage[0] == "mega" and storage[4] is not None
+    assert mk.mega_ok((r, c), storage[3], tc=storage[4])
