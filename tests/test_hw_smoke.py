@@ -94,8 +94,12 @@ def test_bf16_storage_on_hardware(params):
     np.testing.assert_allclose(gv, ov, rtol=0, atol=0.05)
 
 
-@pytest.mark.parametrize("engine", ["windowed", "mega"])
-def test_sharded_single_device_on_hardware(rng, params, engine):
+@pytest.mark.parametrize("engine,kw", [
+    ("windowed", dict(block_rows=16)),
+    ("mega", dict(block_rows=16)),
+    ("mega", dict(block_rows=8, block_cols=128)),  # column-tiled slab
+])
+def test_sharded_single_device_on_hardware(rng, params, engine, kw):
     """The sharded driver (shard_map + per-shard kernel) on a 1-device
     mesh: real-Mosaic execution of the multi-chip code path, incl. the
     n_shards==1 megakernel form the virtual-mesh tests only interpret."""
@@ -104,7 +108,7 @@ def test_sharded_single_device_on_hardware(rng, params, engine):
     u, v = random_uv(rng, (64, 256))
     ou, ov = oracle.run(u, v, params, 16, "naive")
     sim = ShardedSimulation(params, boundary="naive", n_devices=1,
-                            block_rows=16, engine=engine)
+                            engine=engine, **kw)
     species = sim.make_species(u.shape)
     species.storage = sim.build_storage(u, v)
     sim.perform_steps(species, 16)
