@@ -17,7 +17,10 @@ import threading
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "colorize.cpp")
+_SRCS = [
+    os.path.join(_DIR, "colorize.cpp"),
+    os.path.join(_DIR, "refstep.cpp"),
+]
 _LIB_PATH = os.path.join(_DIR, "_gs_native.so")
 
 _lock = threading.Lock()
@@ -32,9 +35,12 @@ def _build() -> bool:
     # the old mapping by inode when a stale library was bound first)
     tmp = _LIB_PATH + ".build"
     try:
+        # -ffp-contract=off: refstep.cpp's transcription contract — no FMA
+        # fusion, every written f32 operation rounds exactly once (rustc's
+        # default for the reference's expression trees)
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             _SRC, "-o", tmp, "-lz"],
+            ["g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+             "-std=c++17", "-pthread", *_SRCS, "-o", tmp, "-lz"],
             check=True,
             capture_output=True,
             timeout=120,
@@ -69,7 +75,7 @@ def _bind_symbols(lib):
     # raises AttributeError, so the version check must not hide
     # behind the newer symbols it is meant to protect
     lib.gs_native_abi_version.restype = ctypes.c_int
-    if lib.gs_native_abi_version() != 2:
+    if lib.gs_native_abi_version() != 3:
         raise OSError("gs_native ABI version mismatch")
     lib.gs_colorize.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_size_t,
@@ -84,6 +90,15 @@ def _bind_symbols(lib):
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
     ]
     lib.gs_png_encode.restype = ctypes.c_size_t
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.gs_ref_steps.argtypes = [
+        fp, fp, ctypes.c_int, ctypes.c_int, fp,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.gs_ref_steps.restype = ctypes.c_int
+    lib.gs_ref_ftz.argtypes = [ctypes.c_int]
+    lib.gs_ref_ftz.restype = ctypes.c_int
     return lib
 
 
@@ -97,7 +112,7 @@ def load():
         _tried = True
         fresh = os.path.exists(_LIB_PATH) and os.path.getmtime(
             _LIB_PATH
-        ) >= os.path.getmtime(_SRC)
+        ) >= max(os.path.getmtime(s) for s in _SRCS)
         if not fresh and not _build():
             return None
         try:
@@ -173,3 +188,49 @@ def colorize(values: np.ndarray, lut: np.ndarray, scale: float,
         ctypes.c_int(num_threads),
     )
     return out
+
+
+_REF_BOUNDARY = {"naive": 0, "zero": 1}
+
+
+def ref_steps(u: np.ndarray, v: np.ndarray, weights, du_rate: float,
+              dv_rate: float, feed: float, kill: float, dt: float,
+              steps: int, boundary: str = "naive"):
+    """Advance (u, v) by ``steps`` Gray-Scott steps with the compiled
+    transcription of the reference kernels (refstep.cpp) — the third,
+    independent implementation used to cross-check the NumPy oracle
+    (grayscott_tpu/oracle.py). Returns (u', v') as fresh float32 arrays,
+    or None if the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    uu = np.array(u, dtype=np.float32, order="C", copy=True)
+    vv = np.array(v, dtype=np.float32, order="C", copy=True)
+    if uu.ndim != 2 or uu.shape != vv.shape:
+        raise ValueError(f"expected matching 2-D grids, got "
+                         f"{uu.shape} vs {vv.shape}")
+    w9 = np.ascontiguousarray(weights, dtype=np.float32)
+    if w9.size != 9:
+        raise ValueError(f"expected a 3x3 stencil, got shape {w9.shape}")
+    fp = ctypes.POINTER(ctypes.c_float)
+    rc = lib.gs_ref_steps(
+        uu.ctypes.data_as(fp), vv.ctypes.data_as(fp),
+        ctypes.c_int(uu.shape[0]), ctypes.c_int(uu.shape[1]),
+        w9.ctypes.data_as(fp),
+        ctypes.c_float(du_rate), ctypes.c_float(dv_rate),
+        ctypes.c_float(feed), ctypes.c_float(kill), ctypes.c_float(dt),
+        ctypes.c_int(steps), ctypes.c_int(_REF_BOUNDARY[boundary]),
+    )
+    if rc != 0:
+        raise ValueError(f"gs_ref_steps rejected its arguments (rc={rc})")
+    return uu, vv
+
+
+def ref_ftz(enable: bool) -> int:
+    """Set/clear SSE flush-to-zero + denormals-are-zero (the reference's
+    DenormalsFlusher, compute/shared/src/lib.rs:123-213). Returns the
+    previous FTZ state (0/1), or -1 when unsupported/unavailable."""
+    lib = load()
+    if lib is None:
+        return -1
+    return int(lib.gs_ref_ftz(1 if enable else 0))

@@ -138,6 +138,6 @@ void gs_colorize(const float* values, size_t n, const uint8_t* lut,
   for (auto& w : workers) w.join();
 }
 
-int gs_native_abi_version(void) { return 2; }
+int gs_native_abi_version(void) { return 3; }
 
 }  // extern "C"

@@ -114,7 +114,7 @@ def test_stale_library_rebuilt(tmp_path, monkeypatch):
     os.utime(lib_path, None)
     lib = native.load()
     assert lib is not None, "ABI-mismatched library was not rebuilt"
-    assert lib.gs_native_abi_version() == 2
+    assert lib.gs_native_abi_version() == 3
 
 
 def test_colorize_out_recycling(rng):

@@ -52,4 +52,5 @@ def test_native_source_shipped():
     assert "*.cpp" in data["grayscott_tpu.native"]
     import grayscott_tpu.native as native
 
-    assert os.path.exists(native._SRC)
+    for src in native._SRCS:
+        assert os.path.exists(src)

@@ -24,11 +24,20 @@ a deliberately different mindset:
   hardware-defined anyway. All four shipped stencils are symmetric, so
   the GLSL mat3 column-major indexing question is numerically moot.
 
-Residual risk after this test: a misreading that two independent authors
-would BOTH make from the same Rust/GLSL text (e.g. both misreading
-``saturating_sub``). Everything downstream of the window rule — fold
-order, weight anchoring, expression trees, f32 rounding points — is now
-double-covered.
+A THIRD transcription lives in C++ (grayscott_tpu/native/refstep.cpp,
+compiled with ``-ffp-contract=off`` so g++ neither fuses multiply-adds nor
+reassociates — rustc's contract for the reference's expression trees) and
+is diffed bit-exactly against the oracle here for both boundary semantics,
+through a completely different compiler stack (g++ scalar/SSE codegen vs
+NumPy's vector loops). It also reproduces the reference's DenormalsFlusher
+(SSE MXCSR FTZ+DAZ, compute/shared/src/lib.rs:123-213) so the FTZ-
+invariance claim in PARITY.md is machine-checked, not argued.
+
+Residual risk after this test: a misreading that three independent
+transcriptions would ALL make from the same Rust/GLSL text (e.g. all
+misreading ``saturating_sub``). Everything downstream of the window rule —
+fold order, weight anchoring, expression trees, f32 rounding points — is
+now triple-covered.
 """
 
 from __future__ import annotations
@@ -135,6 +144,72 @@ def test_zero_oracle_matches_shader_transcription(rng, stencil):
         np.testing.assert_allclose(ou, eu, rtol=0, atol=6e-7)
         np.testing.assert_allclose(ov, ev, rtol=0, atol=6e-7)
         u, v = ou, ov
+
+
+def _cpp_steps(u, v, p: Parameters, steps: int, boundary: str):
+    from grayscott_tpu import native
+
+    if native.load() is None:
+        pytest.skip("no C++ toolchain available")
+    return native.ref_steps(
+        u, v, p.weights_array(), p.diffusion_rate_u, p.diffusion_rate_v,
+        p.feed_rate, p.kill_rate, p.time_step, steps, boundary
+    )
+
+
+@pytest.mark.parametrize("boundary", ["naive", "zero"])
+@pytest.mark.parametrize("stencil", sorted(STENCILS))
+@pytest.mark.parametrize("shape", SHAPES)
+def test_oracle_matches_cpp_transcription(rng, boundary, stencil, shape):
+    """Bit-exact against the compiled (refstep.cpp) transcription — a
+    different language AND a different compiler stack. The zero path is
+    bit-exact too: refstep.cpp accumulates in the oracle's row-major tap
+    order (the GLSL shader's own column-major order is covered to a few
+    ulps by test_zero_oracle_matches_shader_transcription above)."""
+    p = Parameters.with_stencil(stencil)
+    u = rng.uniform(0.0, 1.0, shape).astype(f32)
+    v = rng.uniform(0.0, 1.0, shape).astype(f32)
+    cu, cv = _cpp_steps(u, v, p, 5, boundary)
+    ou, ov = oracle.run(u, v, p, 5, boundary=boundary)
+    np.testing.assert_array_equal(ou, cu)
+    np.testing.assert_array_equal(ov, cv)
+
+
+def test_cpp_transcription_nondefault_parameters(rng):
+    p = Parameters(feed_rate=0.03, kill_rate=0.061, time_step=0.4,
+                   diffusion_rate_u=0.16, diffusion_rate_v=0.08)
+    u = rng.uniform(0.0, 1.0, (19, 31)).astype(f32)
+    v = rng.uniform(0.0, 1.0, (19, 31)).astype(f32)
+    for boundary in ("naive", "zero"):
+        cu, cv = _cpp_steps(u, v, p, 3, boundary)
+        ou, ov = oracle.run(u, v, p, 3, boundary=boundary)
+        np.testing.assert_array_equal(ou, cu)
+        np.testing.assert_array_equal(ov, cv)
+
+
+def test_cpp_transcription_ftz_invariant(rng):
+    """The reference benchmarks under DenormalsFlusher (FTZ+DAZ set); the
+    oracle computes with NumPy's default FTZ-off x86 mode. At simulation
+    concentrations no intermediate is denormal, so the two modes must
+    agree BIT-exactly — this runs the compiled transcription under both
+    MXCSR states and asserts exactly that (PARITY.md's FTZ argument)."""
+    from grayscott_tpu import native
+
+    if native.load() is None:
+        pytest.skip("no C++ toolchain available")
+    p = Parameters()
+    u = rng.uniform(0.0, 1.0, (33, 47)).astype(f32)
+    v = rng.uniform(0.0, 1.0, (33, 47)).astype(f32)
+    prev = native.ref_ftz(True)
+    if prev < 0:
+        pytest.skip("MXCSR control unsupported on this architecture")
+    try:
+        on = _cpp_steps(u, v, p, 50, "naive")
+    finally:
+        native.ref_ftz(bool(prev))
+    off = _cpp_steps(u, v, p, 50, "naive")
+    np.testing.assert_array_equal(on[0], off[0])
+    np.testing.assert_array_equal(on[1], off[1])
 
 
 def test_nondefault_parameters_and_dt(rng):
