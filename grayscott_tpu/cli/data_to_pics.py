@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--output-threads", type=int, default=3, help="Number of image I/O threads"
     )
+    parser.add_argument(
+        "--png-level", type=int, default=None, metavar="1-9",
+        help="PNG compression: 1-3 = fast RLE strategy (default; the "
+        "reference's image-crate writer uses the equivalent fdeflate "
+        "fast path), 4-9 = standard deflate for smaller archival files",
+    )
     return parser
 
 
@@ -71,6 +77,10 @@ def main(argv=None) -> int:
         from PIL import Image
     else:
         Image = None
+    png_level = args.png_level if args.png_level is not None \
+        else native.PNG_LEVEL_DEFAULT
+    if not 1 <= png_level <= 9:
+        raise SystemExit(f"--png-level must be in 1-9, got {png_level}")
 
     reader = Reader(simulation_output_path(args.input))
     num_images = reader.num_images
@@ -116,14 +126,18 @@ def main(argv=None) -> int:
                     return
                 idx, rgb = item
                 path = os.path.join(args.output_dir, f"{idx:0{width}d}.png")
-                data = None if Image is not None else native.png_encode(rgb)
+                data = None if Image is not None else native.png_encode(
+                    rgb, level=png_level
+                )
                 if data is not None:
                     with open(path, "wb") as f:
                         f.write(data)
                 else:
                     from PIL import Image as PILImage
 
-                    PILImage.fromarray(rgb, "RGB").save(path)
+                    PILImage.fromarray(rgb, "RGB").save(
+                        path, compress_level=png_level
+                    )
                 rgb_free.put(rgb)
                 progress.inc(1)
         except BaseException as e:  # pragma: no cover

@@ -131,13 +131,23 @@ def load():
         return _lib
 
 
-def png_encode(rgb: np.ndarray, level: int = 6) -> bytes | None:
+#: Default PNG compression: the fast Z_RLE path (levels <= 3 in the C++
+#: encoder) — the analog of the fdeflate fast encoder behind the
+#: reference's `image`-crate PNG writer (data-to-pics/src/main.rs:98-104).
+#: On smooth INFERNO fields it is ~5x faster than deflate level 6 and
+#: smaller than plain level 1/2 output. Pass 4-9 for archival deflate.
+PNG_LEVEL_DEFAULT = 2
+
+
+def png_encode(rgb: np.ndarray, level: int = PNG_LEVEL_DEFAULT) -> bytes | None:
     """Encode an (H, W, 3) uint8 image as a PNG byte stream natively
-    (zlib deflate + Sub row filter, the analog of the reference's `image`
-    crate writer on its output threads, data-to-pics/src/main.rs:98-104).
-    Returns None if the native library is unavailable (callers fall back
-    to PIL). Releases the GIL for the whole encode, so the data-to-pics
-    output threads scale."""
+    (zlib + Sub row filter, the analog of the reference's `image` crate
+    writer on its output threads, data-to-pics/src/main.rs:98-104).
+    ``level``: 1-3 = fast RLE strategy (the default, see
+    PNG_LEVEL_DEFAULT), 4-9 = standard deflate at that level. Returns
+    None if the native library is unavailable (callers fall back to PIL).
+    Releases the GIL for the whole encode, so the data-to-pics output
+    threads scale."""
     lib = load()
     if lib is None:
         return None

@@ -68,10 +68,16 @@ size_t write_chunk(uint8_t* out, const char type[4], const uint8_t* data,
 extern "C" {
 
 // Encode an 8-bit RGB image as a complete PNG stream into `out`.
-// rgb: height*width*3 bytes, row-major. level: zlib 1 (fast) .. 9; the Sub
-// row filter is applied first (cheap, compresses smooth gradient fields
-// like INFERNO renderings well). Returns bytes written, or 0 when out_cap
-// is too small / zlib fails. Call gs_png_bound() for a safe capacity.
+// rgb: height*width*3 bytes, row-major. level: 1..9; levels <= 3 select
+// zlib's Z_RLE strategy — run-length-only matching, ~5x faster than the
+// default strategy at level 6 and SMALLER than plain level-1/2 on smooth
+// gradient fields (Sub-filtered INFERNO renderings are long runs of tiny
+// deltas). This is the analog of the fast fdeflate encoder behind the
+// reference's `image`-crate PNG writer (data-to-pics/src/main.rs:98-104);
+// levels >= 4 use the standard strategy for smaller archival files. The
+// Sub row filter is applied first either way. Returns bytes written, or 0
+// when out_cap is too small / zlib fails. Call gs_png_bound() for a safe
+// capacity.
 size_t gs_png_bound(int width, int height) {
   size_t raw = static_cast<size_t>(height) * (static_cast<size_t>(width) * 3 + 1);
   return 8 + 25 + 12 + 12 + compressBound(static_cast<uLong>(raw)) + 64;
@@ -82,6 +88,8 @@ size_t gs_png_encode(const uint8_t* rgb, int width, int height, int level,
   if (width <= 0 || height <= 0) return 0;
   const size_t row = static_cast<size_t>(width) * 3;
   const size_t raw = static_cast<size_t>(height) * (row + 1);
+  // single-pass deflate: zlib's 32-bit avail_in caps the filtered size
+  if (raw > 0xFFFFFFFFull / 2) return 0;
   std::vector<uint8_t> filt(raw);
   for (int y = 0; y < height; ++y) {
     uint8_t* d = filt.data() + static_cast<size_t>(y) * (row + 1);
@@ -96,10 +104,20 @@ size_t gs_png_encode(const uint8_t* rgb, int width, int height, int level,
   }
   uLongf comp_len = compressBound(static_cast<uLong>(raw));
   std::vector<uint8_t> comp(comp_len);
-  if (compress2(comp.data(), &comp_len, filt.data(),
-                static_cast<uLong>(raw), level) != Z_OK) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  const int strategy = level <= 3 ? Z_RLE : Z_DEFAULT_STRATEGY;
+  if (deflateInit2(&zs, level, Z_DEFLATED, 15, 8, strategy) != Z_OK) {
     return 0;
   }
+  zs.next_in = filt.data();
+  zs.avail_in = static_cast<uInt>(raw);
+  zs.next_out = comp.data();
+  zs.avail_out = static_cast<uInt>(comp_len);
+  const int rc = deflate(&zs, Z_FINISH);
+  comp_len = static_cast<uLongf>(zs.total_out);
+  deflateEnd(&zs);
+  if (rc != Z_STREAM_END) return 0;
   const size_t need = 8 + 25 + (12 + comp_len) + 12;
   if (out_cap < need) return 0;
   static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
