@@ -41,6 +41,14 @@ def _mega_result_view(v_pair, *, r: int, c: int, ch: int):
     return v.astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("r", "c", "ch", "h"))
+def _pad_result_view(v_pad, *, r: int, c: int, ch: int, h: int):
+    """Fused crop + f32 upcast of the windowed layout's V buffer (same
+    rationale as :func:`_mega_result_view`)."""
+    v = jax.lax.slice(v_pad, (h, ch), (h + r, ch + c))
+    return v.astype(jnp.float32)
+
+
 class PallasSimulation(Simulation):
     name = "pallas"
 
@@ -316,11 +324,13 @@ class PallasSimulation(Simulation):
         if tc is not None and tc >= shape[1]:
             tc = None
         if tr is None and tc is None:
-            return mk.choose_mega_geometry(*shape, strip_store=strip)
+            return mk.choose_mega_geometry(*shape, strip_store=strip,
+                                           boundary=self.boundary)
         if tr is None:
             tr = mk.choose_mega_rows(
                 *shape, strip_store=strip, tc=tc,
                 chalo=ps.COL_HALO if tc is not None else 0,
+                boundary=self.boundary,
             )
         return tr, tc
 
@@ -331,7 +341,8 @@ class PallasSimulation(Simulation):
         if self.engine == "mega":
             tr, tc = self._mega_tiles(shape)  # pins only: forced engine
             if (isinstance(self.fold, int) and self.fold > 1) or \
-                    not mk.mega_ok(shape, tr, strip_store=strip, tc=tc):
+                    not mk.mega_ok(shape, tr, strip_store=strip, tc=tc,
+                                   boundary=self.boundary):
                 raise ValueError(
                     "engine='mega' needs windows under the VMEM/compile "
                     f"ceilings and no lane fold; unsupported for shape "
@@ -348,10 +359,12 @@ class PallasSimulation(Simulation):
         # engine='mega' explicitly); explicit tile/K pins mean "I want
         # THE windowed kernel with these knobs" (also what persisted
         # windowed autotune records rely on).
-        tr, tc = mk.choose_mega_geometry(*shape, strip_store=strip)
+        tr, tc = mk.choose_mega_geometry(*shape, strip_store=strip,
+                                         boundary=self.boundary)
         if not (
             not (isinstance(self.fold, int) and self.fold > 1)
-            and mk.mega_ok(shape, tr, strip_store=strip, tc=tc)
+            and mk.mega_ok(shape, tr, strip_store=strip, tc=tc,
+                           boundary=self.boundary)
             and not self.interpret
             and not self._explicit_k
             and self.block_rows is None
@@ -540,8 +553,12 @@ class PallasSimulation(Simulation):
         tr, tc, chalo = self._tiles(u.shape, tuned, halo)
         u_pad, v_pad = ps.pad_state(u, v, tr, halo, chalo, tc,
                                     dtype=self.dtype)
-        return (jnp.asarray(u_pad), jnp.asarray(v_pad), tr, tc, chalo,
-                halo, k)
+        # every storage tuple leads with its engine tag: dispatching on
+        # `storage[0] == "mega"` with an untagged (array-first) tuple only
+        # worked because jax Arrays defer __eq__ on strings — a hazard,
+        # not a contract
+        return ("windowed", jnp.asarray(u_pad), jnp.asarray(v_pad), tr, tc,
+                chalo, halo, k)
 
     def extract_uv(self, storage, shape) -> Tuple[jax.Array, jax.Array]:
         r, c = shape
@@ -571,7 +588,7 @@ class PallasSimulation(Simulation):
         if storage[0] == "resident":
             _, u_res, v_res = storage
             return u_res[:r, :c], v_res[:r, :c]
-        u_pad, v_pad, _, _, chalo, h, _ = storage
+        _, u_pad, v_pad, _, _, chalo, h, _ = storage
         u = u_pad[h : h + r, chalo : chalo + c]
         v = v_pad[h : h + r, chalo : chalo + c]
         if self.dtype != jnp.float32:  # consumers (HDF5, views) expect f32
@@ -579,18 +596,26 @@ class PallasSimulation(Simulation):
         return u, v
 
     def extract_result(self, storage, shape):
-        """V's input concentration only. Overridden for the megakernel
-        pair layout: the base extract_uv()[1] would ALSO materialize U's
-        cropped f32 view eagerly, and at HBM-scale domains (32768^2 bf16:
-        8.1 GB of pairs) those two extra device temporaries are the
-        difference between fitting and ResourceExhausted. The jit fuses
-        crop + upcast into one V-sized output."""
-        if storage[0] != "mega":
-            return super().extract_result(storage, shape)
-        _, _, v_pair, _, tc = storage
+        """V's input concentration only. The base extract_uv()[1] would
+        ALSO materialize U's cropped f32 view eagerly, and at HBM-scale
+        domains (32768^2 bf16: 8.1 GB of pairs) those two extra device
+        temporaries are the difference between fitting and
+        ResourceExhausted — so the HBM-scale layouts (mega, windowed,
+        folded) build only V's view here, jit-fusing crop + upcast into
+        one V-sized output. The packed/resident layouts only run on
+        VMEM-scale domains; the base path is fine there."""
         r, c = shape
-        ch = ps.COL_HALO if tc is not None else 0
-        return _mega_result_view(v_pair, r=r, c=c, ch=ch)
+        if storage[0] == "mega":
+            _, _, v_pair, _, tc = storage
+            ch = ps.COL_HALO if tc is not None else 0
+            return _mega_result_view(v_pair, r=r, c=c, ch=ch)
+        if storage[0] == "windowed":
+            _, _, v_pad, _, _, chalo, h, _ = storage
+            return _pad_result_view(v_pad, r=r, c=c, ch=chalo, h=h)
+        if storage[0] == "folded":
+            _, _, v_pad, _, halo, _, f, _ = storage
+            return ps.unfold_state(v_pad, halo, f, c, r)
+        return super().extract_result(storage, shape)
 
     # -- stepping ------------------------------------------------------------
 
@@ -611,11 +636,7 @@ class PallasSimulation(Simulation):
 
     def _reaction(self):
         """(kernel_params, reaction operand, dt_is_one) per the mode."""
-        if self.runtime_params:
-            reaction = ps.reaction_operand(self.params)
-            return (self.params.structure_only(), reaction,
-                    bool(reaction[0, 4] == np.float32(1.0)))
-        return self.params, None, False
+        return ps.reaction_mode(self.params, self.runtime_params)
 
     def run_steps(self, storage, shape, steps: int):
         r, c = shape
@@ -730,7 +751,7 @@ class PallasSimulation(Simulation):
                 ),
             )
             return ("resident", u, v)
-        u, v, tr, tc, chalo, halo, k = storage
+        _, u, v, tr, tc, chalo, halo, k = storage
         n_full, rem = divmod(steps, k)
         common = dict(
             tr=tr, tc=tc, chalo=chalo, params=kernel_params,
@@ -757,7 +778,7 @@ class PallasSimulation(Simulation):
             )
         if rem:
             u, v = ps.multistep(u, v, *pos, steps=rem, **common)
-        return (u, v, tr, tc, chalo, halo, k)
+        return ("windowed", u, v, tr, tc, chalo, halo, k)
 
     # -- CLI ----------------------------------------------------------------
 

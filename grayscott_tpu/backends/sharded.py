@@ -10,6 +10,7 @@ single-chip Pallas kernel per shard and adds the distribution layer on top.
 from __future__ import annotations
 
 import argparse
+import functools
 from typing import Tuple
 
 import jax
@@ -21,6 +22,20 @@ from ..ops import pallas_stencil as ps
 from ..parallel import halo
 from ..params import Parameters
 from .base import Simulation, env_default
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "chalo", "h"))
+def _mega_v_view(v_pairs, *, shape, chalo: int, h: int):
+    """Fused V-only snapshot view of the sharded megakernel pairs."""
+    return halo.mega_unshard_result(v_pairs, shape, h, chalo) \
+        .astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "chalo", "h"))
+def _windowed_v_view(v_blocks, *, shape, chalo: int, h: int):
+    """Fused V-only snapshot view of the sharded windowed blocks."""
+    return halo.unshard_result(v_blocks, shape, chalo, h) \
+        .astype(jnp.float32)
 
 
 class ShardedSimulation(Simulation):
@@ -126,11 +141,13 @@ class ShardedSimulation(Simulation):
         if tc is not None and tc >= c:
             tc = None
         if tr is None and tc is None:
-            return mk.choose_mega_geometry(r_loc, c, self.halo)
+            return mk.choose_mega_geometry(r_loc, c, self.halo,
+                                           boundary=self.boundary)
         if tr is None:
             tr = mk.choose_mega_rows(
                 r_loc, c, self.halo,
                 tc=tc, chalo=ps.COL_HALO if tc is not None else 0,
+                boundary=self.boundary,
             )
         return tr, tc
 
@@ -139,7 +156,8 @@ class ShardedSimulation(Simulation):
             n_sh = self.mesh.devices.shape[0]
             r_loc = -(-u.shape[0] // n_sh)
             tr, tc = self._mega_tiles(r_loc, u.shape[1])
-            if not mk.mega_ok((r_loc, u.shape[1]), tr, self.halo, tc=tc):
+            if not mk.mega_ok((r_loc, u.shape[1]), tr, self.halo, tc=tc,
+                              boundary=self.boundary):
                 # choose_mega_rows falls back to tr=8 even when no tile
                 # fits: fail here instead of a Mosaic scoped-VMEM
                 # failure or a remote-compile hang on an ultra-wide slab
@@ -156,10 +174,10 @@ class ShardedSimulation(Simulation):
         ub, vb, _ = halo.shard_state(
             u, v, self.mesh, tr, self.chalo, self.halo, dtype=self.dtype
         )
-        return (ub, vb, tr)
+        return ("windowed", ub, vb, tr)
 
     def extract_uv(self, storage, shape) -> Tuple[jax.Array, jax.Array]:
-        if isinstance(storage[0], str):  # ("mega", up, vp, tr, tc)
+        if storage[0] == "mega":  # ("mega", up, vp, tr, tc)
             chalo = ps.COL_HALO if storage[4] is not None else 0
             return (
                 halo.mega_unshard_result(storage[1], shape, self.halo,
@@ -168,25 +186,35 @@ class ShardedSimulation(Simulation):
                                          chalo),
             )
         out = (
-            halo.unshard_result(storage[0], shape, self.chalo, self.halo),
             halo.unshard_result(storage[1], shape, self.chalo, self.halo),
+            halo.unshard_result(storage[2], shape, self.chalo, self.halo),
         )
         if self.dtype != jnp.float32:  # consumers expect f32 host views
             out = tuple(x.astype(jnp.float32) for x in out)
         return out
 
+    def extract_result(self, storage, shape):
+        """V only, fused (crop + reassemble + upcast in one executable):
+        the base extract_uv()[1] would also materialize U's full (R, C)
+        f32 view per snapshot — at HBM-scale domains that is the
+        difference between fitting and ResourceExhausted (same rationale
+        as PallasSimulation.extract_result)."""
+        shape = tuple(shape)
+        if storage[0] == "mega":
+            chalo = ps.COL_HALO if storage[4] is not None else 0
+            return _mega_v_view(storage[2], shape=shape, chalo=chalo,
+                                h=self.halo)
+        return _windowed_v_view(storage[2], shape=shape, chalo=self.chalo,
+                                h=self.halo)
+
     def _reaction(self):
         """(kernel_params, reaction operand, dt_is_one) per the mode."""
-        if self.runtime_params:
-            reaction = ps.reaction_operand(self.params)
-            return (self.params.structure_only(), reaction,
-                    bool(reaction[0, 4] == np.float32(1.0)))
-        return self.params, None, False
+        return ps.reaction_mode(self.params, self.runtime_params)
 
     def run_steps(self, storage, shape, steps: int):
-        if isinstance(storage[0], str):
+        if storage[0] == "mega":
             return self._run_steps_mega(storage, shape, steps)
-        u, v, tr = storage
+        _, u, v, tr = storage
         r, c = shape
         k = self.steps_per_call
         n_full, rem = divmod(steps, k)
@@ -206,7 +234,7 @@ class ShardedSimulation(Simulation):
             u, v = halo.sharded_run_blocks(
                 u, v, jnp.int32(1), reaction, steps=rem, **common
             )
-        return (u, v, tr)
+        return ("windowed", u, v, tr)
 
     def _run_steps_mega(self, storage, shape, steps: int):
         _, u, v, tr, tc = storage

@@ -79,7 +79,7 @@ def _guard_ok(cfg: Mapping, shape, boundary: str) -> bool:
         # pin semantics mirror the runtime: block_rows alone = full-width
         # windows; block_cols = the megakernel's column tile
         return mk.mega_ok(shape, cfg.get("block_rows"),
-                          tc=cfg.get("block_cols"))
+                          tc=cfg.get("block_cols"), boundary=boundary)
     if cfg.get("resident") == "on":
         return ps.resident_ok(shape)
     # arbitrary Mapping candidates may omit either windowed knob: default
@@ -151,7 +151,8 @@ def _fold_candidates(shape, boundary: str, dtype: str) -> list[dict]:
     return [dict(fold=f, steps_per_call=16), dict(fold=f, steps_per_call=8)]
 
 
-def _engine_candidates(shape, dtype: str) -> list[dict]:
+def _engine_candidates(shape, dtype: str,
+                       boundary: str = "zero") -> list[dict]:
     """Alternative-engine candidates: the whole-run megakernel (default
     row blocks + a half-size variant for deeper DMA pipelining) and the
     VMEM-resident kernel, wherever each supports the domain. The winner's
@@ -159,7 +160,7 @@ def _engine_candidates(shape, dtype: str) -> list[dict]:
     instead of the static preference order."""
     out = []
     r, c = shape
-    tr, tc = mk.choose_mega_geometry(r, c)
+    tr, tc = mk.choose_mega_geometry(r, c, boundary=boundary)
     # skip mega candidates whose forced window geometry carries high halo
     # redundancy (measuring a known-inefficient config only wastes tuner
     # budget). The megakernel supports bf16 storage too (the shipped
@@ -167,13 +168,13 @@ def _engine_candidates(shape, dtype: str) -> list[dict]:
     # — without a mega candidate here, bf16 tuning at unlisted shapes
     # would persist a windowed record that then pins the shape to the
     # slower kernel permanently.
-    if mk.mega_ok(shape, tr, tc=tc) and \
+    if mk.mega_ok(shape, tr, tc=tc, boundary=boundary) and \
             mk.mega_window_cells(r, c, tr, tc) <= 1.3 * r * c:
         out.append(dict(engine="mega"))
         if tc is None:
             half = tr // 2 // 8 * 8
-            if half >= 8 and mk.mega_ok(shape, half) and \
-                    (half + 2 * mk.MEGA_STEPS) / half <= 1.3:
+            if half >= 8 and mk.mega_ok(shape, half, boundary=boundary) \
+                    and (half + 2 * mk.MEGA_STEPS) / half <= 1.3:
                 out.append(dict(engine="mega", block_rows=half))
         else:
             # the geometry heuristic picked column tiles on a 3%-bias
@@ -181,11 +182,12 @@ def _engine_candidates(shape, dtype: str) -> list[dict]:
             # form (pin semantics: block_rows alone = full-width
             # windows) and the double-width tile (fewer column halos,
             # thinner row tiles) when they exist
-            tr_fw = mk.choose_mega_rows(r, c)
-            if mk.mega_ok(shape, tr_fw) and \
+            tr_fw = mk.choose_mega_rows(r, c, boundary=boundary)
+            if mk.mega_ok(shape, tr_fw, boundary=boundary) and \
                     (tr_fw + 2 * mk.MEGA_STEPS) / tr_fw <= 1.3:
                 out.append(dict(engine="mega", block_rows=tr_fw))
-            if 2 * tc < c and mk.mega_ok(shape, None, tc=2 * tc):
+            if 2 * tc < c and mk.mega_ok(shape, None, tc=2 * tc,
+                                         boundary=boundary):
                 out.append(dict(engine="mega", block_cols=2 * tc))
     # the resident kernel keeps the whole f32 state in VMEM: f32-only
     if dtype == "float32" and ps.resident_ok(shape):
@@ -287,7 +289,7 @@ def measure_config(
         _, _, _, tr_used, _halo, k, f_used, _rp = species.storage
         tc_used = None
     else:
-        _, _, tr_used, tc_used, _chalo, _halo, k = species.storage
+        _, _, _, tr_used, tc_used, _chalo, _halo, k = species.storage
         f_used = 1
     if steps is None:
         # a FIXED work target across candidates (rounded up to this
@@ -342,7 +344,7 @@ def autotune(
         # and the backend refuses to act on a fold/pack record off-TPU
         # anyway (build_storage nulls fold>1 records under interpret)
         configs += _fold_candidates(shape, boundary, dtype)
-        configs += _engine_candidates(shape, dtype)
+        configs += _engine_candidates(shape, dtype, boundary)
         configs += _pack_candidates(shape, boundary, dtype, params)
     viable = []
     for cfg in configs:

@@ -21,6 +21,20 @@ from ..params import Precision
 DEFAULT_DATASET = "matrix"
 
 
+def _chunk_shape(rows: int, cols: int, itemsize: int) -> Tuple[int, int, int]:
+    """Chunk shape for one snapshot: ``(1, rows, cols)`` — the reference's
+    layout (data/src/hdf5.rs:44-47) — unless that exceeds HDF5's hard
+    4 GiB-per-chunk limit (h5py refuses the dataset outright), in which
+    case the row dimension is halved until the chunk fits. Only domains
+    at or beyond 32768x32768 f32 are affected; files stay readable by any
+    HDF5 consumer (chunking is transparent), they just lose the exact
+    one-chunk-per-image layout that cannot exist at that size."""
+    r_chunk = rows
+    while r_chunk > 1 and r_chunk * cols * itemsize >= 1 << 32:
+        r_chunk = -(-r_chunk // 2)
+    return (1, r_chunk, cols)
+
+
 class Writer:
     """Streaming snapshot writer (``hdf5::Writer``, data/src/hdf5.rs:30-78)."""
 
@@ -37,7 +51,7 @@ class Writer:
             dataset_name,
             shape=(num_images, rows, cols),
             dtype=Precision,
-            chunks=(1, rows, cols),
+            chunks=_chunk_shape(rows, cols, np.dtype(Precision).itemsize),
         )
         self._position = 0
 

@@ -75,7 +75,7 @@ def _bind_symbols(lib):
     # raises AttributeError, so the version check must not hide
     # behind the newer symbols it is meant to protect
     lib.gs_native_abi_version.restype = ctypes.c_int
-    if lib.gs_native_abi_version() != 3:
+    if lib.gs_native_abi_version() != 4:
         raise OSError("gs_native ABI version mismatch")
     lib.gs_colorize.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_size_t,

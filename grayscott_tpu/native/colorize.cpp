@@ -28,7 +28,11 @@ void colorize_range(const float* v, size_t begin, size_t end,
                     const uint8_t* lut, float scale, uint8_t* out) {
   for (size_t i = begin; i < end; ++i) {
     float t = v[i] * scale;
-    t = std::min(std::max(t, 0.0f), 1.0f);
+    // NaN-safe clamp: std::min/std::max propagate NaN here, and a NaN t
+    // would index wild memory below (a diverged simulation writes NaN
+    // snapshots, e.g. dt too large). Map NaN to 0, matching the NumPy
+    // fallback in utils/palette.py.
+    t = t > 0.0f ? (t < 1.0f ? t : 1.0f) : 0.0f;
     float x = t * 255.0f;
     int lo = static_cast<int>(x);  // x in [0, 255] => trunc == floor
     int hi = std::min(lo + 1, 255);
@@ -156,6 +160,6 @@ void gs_colorize(const float* values, size_t n, const uint8_t* lut,
   for (auto& w : workers) w.join();
 }
 
-int gs_native_abi_version(void) { return 3; }
+int gs_native_abi_version(void) { return 4; }
 
 }  // extern "C"

@@ -525,35 +525,37 @@ def mega_vmem_limit(tr: int, halo: int, c: int, species: int = 2,
 
 def mega_ok(shape, tr: int | None = None, halo: int = MEGA_STEPS,
             species: int = 2, strip_store: bool = False,
-            tc: int | None = None) -> bool:
+            tc: int | None = None, boundary: str = "zero") -> bool:
     """Whether the megakernel supports this domain: windows (full-width,
     or ``(w, tc + 256)`` column tiles) must fit the VMEM budget and the
-    K-unrolled graph must clear the Mosaic compile ceiling. Resolution
-    mirrors the runtime: ``tr`` pinned alone means full-width windows at
-    that row block; neither pinned means the geometry heuristic picks
-    both. ``species=1`` = the packed layout (shape is then the packed
-    (r, 2*c) extent; full-width only)."""
+    K-unrolled graph must clear the Mosaic compile ceiling (derated for
+    the naive boundary's heavier per-step graph, like the windowed
+    guard). Resolution mirrors the runtime: ``tr`` pinned alone means
+    full-width windows at that row block; neither pinned means the
+    geometry heuristic picks both. ``species=1`` = the packed layout
+    (shape is then the packed (r, 2*c) extent; full-width only)."""
     r, c = shape
     if tc is not None and (strip_store or species != 2):
         return False
     if tr is None and tc is None and species == 2 and not strip_store:
-        tr, tc = choose_mega_geometry(r, c, halo)
+        tr, tc = choose_mega_geometry(r, c, halo, boundary=boundary)
     chalo = ps.COL_HALO if tc is not None else 0
     if tc is not None and not (128 <= tc < c and tc % 128 == 0):
         return False
     tr = tr or choose_mega_rows(r, c, halo, species, strip_store,
-                                tc=tc, chalo=chalo)
+                                tc=tc, chalo=chalo, boundary=boundary)
     wc = (tc + 2 * chalo) if tc is not None else c
     return (
         mega_vmem_limit(tr, halo, c, species, strip_store, tc, chalo)
         >= _mega_vmem_est(tr, halo, c, species, strip_store, tc, chalo)
-        and ps.window_compile_ok(tr, halo, wc, steps=halo)
+        and ps.window_compile_ok(tr, halo, wc, boundary, steps=halo)
     )
 
 
 def choose_mega_rows(r: int, c: int, halo: int = MEGA_STEPS,
                      species: int = 2, strip_store: bool = False,
-                     tc: int | None = None, chalo: int = 0) -> int:
+                     tc: int | None = None, chalo: int = 0,
+                     boundary: str = "zero") -> int:
     """Row-block size: largest padding-free tile whose window pair plus
     slots fit the 120 MB VMEM tier, preferring >= 2 blocks so the inner
     loop can prefetch (B=1 serializes each time block's DMA against
@@ -565,7 +567,7 @@ def choose_mega_rows(r: int, c: int, halo: int = MEGA_STEPS,
     best, best_score = None, None
     for tr in range(8, min(rp8, 1024) + 1, 8):
         w = tr + 2 * halo
-        if not ps.window_compile_ok(tr, halo, wc, steps=halo):
+        if not ps.window_compile_ok(tr, halo, wc, boundary, steps=halo):
             break
         if _mega_vmem_est(tr, halo, c, species, strip_store,
                           tc, chalo) > (120 << 20):
@@ -594,7 +596,8 @@ def mega_window_cells(r: int, c: int, tr: int, tc: int | None,
 
 def choose_mega_geometry(r: int, c: int, halo: int = MEGA_STEPS,
                          strip_store: bool = False,
-                         species: int = 2) -> tuple[int, int | None]:
+                         species: int = 2,
+                         boundary: str = "zero") -> tuple[int, int | None]:
     """(tr, tc): the megakernel window geometry for this domain.
 
     Full-width windows (tc=None) are preferred — no column-halo
@@ -606,9 +609,11 @@ def choose_mega_geometry(r: int, c: int, halo: int = MEGA_STEPS,
     tc=8192/tr=160). Candidates are scored by total window cells with a
     3% full-width bias (strided column-sliced DMAs and the (W, Wc)
     column mask are unmodeled costs)."""
-    tr_fw = choose_mega_rows(r, c, halo, species, strip_store)
+    tr_fw = choose_mega_rows(r, c, halo, species, strip_store,
+                             boundary=boundary)
     best: tuple[int, int | None] = (tr_fw, None)
-    fw_ok = mega_ok((r, c), tr_fw, halo, species, strip_store)
+    fw_ok = mega_ok((r, c), tr_fw, halo, species, strip_store,
+                    boundary=boundary)
     best_score = (
         mega_window_cells(r, c, tr_fw, None, halo) / 1.03 if fw_ok
         else float("inf")
@@ -619,8 +624,9 @@ def choose_mega_geometry(r: int, c: int, halo: int = MEGA_STEPS,
         if tc >= c:
             continue
         tr = choose_mega_rows(r, c, halo, species, strip_store,
-                              tc=tc, chalo=ps.COL_HALO)
-        if not mega_ok((r, c), tr, halo, species, tc=tc):
+                              tc=tc, chalo=ps.COL_HALO, boundary=boundary)
+        if not mega_ok((r, c), tr, halo, species, tc=tc,
+                       boundary=boundary):
             continue
         score = mega_window_cells(r, c, tr, tc, halo)
         if score < best_score:

@@ -818,6 +818,19 @@ def reaction_operand(params: Parameters) -> np.ndarray:
 REACTION_LEN = 10
 
 
+def reaction_mode(params: Parameters, runtime_params: bool):
+    """(kernel_params, reaction operand, dt_is_one) for a backend's mode —
+    the one place the runtime-parameter contract lives (pallas + sharded
+    backends share it): in runtime mode the executable is keyed on the
+    weight structure only, the scalars ride the SMEM operand, and the
+    kernel specializes on the single ``dt == 1.0`` predicate."""
+    if runtime_params:
+        reaction = reaction_operand(params)
+        return (params.structure_only(), reaction,
+                bool(reaction[0, 4] == np.float32(1.0)))
+    return params, None, False
+
+
 def multistep_impl(
     u_pad, v_pad, origin, r_total,
     origin_c=0, c_total=None, reaction=None,

@@ -144,7 +144,16 @@ def sharded_run_blocks(
         # f32 in VMEM, so live temporaries are f32 regardless of storage
         vmem_limit_bytes = ps.choose_vmem_limit(tr, halo, wp, 4, boundary)
 
-    use_overlap = overlap and chalo == 0 and r_loc // tr >= 3
+    # tr >= halo is a correctness requirement, not a tuning choice: the
+    # interior slab a[tr : r_loc - tr + 2*halo] reaches into the carry's
+    # padding rows at BOTH ends when tr < halo, and overlap mode never
+    # refreshes that padding (put() writes interior rows only; exchange
+    # arrivals feed the edge slabs directly) — those rows would be stale
+    # zeros standing in for neighbor data. Fall back to the serialized
+    # exchange like the other structural gates below.
+    use_overlap = (
+        overlap and chalo == 0 and r_loc // tr >= 3 and tr >= halo
+    )
 
     def local(u, v, n_blocks, *maybe_reaction):
         u, v = u[0, 0], v[0, 0]

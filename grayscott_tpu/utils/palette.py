@@ -51,6 +51,10 @@ def colorize(values: np.ndarray, scale: float = AMPLITUDE_SCALE,
     lut = inferno_lut().astype(np.float32)
     n = len(lut)
     t = np.clip(values * np.float32(scale), 0.0, 1.0).astype(np.float32)
+    # np.clip propagates NaN, and floor(NaN).astype(int32) below would be
+    # an arbitrary (possibly out-of-range) LUT index: map a diverged
+    # field's NaNs to 0, like the native kernel does
+    t = np.nan_to_num(t, nan=0.0, copy=False)
     x = t * np.float32(n - 1)
     lo = np.floor(x).astype(np.int32)
     hi = np.minimum(lo + 1, n - 1)

@@ -169,8 +169,8 @@ def test_per_species_tuned_k_isolation(monkeypatch, tmp_path, params):
     spa = sim.make_species(shape_a)
     spb = sim.make_species(shape_b)
     sim.interpret = True
-    _, _, _, _, _, halo_a, k_a = spa.storage
-    _, _, _, _, _, halo_b, k_b = spb.storage
+    _, _, _, _, _, _, halo_a, k_a = spa.storage
+    _, _, _, _, _, _, halo_b, k_b = spb.storage
     assert (k_a, halo_a) == (16, 16)
     assert (k_b, halo_b) == (8, 8)
     # species A still slices with ITS halo, not B's
@@ -251,7 +251,7 @@ def test_fold_record_adoption(monkeypatch, tmp_path, params):
                                engine="windowed")
     st_off = sim_off.build_storage(np.zeros(shape, np.float32),
                                   np.ones(shape, np.float32))
-    assert st_off[0] != "folded" and st_off[2] != 16
+    assert st_off[0] == "windowed" and st_off[3] != 16
     # narrow domains get fold candidates; wide/bf16 ones do not
     cands = autotune._fold_candidates((1080, 1920), "zero", "float32")
     assert cands and all(cd["fold"] == 2 for cd in cands)
@@ -327,7 +327,7 @@ def test_engine_verdict_adoption(monkeypatch, tmp_path, params):
                            "steps_per_call": 4, "block_cols": None,
                            "fold": 1}})
     st = build()
-    assert not isinstance(st[0], str) and st[2] == 16 and st[6] == 4
+    assert st[0] == "windowed" and st[3] == 16 and st[7] == 4
     # resident verdict: resident storage
     c.save_autotune({key: {"engine": "resident", "block_rows": None,
                            "steps_per_call": 16, "block_cols": None,
@@ -339,7 +339,7 @@ def test_engine_verdict_adoption(monkeypatch, tmp_path, params):
                            "steps_per_call": 8, "block_cols": None,
                            "fold": 1}})
     st = build(engine="windowed", resident="off")
-    assert not isinstance(st[0], str) and st[2] != 48
+    assert st[0] == "windowed" and st[3] != 48
 
 
 def test_shipped_defaults_schema_and_fallback(monkeypatch, tmp_path, params):

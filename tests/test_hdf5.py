@@ -64,3 +64,21 @@ def test_reader_recycled_buffer(tmp_path):
         np.testing.assert_array_equal(out, imgs[1])
         np.testing.assert_array_equal(r.read(), imgs[2])
         assert r.read() is None
+
+
+def test_chunk_cap_for_giant_domains(tmp_path):
+    """HDF5 refuses chunks >= 4 GiB; the writer keeps the reference's
+    one-chunk-per-image layout for every size where it can exist and
+    halves the chunk's row dimension where it cannot (round-2 review
+    regression: simulate -r 32768 -c 32768 aborted at Writer creation)."""
+    from grayscott_tpu.io.hdf5 import _chunk_shape
+
+    assert _chunk_shape(1080, 1920, 4) == (1, 1080, 1920)
+    assert _chunk_shape(16384, 16384, 4) == (1, 16384, 16384)  # 1 GiB: fine
+    ch = _chunk_shape(32768, 32768, 4)
+    assert ch[0] == 1 and ch[2] == 32768
+    assert ch[1] * 32768 * 4 < 1 << 32
+    # dataset creation itself must succeed (lazily allocated: tiny file)
+    w = Writer(tmp_path / "giant.h5", (32768, 32768), 2)
+    assert w._dataset.chunks == ch
+    w.close()

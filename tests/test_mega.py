@@ -184,6 +184,27 @@ def test_choose_mega_rows_geometry():
         1.3 * 4096 * 65536
 
 
+def test_mega_guards_apply_naive_compile_derate():
+    """The naive boundary's heavier per-step graph derates the Mosaic
+    compile ceiling (NAIVE_COMPILE_DERATE); the megakernel guards must
+    thread the boundary into window_compile_ok like the windowed guard
+    does (round-2 review: mega_ok ignored boundary entirely). With the
+    current VMEM constants the derate band is unreachable for
+    two-species mega windows — the VMEM estimate binds first, verified
+    by exhaustive scan — so this pins the consistency property: every
+    geometry the choosers emit for 'naive' clears the DERATED ceiling,
+    and the shipped naive verdicts stay valid under it."""
+    for shape in ((1080, 1920), (4096, 4096), (8192, 8192),
+                  (16384, 16384), (4096, 32768)):
+        tr, tc = mk.choose_mega_geometry(*shape, boundary="naive")
+        wc = tc + 2 * ps.COL_HALO if tc is not None else shape[1]
+        assert ps.window_compile_ok(tr, 8, wc, "naive", steps=8), shape
+        assert mk.mega_ok(shape, tr, tc=tc, boundary="naive"), shape
+    # shipped-verdict geometries stay valid under the derate
+    assert mk.mega_ok((4096, 4096), boundary="naive")
+    assert mk.mega_ok((16384, 16384), 72, boundary="naive")  # defaults.py
+
+
 def test_choose_mega_geometry():
     """Full-width windows stay preferred wherever they are efficient
     (contiguous DMA, no column halo); column tiles take over only when

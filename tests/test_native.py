@@ -42,6 +42,31 @@ def test_colorize_dispatch(rng):
     np.testing.assert_array_equal(colorize(v), numpy_colorize(v))
 
 
+def test_colorize_nan_safe(rng, monkeypatch):
+    """A diverged simulation writes NaN snapshots (e.g. dt too large);
+    colorize must map them to palette index 0, not index out of the LUT
+    (round-2 review regression: the native clamp propagated NaN and
+    segfaulted data-to-pics; the NumPy fallback raised IndexError)."""
+    v = rng.uniform(0, 0.6, (40, 50)).astype(np.float32)
+    v[3, 7] = np.nan
+    v[10:12, :] = np.nan
+    lut = inferno_lut()
+
+    def check(got):
+        np.testing.assert_array_equal(got[3, 7], lut[0])
+        np.testing.assert_array_equal(
+            got[10], np.broadcast_to(lut[0], (50, 3))
+        )
+        # non-NaN cells are untouched
+        np.testing.assert_array_equal(got[0], numpy_colorize(v[:1])[0])
+
+    if native.load() is not None:
+        check(native.colorize(v, lut, AMPLITUDE_SCALE))
+    # the NumPy fallback path, forced
+    monkeypatch.setattr(native, "colorize", lambda *a, **k: None)
+    check(colorize(v))
+
+
 def test_png_encode_roundtrip(rng):
     """Native PNG stream decodes (via PIL) to the exact input pixels."""
     if native.load() is None:
@@ -114,7 +139,7 @@ def test_stale_library_rebuilt(tmp_path, monkeypatch):
     os.utime(lib_path, None)
     lib = native.load()
     assert lib is not None, "ABI-mismatched library was not rebuilt"
-    assert lib.gs_native_abi_version() == 3
+    assert lib.gs_native_abi_version() == 4
 
 
 def test_colorize_out_recycling(rng):

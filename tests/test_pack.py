@@ -235,9 +235,10 @@ def test_pack_record_tiles_never_leak_unpacked(monkeypatch, tmp_path,
     sim = PallasSimulation(params, boundary="zero", interpret=True,
                            pack="off")
     storage = sim.build_storage(u, v)
-    tr = storage[2]
+    assert storage[0] == "windowed"
+    tr = storage[3]
     assert tr != 8  # heuristic tile, not the packed record's
-    assert tr == ps.choose_block_rows(64, 128, halo=storage[5],
+    assert tr == ps.choose_block_rows(64, 128, halo=storage[6],
                                       boundary="zero")
 
 

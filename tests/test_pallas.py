@@ -172,7 +172,11 @@ def test_bf16_fast_mode(params):
     np.testing.assert_allclose(gu, ou, rtol=0, atol=0.05)
     np.testing.assert_allclose(gv, ov, rtol=0, atol=0.05)
     # and it must actually be bf16 underneath
-    assert species.storage[0].dtype == jnp.bfloat16
+    assert species.storage[0] == "windowed"
+    assert species.storage[1].dtype == jnp.bfloat16
+    # the V-only snapshot view (fused crop + upcast) matches extract_uv
+    vr = np.asarray(sim.extract_result(species.storage, species.shape))
+    np.testing.assert_array_equal(vr, gv)
 
 
 def test_choose_block_rows_minimizes_window_volume():

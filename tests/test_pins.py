@@ -42,7 +42,7 @@ def test_engine_windowed_pin_ignores_resident_verdict(
                            interpret=False)
     assert not sim._use_resident((64, 128))
     storage = sim.build_storage(*(np.zeros((64, 128), np.float32),) * 2)
-    assert not isinstance(storage[0], str)  # windowed tuple, not "resident"
+    assert storage[0] == "windowed"  # not "resident"
     # while the unpinned sim DOES follow the verdict
     auto = PallasSimulation(params, boundary="zero", interpret=False)
     assert auto._use_resident((64, 128))

@@ -142,7 +142,7 @@ def test_sharded_bf16(params):
     species.storage = sim.build_storage(u0, v0)
     sim.perform_steps(species, 8)
     gu, gv = species.uv_host()
-    assert species.storage[0].dtype == jnp.bfloat16
+    assert species.storage[1].dtype == jnp.bfloat16
     np.testing.assert_allclose(gu, ou, rtol=0, atol=0.05)
     np.testing.assert_allclose(gv, ov, rtol=0, atol=0.05)
 
@@ -189,6 +189,39 @@ def test_overlap_falls_back_when_too_few_tiles(rng, params):
     b = run_sharded(u, v, params, "naive", 4, 2, block_rows=8,
                     steps_per_call=4)
     np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_overlap_falls_back_when_tr_below_halo(rng, params):
+    """tr < halo would make the interior slab reach into the carry's
+    padding rows at both ends — rows overlap mode never refreshes (put()
+    writes interior rows only; exchange arrivals feed the edge slabs
+    directly), so they would be stale zeros standing in for neighbor
+    data. The mode must serialize instead and stay oracle-exact
+    (round-2 review regression: K=16 is the TPU default, so
+    '--sharded-overlap on --pallas-block-rows 8' hit this)."""
+    u, v = random_uv(rng, (96, 16))  # 48 rows/shard = 6 tiles of 8
+    ou, ov = oracle.run(u, v, params, 16, "naive")
+    gu, gv = run_sharded(u, v, params, "naive", 16, 2, block_rows=8,
+                         steps_per_call=16, overlap=True)  # halo=16 > tr=8
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_sharded_extract_result_matches_uv(rng, params):
+    """extract_result builds only V's fused view (no U materialization —
+    the 32768^2 ResourceExhausted hazard); it must equal extract_uv[1]
+    on both sharded engines."""
+    u, v = random_uv(rng, (32, 16))
+    for kw in (dict(block_rows=8, steps_per_call=4),
+               dict(engine="mega", block_rows=8)):
+        sim = ShardedSimulation(params, boundary="naive", n_devices=2,
+                                interpret=True, **kw)
+        species = sim.make_species((32, 16))
+        species.storage = sim.build_storage(u, v)
+        sim.perform_steps(species, 8)
+        vr = np.asarray(sim.extract_result(species.storage, species.shape))
+        v2 = np.asarray(sim.extract_uv(species.storage, species.shape)[1])
+        np.testing.assert_array_equal(vr, v2)
 
 
 def test_overlap_interior_kernel_independent_of_permutes(params):
