@@ -15,7 +15,7 @@ import argparse
 import os
 from typing import Tuple
 
-from ..params import DEFAULT_STENCIL, Parameters, STENCILS
+from ..params import DEFAULT_STENCIL, Parameters, PRESETS, STENCILS
 from ..utils.runtime import env_flag
 
 
@@ -43,6 +43,15 @@ def add_shared_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument(
         "-t", "--deltat", type=float, default=None,
         help="Simulated time interval on each simulation step",
+    )
+    parser.add_argument(
+        "--preset",
+        default=os.environ.get("GRAYSCOTT_PRESET") or None,
+        choices=sorted(PRESETS),
+        help="Named (feed, kill) pattern preset from Pearson's regime "
+        "map (solitons, mitosis, coral, maze, worms, waves, u-skate, "
+        "chaos; 'reference' = the reference's default pair). Explicit "
+        "-f/-k still override",
     )
     parser.add_argument(
         "--backend",
@@ -78,7 +87,8 @@ def add_shared_args(parser: argparse.ArgumentParser) -> None:
 
 
 def simulation_parameters(ns: argparse.Namespace) -> Parameters:
-    """Overlay CLI args onto defaults (ui/src/lib.rs:51-63)."""
+    """Overlay CLI args onto defaults (ui/src/lib.rs:51-63); a --preset
+    supplies the (feed, kill) base pair, explicit -f/-k override it."""
     kwargs = {}
     if ns.killrate is not None:
         kwargs["kill_rate"] = ns.killrate
@@ -86,6 +96,9 @@ def simulation_parameters(ns: argparse.Namespace) -> Parameters:
         kwargs["feed_rate"] = ns.feedrate
     if ns.deltat is not None:
         kwargs["time_step"] = ns.deltat
+    preset = getattr(ns, "preset", None)
+    if preset:
+        return Parameters.with_preset(preset, stencil=ns.stencil, **kwargs)
     return Parameters.with_stencil(ns.stencil, **kwargs)
 
 

@@ -70,6 +70,26 @@ STENCILS: dict[str, WeightsT] = {
 
 DEFAULT_STENCIL = "oono-puri"
 
+#: Named (feed_rate, kill_rate) presets for the classic Gray-Scott
+#: pattern classes — the widely-used coordinates from Pearson's regime
+#: map (Pearson, "Complex Patterns in a Simple System", Science 1993).
+#: Every entry is validated to produce a live, spatially-structured V
+#: field after 4000 steps in THIS discretization (Du=0.1, Dv=0.05,
+#: dt=1, Oono-Puri stencil) — see tests/test_params.py. A
+#: beyond-reference convenience: the reference exposes only -f/-k
+#: (ui/src/lib.rs:18-46); "reference" is its shipped default pair.
+PRESETS: dict[str, Tuple[float, float]] = {
+    "reference": (0.014, 0.054),  # the reference's default: growing spots
+    "solitons": (0.030, 0.062),  # self-replicating spots
+    "mitosis": (0.0367, 0.0649),  # dividing cells
+    "coral": (0.0545, 0.062),  # coral-like branching growth
+    "maze": (0.029, 0.057),  # labyrinthine stripes
+    "worms": (0.058, 0.065),  # crawling worm segments
+    "waves": (0.014, 0.045),  # unstable travelling waves
+    "u-skate": (0.062, 0.061),  # U-skate world (glider-bearing)
+    "chaos": (0.026, 0.051),  # spatiotemporal chaos, domain-filling
+}
+
 
 @dataclasses.dataclass(frozen=True)
 class Parameters:
@@ -97,6 +117,21 @@ class Parameters:
                 f"unknown stencil {name!r}; available: {sorted(STENCILS)}"
             )
         return cls(weights=STENCILS[name], **kwargs)
+
+    @classmethod
+    def with_preset(cls, name: str, stencil: str = DEFAULT_STENCIL,
+                    **kwargs) -> "Parameters":
+        """Parameters for a named pattern preset (:data:`PRESETS`).
+        Explicit ``feed_rate``/``kill_rate`` kwargs override the preset's
+        pair, mirroring the CLI contract (-f/-k beat --preset)."""
+        if name not in PRESETS:
+            raise ValueError(
+                f"unknown preset {name!r}; available: {sorted(PRESETS)}"
+            )
+        f, k = PRESETS[name]
+        kwargs.setdefault("feed_rate", f)
+        kwargs.setdefault("kill_rate", k)
+        return cls.with_stencil(stencil, **kwargs)
 
     # -- derived quantities --------------------------------------------------
 

@@ -220,3 +220,22 @@ def test_simulate_snapshot_dtype_bf16(tmp_path):
     assert vb.dtype == np.float32
     np.testing.assert_allclose(va, vb, rtol=0, atol=0.01)
     assert np.abs(va - vb).max() > 0  # rounding actually happened
+
+
+def test_simulate_preset_flag(tmp_path):
+    """--preset supplies the (feed, kill) pair; explicit -f overrides."""
+    out = tmp_path / "p.h5"
+    rc = simulate.main(
+        ["-n", "1", "-r", "16", "-c", "16", "-e", "2", "--preset", "coral",
+         "-f", "0.02", "--backend", "fused", "-o", str(out)]
+    )
+    assert rc == 0
+    from grayscott_tpu.params import PRESETS, Parameters
+
+    u, v = initial_uv((16, 16))
+    u, v = oracle.run(
+        u, v,
+        Parameters(feed_rate=0.02, kill_rate=PRESETS["coral"][1]), 2,
+    )
+    with Reader(out) as r:
+        np.testing.assert_allclose(r.read(), v, rtol=0, atol=1e-6)
