@@ -79,7 +79,15 @@ def main() -> int:
     try:
         name, gcells, dt = measure()
     except Exception:
-        # robust fallback: the pure-XLA backend runs everywhere
+        # robust fallback: the pure-XLA backend runs everywhere — but say
+        # WHY on stderr first, or a TPU-side regression reads as a silent
+        # ~10x throughput collapse with nothing to debug (the JSON line
+        # still names backend=fused, the honest label for what ran)
+        import traceback
+
+        print("bench.py: primary backend failed, falling back to fused:",
+              file=sys.stderr)
+        traceback.print_exc()
         name, gcells, dt = measure(backend="fused")
     print(
         json.dumps(

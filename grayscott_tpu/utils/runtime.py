@@ -27,6 +27,43 @@ def env_flag(name: str) -> bool:
     )
 
 
+def force_virtual_devices(n_devices: int,
+                          platform: str | None = "cpu") -> None:
+    """Arrange for ``n_devices`` virtual host devices — the fake-backend
+    trick for testing multi-chip sharding without hardware (SURVEY.md
+    section 4). Must run BEFORE any JAX backend initializes: a
+    sitecustomize may pin JAX_PLATFORMS to a hardware plugin, and
+    neither the platform nor the device count can change once a backend
+    exists (the config updates then raise and are swallowed — callers
+    that require the count check ``len(jax.devices())`` themselves).
+
+    Replaces any existing ``--xla_force_host_platform_device_count``
+    flag instead of skipping when the substring is present: a pre-set
+    smaller count would otherwise silently win over the requested one.
+    One shared implementation for tests/conftest.py,
+    __graft_entry__.dryrun_multichip and scripts/bench_scaling.py.
+    """
+    import re
+
+    flag = f"--xla_force_host_platform_device_count={n_devices}"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" in flags:
+        flags = re.sub(
+            r"--xla_force_host_platform_device_count=\d+", flag, flags
+        )
+    else:
+        flags = f"{flags} {flag}"
+    os.environ["XLA_FLAGS"] = flags.strip()
+    import jax
+
+    try:
+        jax.config.update("jax_num_cpu_devices", n_devices)
+        if platform:
+            jax.config.update("jax_platforms", platform)
+    except (ValueError, RuntimeError):
+        pass
+
+
 def apply_env_config() -> None:
     import jax
 

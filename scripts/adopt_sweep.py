@@ -134,7 +134,13 @@ def main(argv=None) -> int:
         prev = store.get(key)
         candidates = [to_record(r) for r in ranked]
         if prev:
-            candidates += [c for c in prev.get("candidates", [])
+            # the previous record itself joins the audit table (else a
+            # replaced verdict vanishes without trace), then its own
+            # accumulated candidates
+            prev_entry = {k2: v2 for k2, v2 in prev.items()
+                          if k2 != "candidates"}
+            candidates += [c for c in [prev_entry]
+                           + prev.get("candidates", [])
                            if c not in candidates]
         if prev and prev.get("gcells_per_sec", 0.0) * args.margin \
                 >= best["gcells_per_sec"]:
@@ -144,14 +150,24 @@ def main(argv=None) -> int:
             new = dict(prev, candidates=candidates)
         elif best["engine"] is None and not best["pack"] \
                 and best.get("fold", 1) <= 1:
-            # engine=auto unpacked unfolded winner: the heuristics already
-            # choose it — record candidates only, never adopt auto as a
-            # pin. (A fold>1 winner MUST be adopted: fold='auto' only ever
-            # folds on a persisted record, never heuristically.)
+            # engine=auto unpacked unfolded winner: persist the auto
+            # record (all fields null/defaults — behavior-neutral at
+            # runtime, the static ladder re-derives the same selection)
+            # so the candidates table survives for audit AND, crucially,
+            # so a prior PIN is retired: reaching this branch means the
+            # auto run beat the stored record past the margin gate, and
+            # a stale engine/pack pin must not outlive a measured auto
+            # victory (the backend follows the persisted verdict, which
+            # would otherwise override the heuristics forever). (A
+            # fold>1 winner MUST be adopted as a real pin: fold='auto'
+            # only ever folds on a persisted record.)
             print(f"{key}: best is engine=auto unpacked "
-                  f"({best['gcells_per_sec']}) — heuristics already "
-                  "choose it; candidates recorded")
-            new = dict(prev, candidates=candidates) if prev else None
+                  f"({best['gcells_per_sec']})"
+                  + (f" — retiring the stored "
+                     f"{prev.get('engine') or 'auto'} verdict "
+                     f"(was {prev.get('gcells_per_sec')})" if prev
+                     else " — candidates recorded"))
+            new = dict(best, candidates=candidates)
         else:
             print(f"{key}: adopt {best['engine']}"
                   f"{' pack' if best['pack'] else ''} "

@@ -44,12 +44,9 @@ def main() -> int:
     args = parser.parse_args()
 
     if args.virtual_devices:
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + " --xla_force_host_platform_device_count="
-                f"{args.virtual_devices}"
-            ).strip()
+        from grayscott_tpu.utils.runtime import force_virtual_devices
+
+        force_virtual_devices(args.virtual_devices, platform=None)
     if args.platform:
         import jax
 
@@ -79,7 +76,13 @@ def main() -> int:
                 mesh_cols=mesh_cols,
             )
             species = sim.make_species((rows, cols))
-            sim.perform_steps(species, sim.steps_per_call)  # compile+warm
+            # warm BOTH executables the timed loop will use: the K-step
+            # block loop and (when steps % K != 0) the remainder kernel —
+            # a cold remainder compile inside the timed region costs
+            # minutes on a remote-compile toolchain (same guard as
+            # bench.py's warm-up)
+            k = sim.steps_per_call
+            sim.perform_steps(species, k + args.steps % k)
             float(np.asarray(jnp.sum(species.result()[:1, :128])))
             best = float("inf")
             for _ in range(args.reps):

@@ -54,9 +54,14 @@ def best_of(n, fn):
 
 
 def main() -> int:
+    # partial positional args apply too ("rtt_probe.py 1080 1920" must
+    # not silently probe the 4096^2 default it was asked to override)
     r, c, steps = 4096, 4096, 1000
-    if len(sys.argv) > 3:
-        r, c, steps = map(int, sys.argv[1:4])
+    given = list(map(int, sys.argv[1:4]))
+    if given:
+        r = given[0]
+        c = given[1] if len(given) > 1 else c
+        steps = given[2] if len(given) > 2 else steps
     sim = get_backend("pallas")(Parameters(), boundary="zero")
     species = sim.make_species((r, c))
 

@@ -9,8 +9,8 @@ this CLI prints per-line device-op time, the data the round-1 VERDICT's
 
 Usage::
 
-    python scripts/profile_trace.py ...   # capture (writes /tmp/gs_trace)
-    python scripts/trace_ops.py /tmp/gs_trace   # attribute
+    python scripts/profile_trace.py ...   # capture (writes /tmp/grayscott_trace)
+    python scripts/trace_ops.py /tmp/grayscott_trace  # attribute
 
 Pass either a trace directory (the newest plugins/profile/*/ run is
 used) or an xplane.pb path directly.
@@ -28,7 +28,7 @@ from grayscott_tpu.utils import xplane  # noqa: E402
 
 
 def main(argv=None) -> int:
-    args = (argv or sys.argv[1:]) or ["/tmp/gs_trace"]
+    args = (argv or sys.argv[1:]) or ["/tmp/grayscott_trace"]
     path = xplane.find_xplane(args[0])
     print(f"# {path}")
     for plane in xplane.device_planes(path):

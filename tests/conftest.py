@@ -14,17 +14,12 @@ import os
 # plugin (e.g. a tunneled TPU), and tests must not hog that device.
 # Set GRAYSCOTT_TEST_TPU=1 to run the suite on real hardware instead.
 if not os.environ.get("GRAYSCOTT_TEST_TPU"):
+    # env assignment too (not just jax.config): subprocess-spawning tests
+    # (two-process jax.distributed, CLI drivers) inherit the environment
     os.environ["JAX_PLATFORMS"] = "cpu"
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
-    # A sitecustomize may have imported jax already (snapshotting
-    # JAX_PLATFORMS before we could set it); override through the config.
-    import jax
+    from grayscott_tpu.utils.runtime import force_virtual_devices
 
-    jax.config.update("jax_platforms", "cpu")
+    force_virtual_devices(8)
 
 import numpy as np
 import pytest

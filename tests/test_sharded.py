@@ -260,28 +260,39 @@ def test_overlap_interior_kernel_independent_of_permutes(params):
                 elif isinstance(item, (tuple, list)):
                     stack.extend(item)
 
-    def check(jx):
-        """Returns (found_any_pallas, found_independent_pallas)."""
+    def check(jx, ctx_tainted=False):
+        """(found_any_pallas, found_independent_pallas, has_ppermute).
+
+        Taint propagates across equation/sub-jaxpr boundaries both ways
+        (conservatively): an eqn whose sub-jaxprs contain a ppermute
+        anywhere taints its outvars, and sub-jaxprs of a tainted eqn
+        are scanned with the taint context set — else wrapping the
+        exchange in a jit/remat/scan would make a dependent pallas_call
+        read as independent and this guard pass vacuously."""
         tainted = set()
-        found, independent = False, False
+        found, independent, has_pp = False, False, False
         for eqn in jx.eqns:
-            in_tainted = any(
+            in_tainted = ctx_tainted or any(
                 hasattr(x, "count") and x in tainted for x in eqn.invars
             )
             name = eqn.primitive.name
+            sub_pp = False
             for sub in subjaxprs(eqn.params):
-                f, i = check(sub)
+                f, i, p = check(sub, in_tainted)
                 found |= f
                 independent |= i
-            if name == "ppermute" or in_tainted:
+                sub_pp |= p
+            if name == "ppermute" or sub_pp:
+                has_pp = True
+            if name == "ppermute" or sub_pp or in_tainted:
                 tainted.update(eqn.outvars)
             if name == "pallas_call":
                 found = True
                 if not in_tainted:
                     independent = True
-        return found, independent
+        return found, independent, has_pp
 
-    found, independent = check(jaxpr.jaxpr)
+    found, independent, _ = check(jaxpr.jaxpr)
     assert found, "no pallas_call found in the overlap jaxpr"
     assert independent, (
         "every pallas_call depends on a ppermute: no overlap is possible"
