@@ -62,8 +62,6 @@ class ShardedSimulation(Simulation):
         if engine == "mega":
             if mesh_cols != 1:
                 raise ValueError("sharded engine='mega' needs a 1-D row mesh")
-            if dtype not in (None, "float32", "f32"):
-                raise ValueError("sharded engine='mega' needs f32 storage")
             if overlap:
                 raise ValueError(
                     "engine='mega' overlaps exchange with interior compute "
@@ -167,7 +165,7 @@ class ShardedSimulation(Simulation):
                     "the windowed engine for this domain"
                 )
             up, vp, _ = halo.mega_shard_state(
-                u, v, self.mesh, tr, self.halo, tc=tc
+                u, v, self.mesh, tr, self.halo, tc=tc, dtype=self.dtype
             )
             return ("mega", up, vp, tr, tc)
         tr = self._tr(u.shape)
@@ -179,12 +177,15 @@ class ShardedSimulation(Simulation):
     def extract_uv(self, storage, shape) -> Tuple[jax.Array, jax.Array]:
         if storage[0] == "mega":  # ("mega", up, vp, tr, tc)
             chalo = ps.COL_HALO if storage[4] is not None else 0
-            return (
+            out = (
                 halo.mega_unshard_result(storage[1], shape, self.halo,
                                          chalo),
                 halo.mega_unshard_result(storage[2], shape, self.halo,
                                          chalo),
             )
+            if self.dtype != jnp.float32:  # consumers expect f32 host views
+                out = tuple(x.astype(jnp.float32) for x in out)
+            return out
         out = (
             halo.unshard_result(storage[1], shape, self.chalo, self.halo),
             halo.unshard_result(storage[2], shape, self.chalo, self.halo),
@@ -267,7 +268,7 @@ class ShardedSimulation(Simulation):
             "ppermute between per-K-block kernel launches; 'mega' runs "
             "the WHOLE step loop in one kernel launch per chip with "
             "in-kernel remote-DMA halo exchange over ICI (1-D row "
-            "meshes, f32)",
+            "meshes; f32 or --pallas-dtype bfloat16 storage)",
         )
         parser.add_argument(
             "--sharded-devices", type=int,

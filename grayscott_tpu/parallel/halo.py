@@ -320,14 +320,15 @@ def sharded_mega_run(
 
 def mega_shard_state(
     u: np.ndarray, v: np.ndarray, mesh: Mesh, tr: int, halo: int = 8,
-    tc: int | None = None,
+    tc: int | None = None, dtype=np.float32,
 ) -> Tuple[jax.Array, jax.Array, int]:
     """Pack (R, C) host state into per-shard megakernel HBM pairs
     ``(n_shards, 2, halo + Rp_loc + halo, C)`` on a 1-D row mesh
     (column-tiled: last dim ``chalo + Cp + chalo``, Cp the tc-rounded
     width). Slot 0 holds the state; halos/padding start zero (the kernel
     sanitizes out-of-domain cells on load and the driver pre-exchanges
-    live halos)."""
+    live halos). ``dtype`` selects the storage precision (bfloat16 = the
+    opt-in fast mode, like ``mega_pad_state``; compute stays f32)."""
     from ..ops import pallas_stencil as ps
 
     r, c = u.shape
@@ -338,10 +339,10 @@ def mega_shard_state(
     cp = c if tc is None else -(-c // tc) * tc
     out = []
     for x in (u, v):
-        xp = np.zeros((n_sh * r_loc, cp + 2 * chalo), dtype=np.float32)
-        xp[:r, chalo : chalo + c] = x.astype(np.float32)
+        xp = np.zeros((n_sh * r_loc, cp + 2 * chalo), dtype=dtype)
+        xp[:r, chalo : chalo + c] = x.astype(dtype)
         blocks = np.zeros(
-            (n_sh, 2, h + r_loc + h, cp + 2 * chalo), dtype=np.float32
+            (n_sh, 2, h + r_loc + h, cp + 2 * chalo), dtype=dtype
         )
         blocks[:, 0, h : h + r_loc] = xp.reshape(n_sh, r_loc, -1)
         out.append(jax.device_put(

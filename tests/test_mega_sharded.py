@@ -191,8 +191,6 @@ def test_sharded_mega_cli_end_to_end(tmp_path):
 def test_sharded_mega_validations(params):
     with pytest.raises(ValueError, match="1-D row mesh"):
         ShardedSimulation(params, engine="mega", mesh_cols=2, n_devices=4)
-    with pytest.raises(ValueError, match="f32"):
-        ShardedSimulation(params, engine="mega", dtype="bfloat16")
     with pytest.raises(ValueError, match="overlap"):
         ShardedSimulation(params, engine="mega", overlap=True)
     with pytest.raises(ValueError, match="windowed/mega"):
@@ -306,6 +304,69 @@ def test_sharded_mega_coltile_lowers_for_tpu(params):
             up, vp, n, None, mesh=mesh, r_total=32, steps=8, tr=8,
             params=params, boundary="naive", interpret=False,
             tc=128, c_dom=260,
+        )
+
+    exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(
+        jnp.asarray(up), jnp.asarray(vp), jnp.int32(2)
+    )
+    assert "tpu_custom_call" in exp.mlir_module()
+
+
+def test_sharded_mega_bf16_matches_single_chip(rng, params):
+    """bf16 storage on the multi-chip megakernel: halo rows ride ICI in
+    bf16 (they are pushed from HBM AFTER the per-block store rounding),
+    so shard-boundary windows upcast exactly the values a single-chip
+    bf16 megakernel reads from its own HBM rows — bitwise equality, the
+    same invariant the f32 test pins."""
+    u, v = random_uv(rng, (64, 16))
+    sim1 = PallasSimulation(params, boundary="naive", engine="mega",
+                            interpret=True, block_rows=8,
+                            dtype="bfloat16")
+    sp1 = sim1.make_species((64, 16))
+    sp1.storage = sim1.build_storage(u, v)
+    sim1.perform_steps(sp1, 16)
+    su, sv = sp1.uv_host()
+    gu, gv = run_sharded_mega(u, v, params, "naive", 16, block_rows=8,
+                              dtype="bfloat16")
+    np.testing.assert_array_equal(gu, su)
+    np.testing.assert_array_equal(gv, sv)
+
+
+def test_sharded_mega_bf16_storage_and_views(rng, params):
+    """The sharded bf16 pairs live in HBM as bfloat16; host views are
+    f32 and track the oracle within the storage-rounding budget."""
+    u, v = random_uv(rng, (32, 16))
+    sim = ShardedSimulation(params, boundary="zero", engine="mega",
+                            n_devices=4, block_rows=8, dtype="bfloat16")
+    species = sim.make_species((32, 16))
+    species.storage = sim.build_storage(u, v)
+    assert species.storage[1].dtype == jnp.bfloat16
+    sim.perform_steps(species, 16)
+    gu, gv = species.uv_host()
+    assert gu.dtype == np.float32 and gv.dtype == np.float32
+    ou, ov = oracle.run(u, v, params, 16, "zero")
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=0.05)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=0.05)
+    # the fused V-only snapshot view agrees with the full extraction
+    np.testing.assert_array_equal(
+        np.asarray(sim.extract_result(species.storage, (32, 16))), gv
+    )
+
+
+def test_sharded_mega_bf16_lowers_for_tpu(params):
+    """Mosaic lowering gate: bf16 window DMAs + bf16 remote halo pushes
+    + in-kernel f32 upcast in one multi-chip kernel."""
+    from grayscott_tpu.parallel import halo
+
+    mesh = halo.make_mesh_1d(2)
+    u = np.zeros((32, 16), np.float32)
+    v = np.ones((32, 16), np.float32)
+    up, vp, _ = halo.mega_shard_state(u, v, mesh, 8, dtype=jnp.bfloat16)
+
+    def fn(up, vp, n):
+        return halo.sharded_mega_run(
+            up, vp, n, None, mesh=mesh, r_total=32, steps=8, tr=8,
+            params=params, boundary="naive", interpret=False,
         )
 
     exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(
