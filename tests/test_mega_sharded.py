@@ -353,6 +353,26 @@ def test_sharded_mega_bf16_storage_and_views(rng, params):
     )
 
 
+def test_sharded_mega_bf16_coltile_matches_single_chip(rng, params):
+    """bf16 storage composes with column-tiled sharded windows: the
+    full-width row-slab exchange pushes bf16 rows regardless of window
+    geometry, so bitwise equality with the single-chip column-tiled
+    bf16 kernel holds just like the f32 coltile test."""
+    u, v = random_uv(rng, (32, 384))
+    sim1 = PallasSimulation(params, boundary="naive", engine="mega",
+                            interpret=True, block_rows=8, block_cols=128,
+                            dtype="bfloat16")
+    sp1 = sim1.make_species((32, 384))
+    sp1.storage = sim1.build_storage(u, v)
+    sim1.perform_steps(sp1, 16)
+    su, sv = sp1.uv_host()
+    gu, gv = run_sharded_mega(u, v, params, "naive", 16, n_devices=2,
+                              block_rows=8, block_cols=128,
+                              dtype="bfloat16")
+    np.testing.assert_array_equal(gu, su)
+    np.testing.assert_array_equal(gv, sv)
+
+
 def test_sharded_mega_bf16_lowers_for_tpu(params):
     """Mosaic lowering gate: bf16 window DMAs + bf16 remote halo pushes
     + in-kernel f32 upcast in one multi-chip kernel."""
