@@ -31,6 +31,13 @@ def _mega_v_view(v_pairs, *, shape, chalo: int, h: int):
         .astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("shape", "h"))
+def _mega2d_v_view(v_pairs, *, shape, h: int):
+    """Fused V-only snapshot view of the 2-D-mesh megakernel pairs."""
+    return halo.mega_unshard_result2d(v_pairs, shape, h) \
+        .astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("shape", "chalo", "h"))
 def _windowed_v_view(v_blocks, *, shape, chalo: int, h: int):
     """Fused V-only snapshot view of the sharded windowed blocks."""
@@ -60,8 +67,6 @@ class ShardedSimulation(Simulation):
         if engine not in ("windowed", "mega"):
             raise ValueError(f"engine must be windowed/mega, got {engine!r}")
         if engine == "mega":
-            if mesh_cols != 1:
-                raise ValueError("sharded engine='mega' needs a 1-D row mesh")
             if overlap:
                 raise ValueError(
                     "engine='mega' overlaps exchange with interior compute "
@@ -87,7 +92,11 @@ class ShardedSimulation(Simulation):
             on_tpu = jax.devices()[0].platform == "tpu"
             steps_per_call = 16 if on_tpu else ps.HALO
         super().__init__(params, boundary)
-        self.mesh = (halo.make_mesh_1d(n_devices) if engine == "mega"
+        # the 1-D megakernel's remote DMAs address neighbors by the one
+        # row axis, so it gets the single-axis mesh; the 2-D megakernel
+        # and the windowed engine take the (rows, cols) grid
+        self.mesh = (halo.make_mesh_1d(n_devices)
+                     if engine == "mega" and mesh_cols == 1
                      else halo.make_mesh(n_devices, mesh_cols))
         if not (1 <= steps_per_call <= 32):
             raise ValueError(
@@ -149,8 +158,50 @@ class ShardedSimulation(Simulation):
             )
         return tr, tc
 
+    def _mega_tiles_2d(self, r_loc: int, c_loc: int):
+        """(tr, tc) for a (rows x cols)-mesh shard: column tiling is
+        mandatory (the 128-lane ring IS the mesh column halo), so a
+        full-width heuristic verdict maps to ONE covering column tile —
+        the ring overhead is paid either way on a 2-D mesh."""
+        tr, tc = self.block_rows, self.block_cols
+        if tc is None:
+            _, tc = mk.choose_mega_geometry(r_loc, c_loc, self.halo,
+                                            boundary=self.boundary)
+            if tc is None:
+                tc = -(-c_loc // 128) * 128
+        if tr is None:
+            tr = mk.choose_mega_rows(
+                r_loc, c_loc, self.halo, tc=tc, chalo=ps.COL_HALO,
+                boundary=self.boundary,
+            )
+        return tr, tc
+
+    def _build_storage_mega2d(self, u: np.ndarray, v: np.ndarray):
+        nr, nc = self.mesh.devices.shape
+        r_loc = -(-u.shape[0] // nr)
+        c_loc = -(-u.shape[1] // nc)
+        if c_loc <= 128:
+            raise ValueError(
+                f"2-D mesh shards would be {c_loc} columns wide (< one "
+                "128-lane tile); use fewer mesh columns"
+            )
+        tr, tc = self._mega_tiles_2d(r_loc, c_loc)
+        if not mk.mega_ok((r_loc, c_loc), tr, self.halo, tc=tc,
+                          boundary=self.boundary, cover=True):
+            raise ValueError(
+                f"sharded engine='mega' cannot fit a {r_loc}x{c_loc} "
+                "per-chip tile in VMEM windows; use the windowed engine "
+                "for this domain"
+            )
+        up, vp, _, _ = halo.mega_shard_state2d(
+            u, v, self.mesh, tr, tc, self.halo, dtype=self.dtype
+        )
+        return ("mega2d", up, vp, tr, tc)
+
     def build_storage(self, u: np.ndarray, v: np.ndarray):
         if self.engine == "mega":
+            if self.mesh.devices.ndim == 2:
+                return self._build_storage_mega2d(u, v)
             n_sh = self.mesh.devices.shape[0]
             r_loc = -(-u.shape[0] // n_sh)
             tr, tc = self._mega_tiles(r_loc, u.shape[1])
@@ -175,6 +226,14 @@ class ShardedSimulation(Simulation):
         return ("windowed", ub, vb, tr)
 
     def extract_uv(self, storage, shape) -> Tuple[jax.Array, jax.Array]:
+        if storage[0] == "mega2d":  # ("mega2d", up, vp, tr, tc)
+            out = (
+                halo.mega_unshard_result2d(storage[1], shape, self.halo),
+                halo.mega_unshard_result2d(storage[2], shape, self.halo),
+            )
+            if self.dtype != jnp.float32:
+                out = tuple(x.astype(jnp.float32) for x in out)
+            return out
         if storage[0] == "mega":  # ("mega", up, vp, tr, tc)
             chalo = ps.COL_HALO if storage[4] is not None else 0
             out = (
@@ -201,6 +260,8 @@ class ShardedSimulation(Simulation):
         difference between fitting and ResourceExhausted (same rationale
         as PallasSimulation.extract_result)."""
         shape = tuple(shape)
+        if storage[0] == "mega2d":
+            return _mega2d_v_view(storage[2], shape=shape, h=self.halo)
         if storage[0] == "mega":
             chalo = ps.COL_HALO if storage[4] is not None else 0
             return _mega_v_view(storage[2], shape=shape, chalo=chalo,
@@ -213,6 +274,8 @@ class ShardedSimulation(Simulation):
         return ps.reaction_mode(self.params, self.runtime_params)
 
     def run_steps(self, storage, shape, steps: int):
+        if storage[0] == "mega2d":
+            return self._run_steps_mega2d(storage, shape, steps)
         if storage[0] == "mega":
             return self._run_steps_mega(storage, shape, steps)
         _, u, v, tr = storage
@@ -259,6 +322,27 @@ class ShardedSimulation(Simulation):
             )
         return ("mega", u, v, tr, tc)
 
+    def _run_steps_mega2d(self, storage, shape, steps: int):
+        _, u, v, tr, tc = storage
+        r, c = shape
+        kernel_params, reaction, dt_is_one = self._reaction()
+        common = dict(
+            mesh=self.mesh, r_total=r, c_total=c, tr=tr, tc=tc,
+            params=kernel_params, boundary=self.boundary, halo=self.halo,
+            interpret=self.interpret, dt_is_one=dt_is_one,
+        )
+        n_full, rem = divmod(steps, mk.MEGA_STEPS)
+        if n_full:
+            u, v = halo.sharded_mega_run2d(
+                u, v, jnp.int32(n_full), reaction,
+                steps=mk.MEGA_STEPS, **common,
+            )
+        if rem:
+            u, v = halo.sharded_mega_run2d(
+                u, v, jnp.int32(1), reaction, steps=rem, **common,
+            )
+        return ("mega2d", u, v, tr, tc)
+
     @classmethod
     def add_cli_args(cls, parser: argparse.ArgumentParser) -> None:
         parser.add_argument(
@@ -268,7 +352,8 @@ class ShardedSimulation(Simulation):
             "ppermute between per-K-block kernel launches; 'mega' runs "
             "the WHOLE step loop in one kernel launch per chip with "
             "in-kernel remote-DMA halo exchange over ICI (1-D row "
-            "meshes; f32 or --pallas-dtype bfloat16 storage)",
+            "meshes, or 8-direction exchange on --sharded-mesh-cols > 1 "
+            "grids; f32 or --pallas-dtype bfloat16 storage)",
         )
         parser.add_argument(
             "--sharded-devices", type=int,

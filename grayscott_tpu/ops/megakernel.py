@@ -83,7 +83,7 @@ def _mega_kernel(
     runtime_params: bool, dt_is_one: bool, pack: bool = False,
     strip_store: bool = False, n_shards: int = 1,
     tc: int | None = None, chalo: int = 0, c_blocks: int = 1,
-    c_dom: int | None = None,
+    c_dom: int | None = None, n_shard_cols: int = 1,
 ):
     """One whole run: scal = [n_time_blocks] (+ [my_shard] when
     sharded); refs = optional reaction SMEM, then (u_pair, v_pair) HBM
@@ -112,9 +112,25 @@ def _mega_kernel(
     the whole construction is its fork-join split over shared memory
     (compute/parallel/src/lib.rs:100-120), where halos are implicit
     overlapping reads; here each "thread" is a chip and the halo is an
-    explicit ICI push."""
+    explicit ICI push.
+
+    ``n_shard_cols > 1``: the 2-D mesh form — this instance owns a
+    (row, column) tile of the global domain; windows are column-tiled
+    (``tc`` required) so the 128-lane column-halo ring doubles as the
+    mesh column halo. The exchange grows to 8 directions: 4 cardinal
+    pushes (row pushes span interior columns only; column pushes span
+    interior rows) plus 4 corner pushes to the diagonal neighbors
+    (the explicit-message form of the windowed engine's two-phase
+    corner trick, parallel/halo.py ``_exchange_cols``). The handshake
+    simplifies to entry-gating: a shard consumes ALL of a slot's
+    arrivals at time-block entry, before its first window DMA of that
+    slot — less exchange/compute overlap than the 1-D form's
+    read-site waits, but the same barrier-free transitive-ordering
+    argument (and the same per-slot receive semaphores), and the 1-D
+    protocol stays byte-identical."""
     fix_refs = None
-    if n_shards > 1:  # sems are appended last in the scratch list
+    sharded = n_shards > 1 or n_shard_cols > 1
+    if sharded:  # sems are appended last in the scratch list
         *refs, sendsem, recvsem = refs
     if strip_store:
         *refs, u_fix, v_fix = refs
@@ -158,9 +174,14 @@ def _mega_kernel(
     c_tot = c // 2 if pack else (c_dom if c_dom is not None else c)
 
     def split_b(b):
-        """Flat block index -> (row block, column block)."""
-        if c_blocks == 1:
+        """Flat block index -> (row block, column block). bc=None means
+        full-width windows; a single column-TILED block (c_blocks == 1,
+        the narrow-slab 2-D mesh form) keeps bc = 0 so window slicing,
+        interior cropping and global column origins stay column-aware."""
+        if tc is None:
             return b, None
+        if c_blocks == 1:
+            return b, 0
         br = jax.lax.div(b, c_blocks)
         return br, b - br * c_blocks
 
@@ -197,7 +218,7 @@ def _mega_kernel(
         giota = (row0 + br * tr - halo) + jax.lax.broadcasted_iota(
             jnp.int32, (w, 1), 0
         )
-        gcol = gcol0 if bc is None else bc * tc + gcol0
+        gcol = gcol0 if bc is None else col0 + bc * tc + gcol0
         interior = (slice(halo, halo + tr),) if tc is None else (
             slice(halo, halo + tr), slice(chalo, chalo + tc))
         ctx = precompute(giota, r, gcol, c_tot)
@@ -224,12 +245,89 @@ def _mega_kernel(
             u, v = step(u, v, ctx, fix)
         return (u[interior], v[interior])
 
-    if n_shards > 1:
+    col0 = 0
+    if sharded:
         my = scal_ref[1]
         rp = b_blocks * tr
         row0 = my * rp
         has_up = my > 0
         has_dn = my < n_shards - 1
+
+    if n_shard_cols > 1:
+        myc = scal_ref[2]
+        cpw = c_blocks * tc
+        col0 = myc * cpw
+        has_lf = myc > 0
+        has_rt = myc < n_shard_cols - 1
+        flat = my * n_shard_cols + myc
+
+        def xchg_dma2(slot):
+            """8-direction push descriptors for pair slot ``slot`` on the
+            2-D mesh: ``(copies, send_guard, recv_guard)`` triples.
+
+            Row pushes span INTERIOR columns only (the column-halo ring
+            slots belong to the column and corner pushes — a full-width
+            row push would clobber the receiver's corner arrivals with
+            this shard's own ring), column pushes span interior rows,
+            and the four (halo x chalo) corner pushes go straight to the
+            diagonal neighbors. By SPMD symmetry each descriptor's recv
+            semaphore is signaled by the OPPOSITE neighbor's identical
+            push (my "down" push's recvsem fires when my UP neighbor's
+            down-push lands in my top halo), so ``recv_guard`` names the
+            opposite neighbor. The 1-D mesh enumerates devices row-major
+            through the (rows, cols) grid, so the flat logical id is
+            ``my * n_shard_cols + myc``. Semaphores stay per-slot (see
+            ``xchg_dma``'s aliasing note)."""
+            h_, ch = halo, chalo
+            rows_i = pl.ds(h_, rp)
+            land = jnp.logical_and
+            #      (src rows/cols,          dst rows/cols,           off,
+            #       send_guard, recv_guard)
+            specs = [
+                ((pl.ds(rp, h_), pl.ds(ch, cpw)),        # down
+                 (pl.ds(0, h_), pl.ds(ch, cpw)),
+                 n_shard_cols, has_dn, has_up),
+                ((pl.ds(h_, h_), pl.ds(ch, cpw)),        # up
+                 (pl.ds(h_ + rp, h_), pl.ds(ch, cpw)),
+                 -n_shard_cols, has_up, has_dn),
+                ((rows_i, pl.ds(cpw, ch)),               # right
+                 (rows_i, pl.ds(0, ch)),
+                 1, has_rt, has_lf),
+                ((rows_i, pl.ds(ch, ch)),                # left
+                 (rows_i, pl.ds(ch + cpw, ch)),
+                 -1, has_lf, has_rt),
+                ((pl.ds(rp, h_), pl.ds(cpw, ch)),        # down-right
+                 (pl.ds(0, h_), pl.ds(0, ch)),
+                 n_shard_cols + 1, land(has_dn, has_rt),
+                 land(has_up, has_lf)),
+                ((pl.ds(rp, h_), pl.ds(ch, ch)),         # down-left
+                 (pl.ds(0, h_), pl.ds(ch + cpw, ch)),
+                 n_shard_cols - 1, land(has_dn, has_lf),
+                 land(has_up, has_rt)),
+                ((pl.ds(h_, h_), pl.ds(cpw, ch)),        # up-right
+                 (pl.ds(h_ + rp, h_), pl.ds(0, ch)),
+                 -(n_shard_cols - 1), land(has_up, has_rt),
+                 land(has_dn, has_lf)),
+                ((pl.ds(h_, h_), pl.ds(ch, ch)),         # up-left
+                 (pl.ds(h_ + rp, h_), pl.ds(ch + cpw, ch)),
+                 -(n_shard_cols + 1), land(has_up, has_lf),
+                 land(has_dn, has_rt)),
+            ]
+            out = []
+            for d, (src, dst, off, sg, rg) in enumerate(specs):
+                copies = [
+                    pltpu.make_async_remote_copy(
+                        hbm[i].at[(slot,) + src], hbm[i].at[(slot,) + dst],
+                        sendsem.at[d, i], recvsem.at[slot, d, i],
+                        device_id=flat + off,
+                        device_id_type=pltpu.DeviceIdType.LOGICAL,
+                    )
+                    for i in range(len(hbm))
+                ]
+                out.append((copies, sg, rg))
+            return out
+
+    elif n_shards > 1:
 
         def xchg_dma(slot):
             """Remote halo-push descriptors for pair slot ``slot``.
@@ -280,7 +378,16 @@ def _mega_kernel(
     def time_body(t, _):
         src = jax.lax.rem(t, 2)
         dst = 1 - src
-        if n_shards > 1:
+        if n_shard_cols > 1:
+            # 2-D entry gating: consume ALL of slot src's arrivals (the
+            # neighbors' end-of-(t-1) pushes) before this block's first
+            # window DMA can stage any halo cells
+            for copies, _sg, rg in xchg_dma2(src):
+                @pl.when(jnp.logical_and(t > 0, rg))
+                def _(copies=copies):
+                    for cp in copies:
+                        cp.wait_recv()
+        elif n_shards > 1:
             src_down, src_up = xchg_dma(src)
 
             # my top halo (rows [0, halo) of src, read by block 0's
@@ -303,7 +410,7 @@ def _mega_kernel(
         def block_body(b, _):
             s = jax.lax.rem(b, 2)
 
-            if n_shards > 1 and b_blocks > 1:
+            if n_shards > 1 and n_shard_cols == 1 and b_blocks > 1:
                 # the LAST ROW's windows (flat blocks n_b - c_blocks ..
                 # n_b - 1) read the bottom halo; the first of them is
                 # staged by the prefetch at b == n_b - c_blocks - 1, so
@@ -344,7 +451,26 @@ def _mega_kernel(
                 d.wait()
         for d in out_dma((n_b - 1) % 2, dst, n_b - 1):
             d.wait()
-        if n_shards > 1:
+        if n_shard_cols > 1:
+            # push this block's fresh boundary rows/columns/corners into
+            # all existing neighbors' halo slots (same transitive-order
+            # safety argument as the 1-D elif below: a neighbor consumed
+            # this shard's end-of-(t-1) push before entering ITS block t,
+            # so it has finished every slot-dst read this push could
+            # race). Start all eight directions before waiting any send:
+            # the local HBM reads overlap.
+            descs2 = xchg_dma2(dst)
+            for copies, sg, _rg in descs2:
+                @pl.when(sg)
+                def _(copies=copies):
+                    for cp in copies:
+                        cp.start()
+            for copies, sg, _rg in descs2:
+                @pl.when(sg)
+                def _(copies=copies):
+                    for cp in copies:
+                        cp.wait_send()
+        elif n_shards > 1:
             # push this block's fresh boundary rows into the neighbors'
             # halo slots. Safe without a barrier: the neighbor finished
             # ALL of its block t-1 (including its last read of the slot
@@ -376,7 +502,7 @@ def _mega_kernel(
                 for cp in dst_up:
                     cp.wait_send()
 
-    if n_shards == 1 and (
+    if not sharded and (
         n_b >= 4 if c_blocks == 1 else (b_blocks - 1) * c_blocks >= 4
     ):
         # --- seamless pipeline: one flat loop over (time block, row
@@ -454,7 +580,16 @@ def _mega_kernel(
     else:
         jax.lax.fori_loop(0, n_t, time_body, None, unroll=False)
 
-    if n_shards > 1:
+    if n_shard_cols > 1:
+        # consume the final time block's arrivals (every earlier block's
+        # arrivals were consumed by the next block's entry gate)
+        last2 = jax.lax.rem(n_t, 2)  # dst slot of time block n_t - 1
+        for copies, _sg, rg in xchg_dma2(last2):
+            @pl.when(jnp.logical_and(n_t > 0, rg))
+            def _(copies=copies):
+                for cp in copies:
+                    cp.wait_recv()
+    elif n_shards > 1:
         # consume the final time block's arrivals (every earlier block's
         # arrivals were consumed at the next block's read sites)
         last = jax.lax.rem(n_t, 2)  # dst slot of time block n_t - 1
@@ -525,7 +660,8 @@ def mega_vmem_limit(tr: int, halo: int, c: int, species: int = 2,
 
 def mega_ok(shape, tr: int | None = None, halo: int = MEGA_STEPS,
             species: int = 2, strip_store: bool = False,
-            tc: int | None = None, boundary: str = "zero") -> bool:
+            tc: int | None = None, boundary: str = "zero",
+            cover: bool = False) -> bool:
     """Whether the megakernel supports this domain: windows (full-width,
     or ``(w, tc + 256)`` column tiles) must fit the VMEM budget and the
     K-unrolled graph must clear the Mosaic compile ceiling (derated for
@@ -533,14 +669,21 @@ def mega_ok(shape, tr: int | None = None, halo: int = MEGA_STEPS,
     guard). Resolution mirrors the runtime: ``tr`` pinned alone means
     full-width windows at that row block; neither pinned means the
     geometry heuristic picks both. ``species=1`` = the packed layout
-    (shape is then the packed (r, 2*c) extent; full-width only)."""
+    (shape is then the packed (r, 2*c) extent; full-width only).
+    ``cover``: allow a single column tile covering the whole (padded)
+    width — single-chip that is pure ring overhead and rejected, but on
+    a 2-D mesh shard the ring IS the mesh column halo (shape is then
+    the per-shard slab)."""
     r, c = shape
     if tc is not None and (strip_store or species != 2):
         return False
     if tr is None and tc is None and species == 2 and not strip_store:
         tr, tc = choose_mega_geometry(r, c, halo, boundary=boundary)
     chalo = ps.COL_HALO if tc is not None else 0
-    if tc is not None and not (128 <= tc < c and tc % 128 == 0):
+    if tc is not None and not (
+        128 <= tc and tc % 128 == 0
+        and (tc <= -(-c // 128) * 128 if cover else tc < c)
+    ):
         return False
     tr = tr or choose_mega_rows(r, c, halo, species, strip_store,
                                 tc=tc, chalo=chalo, boundary=boundary)
@@ -663,6 +806,7 @@ def megastep_impl(
     vmem_limit_bytes: int | None = None, dt_is_one: bool = False,
     strip_store: bool = False, n_shards: int = 1, my_shard=None,
     tc: int | None = None, c_dom: int | None = None,
+    n_shard_cols: int = 1, my_shard_col=None,
 ):
     """Advance the pair state by ``n_blocks`` (traced) x ``steps`` (static,
     <= halo) simulation steps in ONE kernel launch. Returns the new pairs
@@ -678,25 +822,52 @@ def megastep_impl(
     multi-chip megakernel — ``r`` is then the GLOBAL row count, the pair
     holds this shard's row slab, and slot 0's halo rows must be valid at
     entry (the caller pre-exchanges once per run, parallel/halo.py);
-    they are fresh again at exit. See ``_mega_kernel``."""
+    they are fresh again at exit. ``n_shard_cols > 1``: the 2-D
+    (rows x cols) mesh — windows must be column-tiled, ``my_shard_col``
+    is this chip's mesh-column index, ``c_dom`` becomes the GLOBAL
+    column count, and the exchange grows to 8 directions with an
+    entry-gated handshake. See ``_mega_kernel``."""
     if not (1 <= steps <= halo):
         raise ValueError(f"steps must be in [1, {halo}], got {steps}")
     if strip_store and boundary != "naive":
         raise ValueError("strip_store is naive-only")
-    if strip_store and n_shards > 1:
+    if strip_store and (n_shards > 1 or n_shard_cols > 1):
         # the strip-store top-edge predicate is "first row block", which
         # on shard > 0 is NOT global row 0 — applying the row-0 edge
         # formula there would silently corrupt interior rows
         raise ValueError("strip_store is single-chip only")
-    if (n_shards > 1) != (my_shard is not None):
-        raise ValueError("sharded mode needs both n_shards and my_shard")
-    if n_shards > 1 and halo > tr:
-        # the bottom-halo recv wait sits at block B-2's prefetch site,
-        # which is only ahead of every halo-reading window DMA when one
-        # tile row covers the halo depth
-        raise ValueError(f"sharded mode needs halo <= tr, got {halo} > {tr}")
+    if n_shard_cols > 1:
+        if my_shard is None or my_shard_col is None:
+            raise ValueError(
+                "2-D sharded mode needs my_shard and my_shard_col"
+            )
+        if tc is None:
+            raise ValueError(
+                "2-D sharded mode needs column-tiled windows (tc): the "
+                "128-lane column-halo ring is the mesh column halo"
+            )
+    else:
+        if my_shard_col is not None:
+            raise ValueError("my_shard_col needs n_shard_cols > 1")
+        if (n_shards > 1) != (my_shard is not None):
+            raise ValueError(
+                "sharded mode needs both n_shards and my_shard"
+            )
+        if n_shards > 1 and halo > tr:
+            # the bottom-halo recv wait sits at block B-2's prefetch
+            # site, which is only ahead of every halo-reading window DMA
+            # when one tile row covers the halo depth (the 2-D form is
+            # entry-gated instead, so it carries no such constraint)
+            raise ValueError(
+                f"sharded mode needs halo <= tr, got {halo} > {tr}"
+            )
     _, hp, c = u_pair.shape
     rp = hp - 2 * halo
+    if n_shard_cols > 1 and rp < halo:
+        # the row pushes read/write halo-deep row bands of the interior
+        raise ValueError(
+            f"2-D sharded slabs need >= halo interior rows, got {rp}"
+        )
     if rp % tr != 0 or tr % 8 != 0 or halo % 8 != 0:
         raise ValueError(
             f"interior rows {rp} must be a multiple of tr={tr} "
@@ -716,18 +887,25 @@ def megastep_impl(
                 f"interior cols {cp} must be a multiple of tc={tc}"
             )
         c_blocks = cp // tc
-        if c_dom is None or not (cp - tc < c_dom <= cp):
+        # c_dom is the true GLOBAL domain width: per-shard padding can
+        # land anywhere on a 2-D mesh, so only the global capacity bound
+        # applies there; single-chip keeps the tight per-pair bound
+        cap = n_shard_cols * cp
+        lo = cp - tc if n_shard_cols == 1 else 0
+        if c_dom is None or not (lo < c_dom <= cap):
             raise ValueError(
                 f"column tiling needs the true domain width c_dom in "
-                f"({cp - tc}, {cp}], got {c_dom}"
+                f"({lo}, {cap}], got {c_dom}"
             )
     b_blocks = rp // tr
     w = tr + 2 * halo
     wc = (tc + 2 * chalo) if tc is not None else c
     otc = tc if tc is not None else c
     scalars = [jnp.asarray(n_blocks, jnp.int32).reshape(1)]
-    if n_shards > 1:
+    if n_shards > 1 or n_shard_cols > 1:
         scalars.append(jnp.asarray(my_shard, jnp.int32).reshape(1))
+    if n_shard_cols > 1:
+        scalars.append(jnp.asarray(my_shard_col, jnp.int32).reshape(1))
     scalars = jnp.concatenate(scalars)
     kernel = functools.partial(
         _mega_kernel, steps=steps, tr=tr, b_blocks=b_blocks, c=c,
@@ -735,6 +913,7 @@ def megastep_impl(
         runtime_params=reaction is not None, dt_is_one=dt_is_one,
         strip_store=strip_store, n_shards=n_shards,
         tc=tc, chalo=chalo, c_blocks=c_blocks, c_dom=c_dom,
+        n_shard_cols=n_shard_cols,
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     operands = [scalars]
@@ -764,8 +943,11 @@ def megastep_impl(
             pltpu.SemaphoreType.DMA((2,)),
         ] + ([pltpu.VMEM((w, c), jnp.float32),
               pltpu.VMEM((w, c), jnp.float32)] if strip_store else [])
-        + ([pltpu.SemaphoreType.DMA((2, 2)),        # send: [dir, species]
-            pltpu.SemaphoreType.DMA((2, 2, 2))]     # recv: [slot, dir, sp]
+        + ([pltpu.SemaphoreType.DMA((8, 2)),        # send: [dir, species]
+            pltpu.SemaphoreType.DMA((2, 8, 2))]     # recv: [slot, dir, sp]
+           if n_shard_cols > 1 else
+           [pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2, 2))]
            if n_shards > 1 else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes
@@ -779,7 +961,7 @@ def megastep_impl(
 
 _STATIC = ("steps", "tr", "r", "params", "boundary", "halo", "interpret",
            "vmem_limit_bytes", "dt_is_one", "strip_store", "n_shards",
-           "tc", "c_dom")
+           "tc", "c_dom", "n_shard_cols")
 
 megastep = jax.jit(
     megastep_impl,

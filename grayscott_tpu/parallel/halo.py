@@ -318,6 +318,128 @@ def sharded_mega_run(
     )(u_pairs, v_pairs, n_blocks, *extra)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "r_total", "c_total", "steps", "tr", "tc",
+                     "params", "boundary", "halo", "interpret",
+                     "vmem_limit_bytes", "dt_is_one"),
+    donate_argnames=("u_pairs", "v_pairs"),
+)
+def sharded_mega_run2d(
+    u_pairs, v_pairs, n_blocks, reaction=None, *,
+    mesh: Mesh, r_total: int, c_total: int, steps: int, tr: int, tc: int,
+    params: Parameters, boundary: str,
+    halo: int = 8, interpret=False,
+    vmem_limit_bytes: int | None = None, dt_is_one: bool = False,
+):
+    """The 2-D (rows x cols) mesh megakernel: each chip owns a (row,
+    column) tile, windows are column-tiled (the 128-lane column-halo
+    ring doubles as the mesh column halo), and the in-kernel exchange
+    pushes 8 directions — 4 cardinal + 4 corner remote DMAs — with an
+    entry-gated per-slot handshake (ops/megakernel.py
+    ``n_shard_cols > 1``). State is the column-tiled mega pair layout
+    per shard: ``(nr, nc, 2, halo + Rp_loc + halo, CHALO + Cp_loc +
+    CHALO)`` sharded on the first two axes (``mega_shard_state2d``).
+    ``c_total`` = the true global width. Slot 0's halo frame (rows,
+    ring columns, corners) is pre-exchanged here once per call with the
+    classic two-phase ppermute (rows first, then columns including the
+    fresh halo rows — parallel/halo.py module docstring); every later
+    exchange happens inside the kernel."""
+    from ..ops import megakernel as mk
+    from ..ops import pallas_stencil as ps
+
+    nr, nc = mesh.devices.shape
+    if interpret is True:
+        from jax.experimental.pallas import tpu as pltpu
+
+        interpret = pltpu.InterpretParams()
+
+    def local(u_pairs, v_pairs, n_blocks, *maybe_reaction):
+        u_pair, v_pair = u_pairs[0, 0], v_pairs[0, 0]
+        reaction = maybe_reaction[0] if maybe_reaction else None
+        my = jax.lax.axis_index(ROWS).astype(jnp.int32)
+        myc = jax.lax.axis_index(COLS).astype(jnp.int32)
+        h, ch = halo, ps.COL_HALO
+        rp = u_pair.shape[1] - 2 * h
+        cp = u_pair.shape[2] - 2 * ch
+        # slot 0 enters with unknown halos; one two-phase exchange
+        # (rows across the full width, then columns including the fresh
+        # halo rows, delivering the corners) makes the whole halo frame
+        # valid for the kernel's first time block
+        u0, v0 = u_pair[0], v_pair[0]
+        if nr > 1:
+            u0 = _exchange_rows(u0, rp, h)
+            v0 = _exchange_rows(v0, rp, h)
+        u0 = _exchange_cols(u0, cp, ch)
+        v0 = _exchange_cols(v0, cp, ch)
+        u_pair = u_pair.at[0].set(u0)
+        v_pair = v_pair.at[0].set(v0)
+        u_pair, v_pair = mk.megastep_impl(
+            u_pair, v_pair, n_blocks, reaction,
+            steps=steps, tr=tr, r=r_total, params=params,
+            boundary=boundary, halo=h, interpret=interpret,
+            vmem_limit_bytes=vmem_limit_bytes, dt_is_one=dt_is_one,
+            n_shards=nr, my_shard=my, tc=tc, c_dom=c_total,
+            n_shard_cols=nc, my_shard_col=myc,
+        )
+        return u_pair[None, None], v_pair[None, None]
+
+    spec = P(ROWS, COLS, None, None, None)
+    extra = () if reaction is None else (jnp.asarray(reaction),)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec, P()) + tuple(P() for _ in extra),
+        out_specs=(spec, spec),
+        check_vma=False,
+    )(u_pairs, v_pairs, n_blocks, *extra)
+
+
+def mega_shard_state2d(
+    u: np.ndarray, v: np.ndarray, mesh: Mesh, tr: int, tc: int,
+    halo: int = 8, dtype=np.float32,
+) -> Tuple[jax.Array, jax.Array, int, int]:
+    """Pack (R, C) host state into per-shard column-tiled megakernel
+    pairs ``(nr, nc, 2, halo + Rp_loc + halo, CHALO + Cp_loc + CHALO)``
+    on a (rows, cols) mesh, sharded on the first two axes. Returns
+    (u_pairs, v_pairs, r_loc, c_loc)."""
+    from ..ops import pallas_stencil as ps
+
+    r, c = u.shape
+    nr, nc = mesh.devices.shape
+    r_loc = -(-(-(-r // nr)) // tr) * tr  # ceil(ceil(r/nr)/tr)*tr
+    c_loc = -(-(-(-c // nc)) // tc) * tc
+    h, ch = halo, ps.COL_HALO
+    out = []
+    for x in (u, v):
+        xp = np.zeros((nr * r_loc, nc * c_loc), dtype=dtype)
+        xp[:r, :c] = x.astype(dtype)
+        tiled = xp.reshape(nr, r_loc, nc, c_loc).transpose(0, 2, 1, 3)
+        blocks = np.zeros(
+            (nr, nc, 2, h + r_loc + h, ch + c_loc + ch), dtype=dtype
+        )
+        blocks[:, :, 0, h : h + r_loc, ch : ch + c_loc] = tiled
+        out.append(jax.device_put(
+            blocks, NamedSharding(mesh, P(ROWS, COLS, None, None, None))
+        ))
+    return out[0], out[1], r_loc, c_loc
+
+
+def mega_unshard_result2d(pairs, shape, halo: int = 8) -> jax.Array:
+    """Interior cells of slot 0 across a 2-D mesh of column-tiled mega
+    pairs, reassembled and cropped to (R, C)."""
+    from ..ops import pallas_stencil as ps
+
+    r, c = shape
+    nr, nc = pairs.shape[0], pairs.shape[1]
+    h, ch = halo, ps.COL_HALO
+    r_loc = pairs.shape[3] - 2 * h
+    c_loc = pairs.shape[4] - 2 * ch
+    interior = pairs[:, :, 0, h : h + r_loc, ch : ch + c_loc]
+    full = interior.transpose(0, 2, 1, 3).reshape(nr * r_loc, nc * c_loc)
+    return full[:r, :c]
+
+
 def mega_shard_state(
     u: np.ndarray, v: np.ndarray, mesh: Mesh, tr: int, halo: int = 8,
     tc: int | None = None, dtype=np.float32,

@@ -189,8 +189,6 @@ def test_sharded_mega_cli_end_to_end(tmp_path):
 
 
 def test_sharded_mega_validations(params):
-    with pytest.raises(ValueError, match="1-D row mesh"):
-        ShardedSimulation(params, engine="mega", mesh_cols=2, n_devices=4)
     with pytest.raises(ValueError, match="overlap"):
         ShardedSimulation(params, engine="mega", overlap=True)
     with pytest.raises(ValueError, match="windowed/mega"):
@@ -393,3 +391,176 @@ def test_sharded_mega_bf16_lowers_for_tpu(params):
         jnp.asarray(up), jnp.asarray(vp), jnp.int32(2)
     )
     assert "tpu_custom_call" in exp.mlir_module()
+
+
+def run_sharded_mega2d(u, v, params, boundary, steps, n_devices=4,
+                       mesh_cols=2, **kw):
+    sim = ShardedSimulation(params, boundary=boundary, engine="mega",
+                            n_devices=n_devices, mesh_cols=mesh_cols, **kw)
+    species = sim.make_species(u.shape)
+    species.storage = sim.build_storage(u, v)
+    sim.perform_steps(species, steps)
+    return species.uv_host()
+
+
+@pytest.mark.parametrize("boundary", ["naive", "zero"])
+def test_sharded_mega2d_oracle_parity(rng, params, boundary):
+    """2x2 mesh, column-tiled (tr=8, tc=128) shard windows: 32x300
+    pads rows per shard and columns inside the last column shard, so
+    the sanitize masking runs with GLOBAL (row, col) origins across
+    both mesh axes. 16 steps = 2 time blocks through the 8-direction
+    entry-gated exchange."""
+    u, v = random_uv(rng, (32, 300))
+    ou, ov = oracle.run(u, v, params, 16, boundary)
+    gu, gv = run_sharded_mega2d(u, v, params, boundary, 16,
+                                block_rows=8, block_cols=128)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_sharded_mega2d_matches_single_chip(rng, params):
+    """Bitwise equality with the single-chip column-tiled megakernel
+    (naive = bit-frozen step math): a 2x2 mesh tile sees exactly the
+    values a single chip reads from its own HBM, through 8-direction
+    remote-DMA halos — including the corner pushes the 1-D form never
+    needs."""
+    u, v = random_uv(rng, (32, 384))
+    sim1 = PallasSimulation(params, boundary="naive", engine="mega",
+                            interpret=True, block_rows=8, block_cols=128)
+    sp1 = sim1.make_species((32, 384))
+    sp1.storage = sim1.build_storage(u, v)
+    sim1.perform_steps(sp1, 16)
+    su, sv = sp1.uv_host()
+    gu, gv = run_sharded_mega2d(u, v, params, "naive", 16,
+                                block_rows=8, block_cols=128)
+    np.testing.assert_array_equal(gu, su)
+    np.testing.assert_array_equal(gv, sv)
+
+
+@pytest.mark.parametrize("dma_mode", ["on_wait", "eager"])
+def test_sharded_mega2d_race_free(rng, params, dma_mode):
+    """The entry-gated 8-direction handshake under the vector-clock
+    race detector, both DMA execution extremes, with odd time blocks
+    plus a remainder re-entry (27 steps)."""
+    u, v = random_uv(rng, (32, 300))
+    sim = ShardedSimulation(params, boundary="zero", engine="mega",
+                            n_devices=4, mesh_cols=2, block_rows=8,
+                            block_cols=128)
+    sim.interpret = pltpu.InterpretParams(detect_races=True,
+                                          dma_execution_mode=dma_mode)
+    species = sim.make_species((32, 300))
+    species.storage = sim.build_storage(u, v)
+    sim.perform_steps(species, 27)
+    gu, gv = species.uv_host()
+    ou, ov = oracle.run(u, v, params, 27, "zero")
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    try:
+        from jax._src.pallas.mosaic.interpret import (
+            interpret_pallas_call as _ipc,
+        )
+        assert _ipc.races is None or not _ipc.races.races_found
+    except ImportError:  # pragma: no cover - jax layout drift
+        pass
+
+
+def test_sharded_mega2d_column_only_mesh(rng, params):
+    """A 1x4 column mesh: rows unsharded (no up/down/corner neighbors
+    anywhere), the exchange reduces to the left/right ring pushes."""
+    u, v = random_uv(rng, (24, 600))
+    ou, ov = oracle.run(u, v, params, 16, "naive")
+    gu, gv = run_sharded_mega2d(u, v, params, "naive", 16, mesh_cols=4,
+                                block_rows=8, block_cols=128)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=2e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=2e-6)
+
+
+def test_sharded_mega2d_bf16_matches_single_chip(rng, params):
+    """bf16 storage on the 2-D mesh: halo rows, ring columns and
+    corners all ride ICI in bf16 (pushed after the per-block store
+    rounding), so bitwise equality with the single-chip bf16
+    column-tiled megakernel holds like the 1-D bf16 test."""
+    u, v = random_uv(rng, (32, 384))
+    sim1 = PallasSimulation(params, boundary="naive", engine="mega",
+                            interpret=True, block_rows=8, block_cols=128,
+                            dtype="bfloat16")
+    sp1 = sim1.make_species((32, 384))
+    sp1.storage = sim1.build_storage(u, v)
+    sim1.perform_steps(sp1, 16)
+    su, sv = sp1.uv_host()
+    gu, gv = run_sharded_mega2d(u, v, params, "naive", 16, block_rows=8,
+                                block_cols=128, dtype="bfloat16")
+    np.testing.assert_array_equal(gu, su)
+    np.testing.assert_array_equal(gv, sv)
+
+
+def test_sharded_mega2d_auto_geometry(rng, params):
+    """No pins: the 2-D tile heuristic maps a narrow shard slab onto
+    ONE covering column tile (the ring is mandatory on a 2-D mesh) and
+    the run stays oracle-exact."""
+    u, v = random_uv(rng, (32, 300))
+    sim = ShardedSimulation(params, boundary="zero", engine="mega",
+                            n_devices=4, mesh_cols=2)
+    species = sim.make_species((32, 300))
+    species.storage = sim.build_storage(u, v)
+    assert species.storage[0] == "mega2d"
+    tc = species.storage[4]
+    assert tc is not None and tc % 128 == 0
+    sim.perform_steps(species, 8)
+    gu, gv = species.uv_host()
+    ou, ov = oracle.run(u, v, params, 8, "zero")
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+    # the fused V-only snapshot view agrees with the full extraction
+    np.testing.assert_array_equal(
+        np.asarray(sim.extract_result(species.storage, (32, 300))), gv
+    )
+
+
+def test_sharded_mega2d_lowers_for_tpu(params):
+    """Mosaic lowering gate: 8-direction remote DMAs (cardinal +
+    corner), entry-gated per-slot recv semaphores, and two traced mesh
+    coordinates in one kernel must lower for real TPUs."""
+    from grayscott_tpu.parallel import halo
+
+    mesh = halo.make_mesh(4, 2)
+    u = np.zeros((32, 300), np.float32)
+    v = np.ones((32, 300), np.float32)
+    up, vp, _, _ = halo.mega_shard_state2d(u, v, mesh, 8, 128)
+
+    def fn(up, vp, n):
+        return halo.sharded_mega_run2d(
+            up, vp, n, None, mesh=mesh, r_total=32, c_total=300,
+            steps=8, tr=8, tc=128, params=params, boundary="naive",
+            interpret=False,
+        )
+
+    exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(
+        jnp.asarray(up), jnp.asarray(vp), jnp.int32(2)
+    )
+    assert "tpu_custom_call" in exp.mlir_module()
+
+
+def test_sharded_mega2d_validations(params):
+    from grayscott_tpu.ops import megakernel as mk
+
+    # a 2-D mesh shard narrower than one 128-lane tile is rejected at
+    # the backend (use fewer mesh columns)
+    sim = ShardedSimulation(params, engine="mega", n_devices=4,
+                            mesh_cols=4)
+    with pytest.raises(ValueError, match="mesh columns"):
+        sim.build_storage(np.zeros((32, 128), np.float32),
+                          np.zeros((32, 128), np.float32))
+    # the kernel driver requires column-tiled windows on 2-D meshes
+    pair = jnp.zeros((2, 8 + 16 + 8, 16), jnp.float32)
+    with pytest.raises(ValueError, match="column-tiled"):
+        mk.megastep_impl(
+            pair, pair, jnp.int32(1), None, steps=8, tr=8, r=16,
+            params=params, boundary="zero", n_shards=2,
+            my_shard=jnp.int32(0), n_shard_cols=2,
+            my_shard_col=jnp.int32(0),
+        )
+    with pytest.raises(ValueError, match="my_shard_col"):
+        mk.megastep_impl(
+            pair, pair, jnp.int32(1), None, steps=8, tr=8, r=16,
+            params=params, boundary="zero",
+            my_shard_col=jnp.int32(0),
+        )
