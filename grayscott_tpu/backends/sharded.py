@@ -164,11 +164,17 @@ class ShardedSimulation(Simulation):
         full-width heuristic verdict maps to ONE covering column tile —
         the ring overhead is paid either way on a 2-D mesh."""
         tr, tc = self.block_rows, self.block_cols
+        cover = -(-c_loc // 128) * 128
+        if tc is not None and tc > cover:
+            # an over-wide pin is meaningless here: the covering tile is
+            # the widest geometry a 2-D shard can have (same
+            # neutralization as the 1-D _mega_tiles' tc >= c rule)
+            tc = cover
         if tc is None:
             _, tc = mk.choose_mega_geometry(r_loc, c_loc, self.halo,
                                             boundary=self.boundary)
             if tc is None:
-                tc = -(-c_loc // 128) * 128
+                tc = cover
         if tr is None:
             tr = mk.choose_mega_rows(
                 r_loc, c_loc, self.halo, tc=tc, chalo=ps.COL_HALO,
@@ -180,10 +186,11 @@ class ShardedSimulation(Simulation):
         nr, nc = self.mesh.devices.shape
         r_loc = -(-u.shape[0] // nr)
         c_loc = -(-u.shape[1] // nc)
-        if c_loc <= 128:
+        if c_loc < 128:
             raise ValueError(
-                f"2-D mesh shards would be {c_loc} columns wide (< one "
-                "128-lane tile); use fewer mesh columns"
+                f"2-D mesh shards would be {c_loc} columns wide "
+                "(narrower than one 128-lane tile); use fewer mesh "
+                "columns"
             )
         tr, tc = self._mega_tiles_2d(r_loc, c_loc)
         if not mk.mega_ok((r_loc, c_loc), tr, self.halo, tc=tc,

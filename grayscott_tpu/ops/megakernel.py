@@ -269,16 +269,26 @@ def _mega_kernel(
             slots belong to the column and corner pushes — a full-width
             row push would clobber the receiver's corner arrivals with
             this shard's own ring), column pushes span interior rows,
-            and the four (halo x chalo) corner pushes go straight to the
-            diagonal neighbors. By SPMD symmetry each descriptor's recv
-            semaphore is signaled by the OPPOSITE neighbor's identical
-            push (my "down" push's recvsem fires when my UP neighbor's
-            down-push lands in my top halo), so ``recv_guard`` names the
-            opposite neighbor. The 1-D mesh enumerates devices row-major
-            through the (rows, cols) grid, so the flat logical id is
+            and the four corner pushes go straight to the diagonal
+            neighbors. Column and corner pushes are only ``halo`` lanes
+            wide, NOT the 128-lane ring: with K <= halo steps per time
+            block, stencil influence travels at most ``halo`` columns,
+            so only the innermost ``halo`` ring columns can ever reach a
+            stored interior cell — the outer ring columns are read by
+            window loads but provably cannot propagate (same argument as
+            the sanitize mask's padding). This cuts the exchange bytes
+            ~6x at production tile shapes (the ring depth is a LANE
+            ALIGNMENT requirement of the window DMAs, not a physics
+            one). By SPMD symmetry each descriptor's recv semaphore is
+            signaled by the OPPOSITE neighbor's identical push (my
+            "down" push's recvsem fires when my UP neighbor's down-push
+            lands in my top halo), so ``recv_guard`` names the opposite
+            neighbor. The 1-D mesh enumerates devices row-major through
+            the (rows, cols) grid, so the flat logical id is
             ``my * n_shard_cols + myc``. Semaphores stay per-slot (see
             ``xchg_dma``'s aliasing note)."""
             h_, ch = halo, chalo
+            hw = halo  # column/corner push width (see docstring)
             rows_i = pl.ds(h_, rp)
             land = jnp.logical_and
             #      (src rows/cols,          dst rows/cols,           off,
@@ -290,26 +300,26 @@ def _mega_kernel(
                 ((pl.ds(h_, h_), pl.ds(ch, cpw)),        # up
                  (pl.ds(h_ + rp, h_), pl.ds(ch, cpw)),
                  -n_shard_cols, has_up, has_dn),
-                ((rows_i, pl.ds(cpw, ch)),               # right
-                 (rows_i, pl.ds(0, ch)),
+                ((rows_i, pl.ds(ch + cpw - hw, hw)),     # right
+                 (rows_i, pl.ds(ch - hw, hw)),
                  1, has_rt, has_lf),
-                ((rows_i, pl.ds(ch, ch)),                # left
-                 (rows_i, pl.ds(ch + cpw, ch)),
+                ((rows_i, pl.ds(ch, hw)),                # left
+                 (rows_i, pl.ds(ch + cpw, hw)),
                  -1, has_lf, has_rt),
-                ((pl.ds(rp, h_), pl.ds(cpw, ch)),        # down-right
-                 (pl.ds(0, h_), pl.ds(0, ch)),
+                ((pl.ds(rp, h_), pl.ds(ch + cpw - hw, hw)),  # down-right
+                 (pl.ds(0, h_), pl.ds(ch - hw, hw)),
                  n_shard_cols + 1, land(has_dn, has_rt),
                  land(has_up, has_lf)),
-                ((pl.ds(rp, h_), pl.ds(ch, ch)),         # down-left
-                 (pl.ds(0, h_), pl.ds(ch + cpw, ch)),
+                ((pl.ds(rp, h_), pl.ds(ch, hw)),         # down-left
+                 (pl.ds(0, h_), pl.ds(ch + cpw, hw)),
                  n_shard_cols - 1, land(has_dn, has_lf),
                  land(has_up, has_rt)),
-                ((pl.ds(h_, h_), pl.ds(cpw, ch)),        # up-right
-                 (pl.ds(h_ + rp, h_), pl.ds(0, ch)),
+                ((pl.ds(h_, h_), pl.ds(ch + cpw - hw, hw)),  # up-right
+                 (pl.ds(h_ + rp, h_), pl.ds(ch - hw, hw)),
                  -(n_shard_cols - 1), land(has_up, has_rt),
                  land(has_dn, has_lf)),
-                ((pl.ds(h_, h_), pl.ds(ch, ch)),         # up-left
-                 (pl.ds(h_ + rp, h_), pl.ds(ch + cpw, ch)),
+                ((pl.ds(h_, h_), pl.ds(ch, hw)),         # up-left
+                 (pl.ds(h_ + rp, h_), pl.ds(ch + cpw, hw)),
                  -(n_shard_cols + 1), land(has_up, has_lf),
                  land(has_dn, has_rt)),
             ]

@@ -564,3 +564,61 @@ def test_sharded_mega2d_validations(params):
             params=params, boundary="zero",
             my_shard_col=jnp.int32(0),
         )
+
+
+def test_sharded_mega2d_interior_row_shard(rng, params):
+    """3x2 mesh: the middle row shard has BOTH up and down neighbors
+    (plus all four diagonals), a combination the 2x2/1x4 tests never
+    produce — every one of its 8 entry-gate waits and 8 sends fires."""
+    u, v = random_uv(rng, (40, 280))
+    ou, ov = oracle.run(u, v, params, 8, "naive")
+    gu, gv = run_sharded_mega2d(u, v, params, "naive", 8, n_devices=6,
+                                mesh_cols=2, block_rows=8,
+                                block_cols=128)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_sharded_mega2d_wide_mesh_diagonals(rng, params):
+    """2x3 mesh: diagonal logical-id offsets +-(nc-1)/+-(nc+1) take
+    general values (+-2/+-4) instead of degenerating to +-1/+-3 like
+    nc=2 — pins the row-major flat-id arithmetic."""
+    u, v = random_uv(rng, (32, 420))
+    ou, ov = oracle.run(u, v, params, 8, "zero")
+    gu, gv = run_sharded_mega2d(u, v, params, "zero", 8, n_devices=6,
+                                mesh_cols=3, block_rows=8,
+                                block_cols=128)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_sharded_mega2d_one_tile_shards(rng, params):
+    """Shards exactly one 128-lane tile wide are valid (the narrowest
+    supported 2-D geometry: cp == chalo == 128)."""
+    u, v = random_uv(rng, (32, 256))
+    sim = ShardedSimulation(params, boundary="naive", engine="mega",
+                            n_devices=4, mesh_cols=2, block_rows=8)
+    species = sim.make_species((32, 256))
+    species.storage = sim.build_storage(u, v)
+    assert species.storage[4] == 128
+    sim.perform_steps(species, 16)
+    gu, gv = species.uv_host()
+    ou, ov = oracle.run(u, v, params, 16, "naive")
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=2e-6)
+
+
+def test_sharded_mega2d_overwide_pin_clamps(rng, params):
+    """A --pallas-block-cols pin wider than the covering column tile is
+    clamped to it (the 2-D analog of the 1-D tc >= c neutralization)
+    instead of surfacing as a misleading VMEM error."""
+    u, v = random_uv(rng, (32, 300))
+    sim = ShardedSimulation(params, boundary="zero", engine="mega",
+                            n_devices=4, mesh_cols=2, block_rows=8,
+                            block_cols=512)
+    species = sim.make_species((32, 300))
+    species.storage = sim.build_storage(u, v)
+    assert species.storage[4] == 256  # ceil(150 / 128) * 128
+    sim.perform_steps(species, 8)
+    gu, gv = species.uv_host()
+    ou, ov = oracle.run(u, v, params, 8, "zero")
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
