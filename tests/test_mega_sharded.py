@@ -622,3 +622,28 @@ def test_sharded_mega2d_overwide_pin_clamps(rng, params):
     gu, gv = species.uv_host()
     ou, ov = oracle.run(u, v, params, 8, "zero")
     np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_sharded_mega2d_fuzz(rng, params):
+    """Randomized 2-D geometry (the 2-D analog of
+    test_sharded_mega_fuzz): row counts that land global bottom padding
+    on different mesh rows, column counts that pad inside the last
+    column shard, mesh shapes covering interior shards (3x2) and
+    general diagonal offsets (2x3), and step counts hitting every
+    time-block remainder/parity combination."""
+    for _ in range(3):
+        mr, mc = [(2, 2), (3, 2), (2, 3)][int(rng.randint(3))]
+        r = int(rng.randint(8 * mr + 1, 64))
+        c = 128 * mc + 8 * int(rng.randint(0, 20))
+        steps = int(rng.randint(1, 21))
+        boundary = ["naive", "zero"][int(rng.randint(2))]
+        u, v = random_uv(rng, (r, c))
+        ou, ov = oracle.run(u, v, params, steps, boundary)
+        gu, gv = run_sharded_mega2d(u, v, params, boundary, steps,
+                                    n_devices=mr * mc, mesh_cols=mc,
+                                    block_rows=8, block_cols=128)
+        msg = f"mesh={mr}x{mc} r={r} c={c} steps={steps} {boundary}"
+        np.testing.assert_allclose(gu, ou, rtol=0, atol=2e-6,
+                                   err_msg=msg)
+        np.testing.assert_allclose(gv, ov, rtol=0, atol=2e-6,
+                                   err_msg=msg)
