@@ -81,16 +81,36 @@ class FrameSource:
         self.lut = inferno_lut(getattr(args, "color_palette_resolution", 256))
         self.paused = False
         self._last_rgb: np.ndarray | None = None
+        self._pending = None  # in-flight device frame (frames-in-flight)
 
-    def next_rgb(self) -> np.ndarray:
+    def _dispatch_frame(self):
+        """Advance the simulation and return the palette-index array for
+        the new state as an in-flight device value: the step dispatch is
+        async, and the device->host copy is started eagerly so it rides
+        the link while the host colorizes/encodes the PREVIOUS frame."""
         jnp = self._jnp
         self.sim.prepare_steps(self.species, self.steps_per_frame)
         v = self.species.result()
         # palette index on device: clamp(scale * v, 0, 1) * (n - 1)
         n = len(self.lut)
         idx = jnp.clip(v * np.float32(AMPLITUDE_SCALE), 0.0, 1.0) * float(n - 1)
-        idx_host = np.asarray(idx.astype(jnp.int32 if n > 256 else jnp.uint8))
-        self._last_rgb = self.lut[idx_host]
+        idx = idx.astype(jnp.int32 if n > 256 else jnp.uint8)
+        try:
+            idx.copy_to_host_async()
+        except AttributeError:  # non-jax.Array backends (fused CPU path)
+            pass
+        return idx
+
+    def next_rgb(self) -> np.ndarray:
+        """One-frame pipeline (the analog of the reference's
+        frames-in-flight, livesim/src/frames.rs:21-175): frame N+1's
+        compute + transfer are dispatched before frame N is colorized,
+        so the host-link transfer overlaps host-side encode instead of
+        serializing after it."""
+        if self._pending is None:
+            self._pending = self._dispatch_frame()
+        shown, self._pending = self._pending, self._dispatch_frame()
+        self._last_rgb = self.lut[np.asarray(shown)]
         return self._last_rgb
 
     def frame(self) -> np.ndarray:
@@ -126,6 +146,7 @@ class FrameSource:
         if changed:
             from ..species import Species
 
+            self._pending = None  # old-physics frame: don't show it
             u, v = self.species.uv_host()
             steps_done = self.species.steps_performed
             self.sim = shared.make_simulation(self.args)
@@ -138,6 +159,7 @@ class FrameSource:
     def reset(self) -> None:
         self.species = self.sim.make_species(shared.domain_shape(self.args))
         self._last_rgb = None
+        self._pending = None
 
 
 def run_headless(src: FrameSource, frames: int, outdir: str) -> int:

@@ -1,5 +1,6 @@
 import http.client
 import os
+import socket
 import threading
 import time
 
@@ -23,16 +24,26 @@ def test_headless_frames(tmp_path):
     assert img.max() > 0  # the V=1 box maps to bright INFERNO colors
 
 
+def _free_port() -> int:
+    """An ephemeral port: fixed test ports collide with servers left
+    behind by OTHER pytest processes on the machine (daemon server
+    threads outlive their test), silently talking to the wrong sim."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 def test_web_stream_smoke():
+    port = _free_port()
     args = livesim.build_parser().parse_args(
-        ["-r", "16", "-c", "16", "--backend", "fused", "--port", "18472"]
+        ["-r", "16", "-c", "16", "--backend", "fused", "--port", str(port)]
     )
     src = livesim.FrameSource(args)
     from grayscott_tpu.utils.logs import init_logging
 
     t = threading.Thread(
         target=livesim.run_web,
-        args=(src, 18472, 60.0, init_logging(prefer_syslog=False)),
+        args=(src, port, 60.0, init_logging(prefer_syslog=False)),
         daemon=True,
     )
     t.start()
@@ -40,7 +51,7 @@ def test_web_stream_smoke():
     data = b""
     while time.time() < deadline:
         try:
-            conn = http.client.HTTPConnection("127.0.0.1", 18472, timeout=5)
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
             conn.request("GET", "/stream")
             resp = conn.getresponse()
             assert resp.status == 200
@@ -72,7 +83,7 @@ def _get_json(port, path):
 
 def test_web_controls():
     """/state, /set (live param change preserving state), /toggle, /reset."""
-    port = 18473
+    port = _free_port()
     args = livesim.build_parser().parse_args(
         ["-r", "16", "-c", "16", "--backend", "fused", "--port", str(port)]
     )
@@ -136,8 +147,10 @@ def test_set_params_reuses_pallas_executable():
     src.next_rgb()
     after = (ps.multistep._cache_size(), ps.run_blocks._cache_size())
     assert after == sizes, f"slider change recompiled: {sizes} -> {after}"
-    # the state carried over and the new physics actually applies
-    assert src.species.steps_performed == 2
+    # the state carried over and the new physics actually applies (each
+    # next_rgb dispatches the shown frame plus one in-flight frame —
+    # the frames-in-flight pipeline; set_params dropped the in-flight one)
+    assert src.species.steps_performed == 4
     assert not np.array_equal(src.species.result_host(), before)
     # the dt slider moving off 1.0 recompiles once (dt_is_one
     # specialization), then all three sliders reuse that executable
