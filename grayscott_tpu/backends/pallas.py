@@ -97,6 +97,13 @@ class PallasSimulation(Simulation):
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
         self.interpret = interpret
+        if not interpret:
+            # real hardware of a generation we never measured: geometry
+            # falls back to VMEM-scaled heuristics (utils.device) — say
+            # so once and point at --autotune
+            from ..utils import device as _device
+
+            _device.warn_uncalibrated_once()
         # runtime-parameter mode (default): the reaction scalars ride an
         # SMEM operand and the executable is keyed on the stencil weights
         # only, so feed/kill/dt changes (livesim sliders, parameter scans)

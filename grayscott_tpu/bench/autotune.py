@@ -306,15 +306,43 @@ def measure_config(
         sim.prepare_steps(species, steps)
         float(np.asarray(jnp.sum(species.result()[:1, :128])))
         best = min(best, time.perf_counter() - t0)
-    return {
+    cells = shape[0] * shape[1] * steps
+    rec = {
         "engine": engine,
         "block_rows": tr_used,
         "steps_per_call": k,
         "block_cols": tc_used,
         "fold": f_used,
         "pack": pack,
-        "gcells_per_sec": shape[0] * shape[1] * steps / best / 1e9,
+        "gcells_per_sec": cells / best / 1e9,
+        "wall_gcells_per_sec": cells / best / 1e9,
     }
+    # On real hardware, rank candidates on ON-CHIP module time: wall
+    # clock through a tunneled host carries a ~25-30 ms constant
+    # dispatch+sync RTT that is ~10x kernel time at small shapes, so
+    # wall rankings there are noise-ranked tunnel measurements
+    # (BENCHMARKS.md). Device module time still contains every per-call
+    # fixed cost inside the executable (what the engines differ on) and
+    # drops only the constant host RTT, identical across candidates.
+    # The criterion analog: measure the workload, not the harness
+    # (compute/shared/src/benchmark.rs:77-113). Wall stays in the
+    # record for audit; tracing failures fall back to wall silently.
+    import jax
+
+    if not getattr(sim, "interpret", True) and \
+            jax.devices()[0].platform in ("tpu", "gpu"):
+        try:
+            from .harness import _device_time_rep
+
+            dev_best = min(
+                _device_time_rep(sim, species, steps)
+                for _ in range(min(2, max(1, reps)))
+            )
+            rec["device_gcells_per_sec"] = cells / dev_best / 1e9
+            rec["gcells_per_sec"] = rec["device_gcells_per_sec"]
+        except Exception:
+            pass
+    return rec
 
 
 def autotune(
@@ -330,15 +358,19 @@ def autotune(
     """
     import jax
 
-    platform = jax.devices()[0].platform
-    key = cache.autotune_key(platform, shape, boundary,
+    from ..utils import device
+
+    # records key on the device KIND (v5e/v4/...), not the platform
+    # string: a verdict measured on one generation must not pin another
+    # (their VMEM geometry differs up to 8x; utils.device)
+    key = cache.autotune_key(device.autotune_platform(), shape, boundary,
                              params.stencil_name(), ps.KERNEL_VERSION, dtype)
     store = cache.load_autotune()
     if key in store:
         return store[key]
     configs = [_as_config(c) for c in candidates]
     configs += _wide_domain_candidates(shape, configs[:2], boundary)
-    if platform == "tpu":
+    if jax.devices()[0].platform == "tpu":
         # alternative engines/layouts are a hardware question:
         # interpret-mode timings would rank them meaninglessly on CPU,
         # and the backend refuses to act on a fold/pack record off-TPU
@@ -430,12 +462,20 @@ def lookup(params: Parameters, shape, boundary: str,
     autotune store first, then the package's shipped v5e-measured
     verdicts (bench/defaults.py) — some layout decisions (pack/fold)
     act only on measured records, so a fresh install still gets them."""
-    import jax
+    from ..utils import device
 
-    platform = jax.devices()[0].platform
-    key = cache.autotune_key(platform, shape, boundary,
+    kind = device.autotune_platform()
+    key = cache.autotune_key(kind, shape, boundary,
                              params.stencil_name(), ps.KERNEL_VERSION, dtype)
-    rec = cache.load_autotune().get(key)
+    store = cache.load_autotune()
+    rec = store.get(key)
+    if rec is None and kind == "v5e":
+        # rounds 1-2 keyed local records on the platform string "tpu";
+        # every one of them was measured on this v5e, so they remain
+        # valid here — and ONLY here
+        rec = store.get(cache.autotune_key(
+            "tpu", shape, boundary, params.stencil_name(),
+            ps.KERNEL_VERSION, dtype))
     if rec is not None:
         return rec
     from .defaults import SHIPPED

@@ -14,6 +14,11 @@ re-adopting on different hardware overrides the shipped verdicts. The
 analog in the reference is the compiled-in block-size defaults
 (compute/block/src/default.rs) — except these are measured, not
 computed from cache sizes.
+
+Keys carry the DEVICE KIND (``v5e``) where they were measured, never
+the bare platform string: on a v3/v4/v6e part ``lookup`` misses this
+table entirely and the backend falls back to VMEM-scaled heuristics
+plus a ``--autotune`` recommendation (utils/device.py).
 """
 
 from __future__ import annotations
@@ -22,29 +27,29 @@ from __future__ import annotations
 #: shape, boundary, stencil[, dtype])
 SHIPPED: dict[str, dict] = {
     # species-packed megakernel wins at 2048^2-zero (54.6 vs 53.3)
-    "v4:tpu:2048x2048:zero:oono-puri": {
+    "v4:v5e:2048x2048:zero:oono-puri": {
         "engine": "mega", "block_rows": None, "steps_per_call": 16,
         "fold": 1, "pack": True, "gcells_per_sec": 54.57,
         "source": "shipped-v5e-r2",
     },
     # packed VMEM-resident wins at 512x1024-zero (16.3 vs 14.8)
-    "v4:tpu:512x1024:zero:oono-puri": {
+    "v4:v5e:512x1024:zero:oono-puri": {
         "engine": "resident", "block_rows": None, "steps_per_call": 16,
         "fold": 1, "pack": True, "gcells_per_sec": 16.331,
         "source": "shipped-v5e-r2",
     },
     # unpacked megakernel everywhere else it was measured
-    "v4:tpu:4096x4096:zero:oono-puri": {
+    "v4:v5e:4096x4096:zero:oono-puri": {
         "engine": "mega", "block_rows": None, "steps_per_call": 16,
         "fold": 1, "pack": False, "gcells_per_sec": 76.657,
         "source": "shipped-v5e-r2",
     },
-    "v4:tpu:8192x8192:zero:oono-puri": {
+    "v4:v5e:8192x8192:zero:oono-puri": {
         "engine": "mega", "block_rows": None, "steps_per_call": 16,
         "fold": 1, "pack": False, "gcells_per_sec": 83.919,
         "source": "shipped-v5e-r2",
     },
-    "v4:tpu:4096x4096:naive:oono-puri": {
+    "v4:v5e:4096x4096:naive:oono-puri": {
         "engine": "mega", "block_rows": None, "steps_per_call": 16,
         "fold": 1, "pack": False, "gcells_per_sec": 67.337,
         "source": "shipped-v5e-r2",
@@ -53,7 +58,7 @@ SHIPPED: dict[str, dict] = {
     # 61.7 (+12.1%, same-process A/B, 1024 steps) — halved window DMA
     # pays even at K=8. Per-dtype key: bf16 engine verdicts never leak
     # into f32 runs (utils/cache.autotune_key).
-    "v4:tpu:4096x4096:zero:oono-puri:bfloat16": {
+    "v4:v5e:4096x4096:zero:oono-puri:bfloat16": {
         "engine": "mega", "block_rows": None, "steps_per_call": 16,
         "fold": 1, "pack": False, "gcells_per_sec": 69.21,
         "source": "shipped-v5e-r2",
@@ -61,7 +66,7 @@ SHIPPED: dict[str, dict] = {
     # 8192^2 bf16: mega 84.3 vs windowed 68.7 (+22.7% same-process) —
     # the windowed bf16 kernel is compile-ceiling-constrained to small
     # tiles at this width; the megakernel's K=8 window is not
-    "v4:tpu:8192x8192:zero:oono-puri:bfloat16": {
+    "v4:v5e:8192x8192:zero:oono-puri:bfloat16": {
         "engine": "mega", "block_rows": None, "steps_per_call": 16,
         "fold": 1, "pack": False, "gcells_per_sec": 84.28,
         "source": "shipped-v5e-r2",
@@ -71,7 +76,7 @@ SHIPPED: dict[str, dict] = {
     # block_rows=None re-derives choose_mega_geometry, which column-tiles
     # at this width (88.2 measured on the column-tiled form, sweep
     # "coltile")
-    "v4:tpu:16384x16384:zero:oono-puri:bfloat16": {
+    "v4:v5e:16384x16384:zero:oono-puri:bfloat16": {
         "engine": "mega", "block_rows": None, "steps_per_call": 16,
         "fold": 1, "pack": False, "gcells_per_sec": 88.217,
         "source": "shipped-v5e-r2",
@@ -81,12 +86,12 @@ SHIPPED: dict[str, dict] = {
     # choose_mega_geometry — at these widths that is tc=4096 column
     # tiles (83.0 vs 77.3 full-width at 16384^2-zero; 75.9 vs 53.8
     # windowed at 4096x32768)
-    "v4:tpu:16384x16384:zero:oono-puri": {
+    "v4:v5e:16384x16384:zero:oono-puri": {
         "engine": "mega", "block_rows": None, "steps_per_call": 16,
         "fold": 1, "pack": False, "gcells_per_sec": 83.049,
         "source": "shipped-v5e-r2",
     },
-    "v4:tpu:4096x32768:zero:oono-puri": {
+    "v4:v5e:4096x32768:zero:oono-puri": {
         "engine": "mega", "block_rows": None, "steps_per_call": 16,
         "fold": 1, "pack": False, "gcells_per_sec": 75.864,
         "source": "shipped-v5e-r2",
@@ -95,13 +100,13 @@ SHIPPED: dict[str, dict] = {
     # column-joined naive masking/fix-up tax outweighs the halo saving
     # (70.5 at tr=72 full-width vs 69.4 column-tiled; pinned block_rows
     # alone = full-width, the _mega_tiles contract)
-    "v4:tpu:16384x16384:naive:oono-puri": {
+    "v4:v5e:16384x16384:naive:oono-puri": {
         "engine": "mega", "block_rows": 72, "steps_per_call": 16,
         "fold": 1, "pack": False, "gcells_per_sec": 70.508,
         "source": "shipped-v5e-r2",
     },
     # naive boundary too: mega bf16 57.9 vs windowed bf16 52.9 (+9.5%)
-    "v4:tpu:4096x4096:naive:oono-puri:bfloat16": {
+    "v4:v5e:4096x4096:naive:oono-puri:bfloat16": {
         "engine": "mega", "block_rows": None, "steps_per_call": 16,
         "fold": 1, "pack": False, "gcells_per_sec": 57.91,
         "source": "shipped-v5e-r2",

@@ -41,10 +41,18 @@ class Result:
     shape: tuple
     steps: int
     seconds: float
+    #: best-sample rate — the noise-floor estimator, comparable with the
+    #: rounds-1/2 sweep history
     gcells_per_sec: float
     #: run labels (boundary, dtype, pinned tunables) so sweep files from
     #: different precisions/configs stay distinguishable
     extra: dict = dataclasses.field(default_factory=dict)
+    #: raw per-rep rates (persisted for re-analysis; criterion keeps its
+    #: raw samples too) and their robust summary (bench/stats.py):
+    #: median/MAD/CI95/outlier counts — what reports and adoption gates
+    #: should reason from
+    samples_gcells: list = dataclasses.field(default_factory=list)
+    stats: dict = dataclasses.field(default_factory=dict)
 
     def to_json(self) -> dict:
         d = dataclasses.asdict(self)
@@ -95,18 +103,20 @@ def _device_time_rep(sim, species, steps: int) -> float:
 
 
 def run_one(
-    sim, shape, steps: int, workload: str = "compute", reps: int = 3,
+    sim, shape, steps: int, workload: str = "compute", reps: int = 5,
     extra: dict | None = None,
 ) -> Result:
     import jax.numpy as jnp
 
+    from . import stats
+
     species = sim.make_species(shape)
     sim.prepare_steps(species, steps)  # compile + warmup
     _sync_tiny(species)
-    best = float("inf")
+    times = []
     for _ in range(reps):
         if workload == "device":
-            best = min(best, _device_time_rep(sim, species, steps))
+            times.append(_device_time_rep(sim, species, steps))
             continue
         t0 = time.time()
         sim.prepare_steps(species, steps)
@@ -119,12 +129,16 @@ def run_one(
             np.asarray(snap)
         else:
             raise ValueError(f"unknown workload {workload!r}")
-        best = min(best, time.time() - t0)
+        times.append(time.time() - t0)
     cells = shape[0] * shape[1] * steps
+    best = min(times)
+    rates = [cells / t / 1e9 for t in times]
     return Result(
         backend=sim.name, workload=workload, shape=tuple(shape), steps=steps,
         seconds=best, gcells_per_sec=cells / best / 1e9,
         extra=dict(extra or {}),
+        samples_gcells=[round(r, 4) for r in rates],
+        stats=stats.summarize(rates),
     )
 
 
@@ -134,7 +148,7 @@ def sweep(
     step_counts: Iterable[int] | None = None,
     workloads: Sequence[str] = ("compute",),
     boundary: str = "naive",
-    reps: int = 3,
+    reps: int = 5,
     out_path: str | None = None,
     verbose: bool = True,
     backend_kwargs: dict | None = None,
@@ -206,7 +220,9 @@ def main(argv=None) -> int:
     parser.add_argument("--workloads", default="compute",
                         help="comma-separated: compute,full_sync,full_future")
     parser.add_argument("--boundary", default="naive", choices=["naive", "zero"])
-    parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("--reps", type=int, default=5,
+                        help="samples per measurement (median/MAD/CI95 "
+                        "are reported from these; criterion analog)")
     parser.add_argument("-o", "--output", default=None, help="JSON output path")
     parser.add_argument("--dtype", default=None,
                         choices=["float32", "bfloat16"],

@@ -68,6 +68,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..params import Parameters, Precision
+from ..utils import device
 from . import pallas_stencil as ps
 
 #: Halo/temporal depth: the 8-row sublane alignment minimum. With T0
@@ -662,10 +663,11 @@ def mega_vmem_limit(tr: int, halo: int, c: int, species: int = 2,
     """Scoped-VMEM tier for the estimate (quantized so standard configs
     keep stable compile params)."""
     est = _mega_vmem_est(tr, halo, c, species, strip_store, tc, chalo)
-    for tier in (64 << 20, 100 << 20, 120 << 20):
+    tiers = device.vmem_tiers()
+    for tier in tiers:
         if est <= tier:
             return tier
-    return 120 << 20
+    return tiers[-1]
 
 
 def mega_ok(shape, tr: int | None = None, halo: int = MEGA_STEPS,
@@ -723,7 +725,7 @@ def choose_mega_rows(r: int, c: int, halo: int = MEGA_STEPS,
         if not ps.window_compile_ok(tr, halo, wc, boundary, steps=halo):
             break
         if _mega_vmem_est(tr, halo, c, species, strip_store,
-                          tc, chalo) > (120 << 20):
+                          tc, chalo) > device.vmem_tier_cap():
             break
         n = -(-r // tr)
         if n == 1 and r > 2 * halo + 8:

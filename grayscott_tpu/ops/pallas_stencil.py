@@ -66,6 +66,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..params import Parameters, Precision
+from ..utils import device
 
 #: Halo depth in rows. Must be a multiple of 8 (sublane alignment of
 #: element-indexed windows); also the maximum temporal-blocking depth.
@@ -1127,13 +1128,17 @@ RESIDENT_MAX_BYTES = 9 << 20
 
 
 def resident_ok(shape, dtype_bytes: int = 4) -> bool:
+    # the envelope is liveness-vs-VMEM empirical on v5e's 128 MiB part;
+    # on a smaller-VMEM generation the same liveness multiplier applies
+    # against a proportionally smaller ceiling (utils.device)
+    scale = device.vmem_scale()
     r, c = shape
     rp = -(-r // 8) * 8
     cp = -(-c // 128) * 128
     nbytes = rp * cp * dtype_bytes
-    if rp <= 1088 and cp <= 2048:
+    if rp <= 1088 and cp <= 2048 and scale >= 1.0:
         return nbytes <= RESIDENT_MAX_BYTES
-    return nbytes <= RESIDENT_SAFE_BYTES
+    return nbytes <= RESIDENT_SAFE_BYTES * min(scale, 1.0)
 
 
 def resident_unroll(rp: int, cp: int, boundary: str = "zero") -> int:
@@ -1196,7 +1201,7 @@ def resident_multistep_impl(
             jax.ShapeDtypeStruct(v_res.shape, v_res.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=vmem_limit_bytes or (120 << 20),
+            vmem_limit_bytes=vmem_limit_bytes or device.vmem_tier_cap(),
         ),
         interpret=interpret,
     )(*operands)
@@ -1560,7 +1565,7 @@ def packed_resident_multistep_impl(
         out_specs=full,
         out_shape=jax.ShapeDtypeStruct(x_res.shape, x_res.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=vmem_limit_bytes or (120 << 20),
+            vmem_limit_bytes=vmem_limit_bytes or device.vmem_tier_cap(),
         ),
         interpret=interpret,
     )(*operands)
@@ -1610,7 +1615,7 @@ def window_compile_ok(
 
 
 def choose_block_rows(
-    r: int, c: int, vmem_budget_bytes: int = 16 << 20, halo: int = 16,
+    r: int, c: int, vmem_budget_bytes: int | None = None, halo: int = 16,
     boundary: str = "zero", species: int = 2,
 ) -> int:
     """Default row-tile size: fit one (TR + 2*halo, C) f32 window pair in
@@ -1631,6 +1636,10 @@ def choose_block_rows(
     ~36% of kernel compute was masked out-of-domain rows (29.4 Gcell/s);
     the score picks the padding-free tr=360 instead (3x392 window rows vs
     3x520)."""
+    # 16 MiB window budget as measured on v5e; scaled to the actual
+    # generation's VMEM (utils.device, the hwloc-budget analog)
+    if vmem_budget_bytes is None:
+        vmem_budget_bytes = device.scaled(16 << 20)
     # two species by default; the species-packed layout holds ONE array
     # at the doubled width, so its callers pass species=1 — without it
     # the budget double-counts and halves the packed row tile (extra
@@ -1684,15 +1693,16 @@ def choose_vmem_limit(
     if strip_store:
         # two explicit (W, C) f32 fix-up scratch windows (scoped too)
         est += 2 * w_rows * w_cols * 4
-    for tier in (64 << 20, 100 << 20, 120 << 20):
+    tiers = device.vmem_tiers()
+    for tier in tiers:
         if est <= tier:
             return tier
-    return 120 << 20
+    return tiers[-1]
 
 
 def choose_block_cols(
     c: int, tr: int = 192, halo: int = 16, chalo: int = COL_HALO,
-    vmem_budget_bytes: int = 24 << 20,
+    vmem_budget_bytes: int | None = None,
 ) -> int | None:
     """Column tile width, or None when full-width windows are fine.
 
@@ -1703,6 +1713,8 @@ def choose_block_cols(
     windows fit the budget, each tile rounded to the 128-lane quantum
     (alignment requirement for lane-dim element-indexed windows), so the
     round-up padding stays < 128 columns per tile."""
+    if vmem_budget_bytes is None:
+        vmem_budget_bytes = device.scaled(24 << 20)
     w_rows = tr + 2 * halo
     if w_rows * c * 4 * 2 <= vmem_budget_bytes:
         return None

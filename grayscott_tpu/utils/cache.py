@@ -69,9 +69,12 @@ def save_autotune(entries: dict) -> None:
 
 def autotune_key(platform: str, shape, boundary: str, stencil: str,
                  kernel_version: int = 1, dtype: str = "float32") -> str:
-    """Cache key for one tuning configuration. ``dtype`` participates
-    (bf16's optimum differs: halved window DMAs); f32 is omitted for
-    backward compatibility with existing stores."""
+    """Cache key for one tuning configuration. ``platform`` should be
+    ``utils.device.autotune_platform()`` — the normalized device KIND
+    (``v5e``/``v4``/...) on TPU, so verdicts measured on one generation
+    never pin another — or a plain platform string off-TPU. ``dtype``
+    participates (bf16's optimum differs: halved window DMAs); f32 is
+    omitted for backward compatibility with existing stores."""
     key = (
         f"v{kernel_version}:{platform}:{shape[0]}x{shape[1]}:"
         f"{boundary}:{stencil}"

@@ -36,7 +36,7 @@ sim = PallasSimulation(
     naive_fix=cfg.get("fix", "select"),
 )
 steps = cfg.get("steps", max(64 * cfg.get("k", 16), 256))
-res = run_one(sim, shape, steps, "compute", reps=3)
+res = run_one(sim, shape, steps, "compute", reps=5)
 print("RESULT " + json.dumps({"config": cfg, **res.to_json()}), flush=True)
 """
 

@@ -98,8 +98,10 @@ def main(argv=None) -> int:
     p.add_argument("--margin", type=float, default=1.02,
                    help="replace an existing record only when better by "
                    "this factor (guards against run-to-run noise)")
-    p.add_argument("--platform", default="tpu",
-                   help="autotune-store platform key the records are for")
+    p.add_argument("--platform", default="v5e",
+                   help="autotune-store device-kind key the records are "
+                   "for (utils.device.autotune_platform of the machine "
+                   "that ran the sweep, e.g. v5e)")
     args = p.parse_args(argv)
 
     results = parse_results(args.logs)

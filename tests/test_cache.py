@@ -218,6 +218,20 @@ def test_autotune_records_all_candidates(monkeypatch, tmp_path, params):
     assert c.load_autotune()[key]["candidates"] == best["candidates"]
 
 
+def test_measure_config_records_wall_and_device(params):
+    """Every measured record carries the wall-clock rate for audit; on
+    interpret/CPU runs (no device trace) the ranking rate IS the wall
+    rate, on hardware it is the on-chip module rate (VERDICT r2 #4:
+    autotune must rank on device time, not tunnel RTT)."""
+    from grayscott_tpu.bench import autotune
+
+    rec = autotune.measure_config(params, (16, 128), "zero", steps=2,
+                                  reps=1, block_rows=8, steps_per_call=2)
+    assert "wall_gcells_per_sec" in rec
+    assert rec["gcells_per_sec"] == rec["wall_gcells_per_sec"]
+    assert "device_gcells_per_sec" not in rec  # CPU: no device plane
+
+
 def test_fold_record_adoption(monkeypatch, tmp_path, params):
     """A persisted fold winner drives the folded layout under
     fold='auto' (with its tiles), is ignored under fold='off' (including
@@ -356,15 +370,19 @@ def test_shipped_defaults_schema_and_fallback(monkeypatch, tmp_path, params):
 
     monkeypatch.setattr(c, "CACHE_DIR", str(tmp_path))  # empty local store
     for key, rec in SHIPPED.items():
-        assert key.startswith(f"v{ps.KERNEL_VERSION}:tpu:")
+        # shipped keys carry the measuring device's KIND, never a bare
+        # platform string (they must not apply on other generations)
+        assert key.startswith(f"v{ps.KERNEL_VERSION}:v5e:")
         assert set(rec) >= {"engine", "block_rows", "steps_per_call",
                             "fold", "pack", "gcells_per_sec", "source"}
         assert "block_cols" not in rec  # never pin column tiling blind
 
     class _Dev:
         platform = "tpu"
+        device_kind = "TPU v5 lite"
 
     monkeypatch.setattr(jax, "devices", lambda *a: [_Dev()])
+    monkeypatch.setenv("GRAYSCOTT_DEVICE_KIND", "TPU v5 lite")
     rec = autotune.lookup(params, (2048, 2048), "zero")
     assert rec is not None and rec["pack"] is True
     assert rec["source"] == "shipped-v5e-r2"
