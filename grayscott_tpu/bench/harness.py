@@ -209,8 +209,13 @@ def main(argv=None) -> int:
                         help="with --report: baseline sweep to diff "
                         "against (adds a vs-baseline delta column)")
     parser.add_argument("--format", default="markdown",
-                        choices=["markdown", "html"],
-                        help="report output format")
+                        choices=["markdown", "html", "svg"],
+                        help="report output format (html embeds the "
+                        "throughput-vs-size SVG plot; svg emits it alone)")
+    parser.add_argument("--gate", action="store_true",
+                        help="with --report and --baseline: exit 1 on any "
+                        "SIGNIFICANT regression (CI95 non-overlap, not "
+                        "point delta — within-noise deltas never fail)")
     parser.add_argument("--backends", default="auto",
                         help="comma-separated backend names, or 'auto'")
     parser.add_argument("--smin", type=int, default=3)
@@ -239,6 +244,7 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     if args.report:
+        from . import report as report_mod
         from .report import report
 
         text = report(args.report, args.baseline, args.format)
@@ -247,6 +253,16 @@ def main(argv=None) -> int:
                 f.write(text)
         else:
             print(text, end="")
+        if args.gate and args.baseline:
+            rows = report_mod.build_rows(
+                report_mod.load_results(args.report),
+                report_mod.load_results(args.baseline))
+            bad = report_mod.gate(rows)
+            for r in bad:
+                print(f"REGRESSION {r['backend']} {r['shape']} "
+                      f"steps={r['steps']}: {r['delta_pct']:+.1f}% "
+                      "(CI95s do not overlap)", flush=True)
+            return 1 if bad else 0
         return 0
 
     # jax touches the device at import on some setups, so defer platform

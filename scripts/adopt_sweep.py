@@ -32,6 +32,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+from grayscott_tpu.bench import stats  # noqa: E402
 from grayscott_tpu.ops import pallas_stencil as ps  # noqa: E402
 from grayscott_tpu.params import Parameters  # noqa: E402
 from grayscott_tpu.utils import cache  # noqa: E402
@@ -83,6 +84,10 @@ def to_record(res: dict) -> dict:
         "gcells_per_sec": round(res["gcells_per_sec"], 3),
         "source": "sweep",
     }
+    if res.get("stats"):
+        # dispersion rides along so later adoptions can reason about
+        # noise against THIS record too (bench/stats.py)
+        rec["stats"] = res["stats"]
     if "tc" in cfg:
         # only a PINNED column tile goes into the record: _tiles treats a
         # present-but-None block_cols as an explicit full-width pin, which
@@ -144,11 +149,20 @@ def main(argv=None) -> int:
             candidates += [c for c in [prev_entry]
                            + prev.get("candidates", [])
                            if c not in candidates]
-        if prev and prev.get("gcells_per_sec", 0.0) * args.margin \
-                >= best["gcells_per_sec"]:
+        # noise gate (VERDICT r2 #5): a challenger with sample statistics
+        # must beat the stored value beyond its OWN CI95 — a point win
+        # inside the noise band is not evidence. Falls back to the
+        # --margin factor for legacy results without samples.
+        noisy_win = False
+        if prev and best.get("stats"):
+            noisy_win = not stats.significantly_better(
+                best["stats"], prev.get("gcells_per_sec", 0.0))
+        if prev and (noisy_win or prev.get("gcells_per_sec", 0.0)
+                     * args.margin >= best["gcells_per_sec"]):
+            why = ("within the challenger's CI95 noise band" if noisy_win
+                   else f">= {best['gcells_per_sec']}/{args.margin}")
             print(f"{key}: keep existing "
-                  f"{prev.get('gcells_per_sec')} >= {best['gcells_per_sec']}"
-                  f"/{args.margin}")
+                  f"{prev.get('gcells_per_sec')} ({why})")
             new = dict(prev, candidates=candidates)
         elif best["engine"] is None and not best["pack"] \
                 and best.get("fold", 1) <= 1:
