@@ -74,6 +74,8 @@ class PallasSimulation(Simulation):
         pack: str = "auto",
         naive_fix: str = "select",
         tuned_lookup: bool = True,
+        mega_depth: int | None = None,
+        mega_specialize: bool | None = None,
         **kwargs,
     ):
         self._explicit_k = steps_per_call is not None
@@ -203,6 +205,15 @@ class PallasSimulation(Simulation):
         # persisted/shipped record can never hijack what a candidate pins
         # ('auto' modes then act as if no record exists)
         self.tuned_lookup = tuned_lookup
+        # megakernel experiment knobs (VERDICT r3 #2/#3): DMA ring depth
+        # (None = the kernel's default double buffer) and interior/edge
+        # block specialization (None = per-boundary default, see
+        # _mega_specialize_default). Both are A/B levers first; defaults
+        # follow the measured verdicts.
+        if mega_depth is not None and not (2 <= mega_depth <= 8):
+            raise ValueError(f"mega_depth must be in [2, 8], got {mega_depth}")
+        self.mega_depth = mega_depth
+        self.mega_specialize = mega_specialize
 
     # -- storage: padded double buffers ------------------------------------
 
@@ -315,6 +326,17 @@ class PallasSimulation(Simulation):
         if tuned and "fold" in tuned:
             return int(tuned["fold"] or 1)  # the measured verdict
         return 1
+
+    def _mega_specialize_resolved(self, tc) -> bool:
+        """Interior/edge block specialization for this run. An explicit
+        pin wins; the default is off until the hardware A/B adopts it
+        (VERDICT r3 #3). Full-width two-species select-fix windows only
+        (the megakernel rejects other combos)."""
+        if self.naive_fix == "store" or tc is not None:
+            return False
+        if self.mega_specialize is not None:
+            return self.mega_specialize
+        return False
 
     def _mega_tiles(self, shape, tuned=None) -> Tuple[int, int | None]:
         """(tr, tc) the megakernel would run with: explicit pins first,
@@ -707,6 +729,8 @@ class PallasSimulation(Simulation):
                 vmem_limit_bytes=self.vmem_limit_bytes,
                 strip_store=self.naive_fix == "store",
                 tc=tc, c_dom=c if tc is not None else None,
+                depth=self.mega_depth or 2,
+                specialize=self._mega_specialize_resolved(tc),
             )
             n_full, rem = divmod(steps, mk.MEGA_STEPS)
             if n_full:

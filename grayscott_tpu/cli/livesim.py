@@ -95,10 +95,9 @@ class FrameSource:
         n = len(self.lut)
         idx = jnp.clip(v * np.float32(AMPLITUDE_SCALE), 0.0, 1.0) * float(n - 1)
         idx = idx.astype(jnp.int32 if n > 256 else jnp.uint8)
-        try:
-            idx.copy_to_host_async()
-        except AttributeError:  # non-jax.Array backends (fused CPU path)
-            pass
+        # jnp.clip always yields a jax Array (even from numpy inputs on
+        # the fused CPU path), so the async copy hint is always available
+        idx.copy_to_host_async()
         return idx
 
     def next_rgb(self) -> np.ndarray:
@@ -114,8 +113,26 @@ class FrameSource:
         return self._last_rgb
 
     def frame(self) -> np.ndarray:
-        """Next frame to display: advances unless paused."""
-        if self.paused and self._last_rgb is not None:
+        """Next frame to display: advances unless paused.
+
+        Paused with nothing rendered yet (pause before the first frame,
+        or right after reset): show the pending/current state WITHOUT
+        dispatching new frame-steps — next_rgb() would advance the
+        nominally-paused simulation by two frame-steps (ADVICE r2)."""
+        if self.paused:
+            if self._last_rgb is None:
+                if self._pending is not None:
+                    shown, self._pending = self._pending, None
+                else:
+                    # colorize the CURRENT state, zero simulation steps
+                    jnp = self._jnp
+                    n = len(self.lut)
+                    v = self.species.result()
+                    shown = (jnp.clip(
+                        v * np.float32(AMPLITUDE_SCALE), 0.0, 1.0
+                    ) * float(n - 1)).astype(
+                        jnp.int32 if n > 256 else jnp.uint8)
+                self._last_rgb = self.lut[np.asarray(shown)]
             return self._last_rgb
         return self.next_rgb()
 
@@ -168,7 +185,15 @@ def run_headless(src: FrameSource, frames: int, outdir: str) -> int:
     os.makedirs(outdir, exist_ok=True)
     width = max(len(str(max(frames - 1, 1))), 1)
     for i in range(frames):
-        rgb = src.next_rgb()
+        if i == frames - 1 and src._pending is not None:
+            # drain: show the in-flight frame as the last output instead
+            # of dispatching a new frame-step that would never render
+            # (ADVICE r2: N outputs used to cost N+1 frame-steps)
+            shown, src._pending = src._pending, None
+            rgb = src.lut[np.asarray(shown)]
+            src._last_rgb = rgb
+        else:
+            rgb = src.next_rgb()
         path = os.path.join(outdir, f"{i:0{width}d}.png")
         data = native.png_encode(rgb)
         if data is not None:

@@ -85,6 +85,7 @@ def _mega_kernel(
     strip_store: bool = False, n_shards: int = 1,
     tc: int | None = None, chalo: int = 0, c_blocks: int = 1,
     c_dom: int | None = None, n_shard_cols: int = 1,
+    depth: int = 2, specialize: bool = False,
 ):
     """One whole run: scal = [n_time_blocks] (+ [my_shard] when
     sharded); refs = optional reaction SMEM, then (u_pair, v_pair) HBM
@@ -214,37 +215,62 @@ def _mega_kernel(
 
     def run_window(s, b):
         """Wait nothing, start nothing: sanitize slot ``s``'s staged
-        window, run the K-step in-VMEM loop, return the interior rows."""
+        window, run the K-step in-VMEM loop, return the interior rows.
+
+        ``specialize``: windows that provably hold no domain-edge row
+        (no global row 0 / r-1 and no out-of-domain padding) branch to
+        the INTERIOR stepper via ``lax.cond`` — the domain-mask selects
+        and the naive top-row fix-up vanish from their K-step loop
+        while every retained op computes the same values
+        (pallas_stencil.precompute ``interior``). The reference analog
+        is ``regular``'s center/edge split
+        (compute/regular/src/lib.rs:49-62), applied per row block
+        instead of per pixel slab. OPT-IN: compiling the steppers
+        inside cond branches changes FMA-contraction choices — ulp-
+        scale output drift (same budget as fold/pack; measured <= 8e-9
+        abs even when no interior block executes), so the bit-frozen
+        naive default stays unspecialized. Roughly doubles the kernel
+        graph (both steppers unroll K steps)."""
         br, bc = split_b(b)
-        giota = (row0 + br * tr - halo) + jax.lax.broadcasted_iota(
+        row_lo = (row0 + br * tr) - halo  # global row of window row 0
+        giota = row_lo + jax.lax.broadcasted_iota(
             jnp.int32, (w, 1), 0
         )
         gcol = gcol0 if bc is None else col0 + bc * tc + gcol0
         interior = (slice(halo, halo + tr),) if tc is None else (
             slice(halo, halo + tr), slice(chalo, chalo + tc))
-        ctx = precompute(giota, r, gcol, c_tot)
-        if pack:
-            x = ins[0][s]
+
+        def compute(interior_win: bool):
+            ctx = precompute(giota, r, gcol, c_tot, interior=interior_win)
+            if pack:
+                x = ins[0][s]
+                if not store_f32:
+                    x = x.astype(jnp.float32)
+                if ctx["dommask"] is not None:
+                    # sanitize on load: HBM padding is never re-zeroed
+                    x = jnp.where(ctx["dommask"], x, 0.0)
+                for _ in range(steps):
+                    x = step(x, ctx)
+                return (x[interior],)
+            u = ins[0][s]
+            v = ins[1][s]
             if not store_f32:
-                x = x.astype(jnp.float32)
+                u = u.astype(jnp.float32)
+                v = v.astype(jnp.float32)
             if ctx["dommask"] is not None:
-                # sanitize on load: HBM padding is never re-zeroed
-                x = jnp.where(ctx["dommask"], x, 0.0)
+                u = jnp.where(ctx["dommask"], u, 0.0)
+                v = jnp.where(ctx["dommask"], v, 0.0)
+            fix = (*fix_refs, b == 0) if fix_refs is not None else None
             for _ in range(steps):
-                x = step(x, ctx)
-            return (x[interior],)
-        u = ins[0][s]
-        v = ins[1][s]
-        if not store_f32:
-            u = u.astype(jnp.float32)
-            v = v.astype(jnp.float32)
-        if ctx["dommask"] is not None:
-            u = jnp.where(ctx["dommask"], u, 0.0)
-            v = jnp.where(ctx["dommask"], v, 0.0)
-        fix = (*fix_refs, b == 0) if fix_refs is not None else None
-        for _ in range(steps):
-            u, v = step(u, v, ctx, fix)
-        return (u[interior], v[interior])
+                u, v = step(u, v, ctx, fix)
+            return (u[interior], v[interior])
+
+        if not specialize:
+            return compute(False)
+        pred = jnp.logical_and(row_lo >= 1, row_lo + w <= r - 1)
+        return jax.lax.cond(
+            pred, lambda: compute(True), lambda: compute(False)
+        )
 
     col0 = 0
     if sharded:
@@ -514,7 +540,8 @@ def _mega_kernel(
                     cp.wait_send()
 
     if not sharded and (
-        n_b >= 4 if c_blocks == 1 else (b_blocks - 1) * c_blocks >= 4
+        n_b >= 2 * depth if c_blocks == 1
+        else (b_blocks - 1) * c_blocks >= 2 * depth
     ):
         # --- seamless pipeline: one flat loop over (time block, row
         # block, column block), so the DMA pipeline never drains at a
@@ -525,45 +552,53 @@ def _mega_kernel(
         # outputs -> load block 0 -> compute); measured as the f32
         # kernel's residual DMA-overlap slack (BENCHMARKS.md "on-chip
         # device time").
-        # Safety: in(g+1)'s window reads cells written by the previous
-        # time block's outputs up to flat index g+2-B for full-width
-        # windows (neighbor row block br+1) and g+2-B+Bc for column-tiled
-        # ones (corner neighbor (br+1, bc+1)); the slot restage below
-        # waits out(g-2) before the prefetch issues — so every
-        # read-after-write is semaphore-ordered iff B >= 4 (full-width)
-        # resp. B - Bc >= 4 (column-tiled). The two-loop form remains for
-        # shorter domains and the sharded handshake, whose recv waits
-        # assume the per-t structure.
+        # ``depth`` generalizes the double-buffer to a D-slot ring:
+        # D - 1 window prefetches ride ahead of compute and up to D
+        # output DMAs stay in flight (slot s's previous output is waited
+        # only when s is restaged, D iterations later).
+        # Safety: in(g + D - 1)'s window reads cells written by the
+        # previous time block's outputs up to flat index g+D-B for
+        # full-width windows (neighbor row block br+1) and g+D-B+Bc for
+        # column-tiled ones (corner neighbor (br+1, bc+1)); the slot
+        # restage below waits out(g-D) before the prefetch issues — so
+        # every read-after-write is semaphore-ordered iff B >= 2D
+        # (full-width) resp. B - Bc >= 2D (column-tiled). The two-loop
+        # form remains for shorter domains and the sharded handshake,
+        # whose recv waits assume the per-t structure.
         n_g = n_t * n_b
 
-        @pl.when(n_g > 0)
-        def _():
-            for d in in_dma(0, 0, 0):  # g=0: time block 0 reads slot 0
-                d.start()
+        # warmup: stage the first D - 1 windows (B >= 2D keeps them all
+        # inside time block 0, reading pair slot 0)
+        for gw in range(depth - 1):
+            @pl.when(n_g > gw)
+            def _(gw=gw):
+                for d in in_dma(gw % depth, 0, gw):
+                    d.start()
 
         def g_body(g, _):
             t = jax.lax.div(g, n_b)
             b = g - t * n_b
             src = jax.lax.rem(t, 2)
             dst = 1 - src
-            s = jax.lax.rem(g, 2)
+            s = jax.lax.rem(g, depth)
 
-            # finish the slot's previous output DMA (iteration g-2)
+            # finish the slot's previous output DMA (iteration g-D)
             # before restaging it below AND before the prefetch: by
-            # induction every output <= g-2 is then complete. The wait
+            # induction every output <= g-D is then complete. The wait
             # descriptor only contributes the copy's extent (all outputs
-            # are (tr, c)); the actual rows/slot of g-2's copy are
+            # are (tr, c)); the actual rows/slot of g-D's copy are
             # irrelevant to the semaphore it waits on.
-            @pl.when(g >= 2)
+            @pl.when(g >= depth)
             def _():
                 for d in out_dma(s, dst, b):
                     d.wait()
 
-            @pl.when(g + 1 < n_g)
+            @pl.when(g + depth - 1 < n_g)
             def _():
-                t1 = jax.lax.div(g + 1, n_b)
-                for d in in_dma(1 - s, jax.lax.rem(t1, 2),
-                                g + 1 - t1 * n_b):
+                gp = g + depth - 1
+                t1 = jax.lax.div(gp, n_b)
+                for d in in_dma(jax.lax.rem(gp, depth),
+                                jax.lax.rem(t1, 2), gp - t1 * n_b):
                     d.start()
 
             for d in in_dma(s, src, b):
@@ -576,18 +611,17 @@ def _mega_kernel(
 
         jax.lax.fori_loop(0, n_g, g_body, None, unroll=False)
 
-        # drain the final two output DMAs (every earlier one was waited
-        # at its slot's restage); with B >= 2 both belong to the last
-        # time block, so their true destination slot is derivable
+        # drain the final D output DMAs — exactly one per slot (every
+        # earlier one was waited at its slot's restage; n_g >= 2D when
+        # n_t >= 1 guarantees each slot saw a final start). Wait
+        # descriptors contribute extent only, so slot identity suffices.
         @pl.when(n_g > 0)
         def _():
             last_dst = 1 - jax.lax.rem(n_t - 1, 2)
-            for d in out_dma(jax.lax.rem(n_g - 1, 2), last_dst,
-                             n_b - 1):
-                d.wait()
-            for d in out_dma(jax.lax.rem(n_g - 2, 2), last_dst,
-                             n_b - 2):
-                d.wait()
+            for k in range(depth):
+                for d in out_dma(jax.lax.rem(n_g - 1 - k, depth),
+                                 last_dst, n_b - 1 - k):
+                    d.wait()
     else:
         jax.lax.fori_loop(0, n_t, time_body, None, unroll=False)
 
@@ -632,7 +666,7 @@ def _mega_kernel(
 
 def _mega_vmem_est(tr: int, halo: int, c: int, species: int,
                    strip_store: bool = False, tc: int | None = None,
-                   chalo: int = 0) -> float:
+                   chalo: int = 0, depth: int = 2) -> float:
     """Scoped-VMEM estimate: per-species 2 window slots + 2 output slots,
     plus the step loop's stack liveness. The 13.3x liveness anchor was
     measured on the unpacked kernel per ONE species' window bytes with
@@ -645,7 +679,7 @@ def _mega_vmem_est(tr: int, halo: int, c: int, species: int,
     w = tr + 2 * halo
     wc = (tc + 2 * chalo) if tc is not None else c
     otc = tc if tc is not None else c
-    slots = species * 2 * (w * wc + tr * otc) * 4
+    slots = species * depth * (w * wc + tr * otc) * 4
     liveness = 13.3 * w * wc * 4 * (species / 2)
     if tc is not None:
         # the column-joined domain mask is a full (W, Wc) boolean (the
@@ -659,10 +693,11 @@ def _mega_vmem_est(tr: int, halo: int, c: int, species: int,
 
 def mega_vmem_limit(tr: int, halo: int, c: int, species: int = 2,
                     strip_store: bool = False, tc: int | None = None,
-                    chalo: int = 0) -> int:
+                    chalo: int = 0, depth: int = 2) -> int:
     """Scoped-VMEM tier for the estimate (quantized so standard configs
     keep stable compile params)."""
-    est = _mega_vmem_est(tr, halo, c, species, strip_store, tc, chalo)
+    est = _mega_vmem_est(tr, halo, c, species, strip_store, tc, chalo,
+                         depth)
     tiers = device.vmem_tiers()
     for tier in tiers:
         if est <= tier:
@@ -819,6 +854,7 @@ def megastep_impl(
     strip_store: bool = False, n_shards: int = 1, my_shard=None,
     tc: int | None = None, c_dom: int | None = None,
     n_shard_cols: int = 1, my_shard_col=None,
+    depth: int = 2, specialize: bool = False,
 ):
     """Advance the pair state by ``n_blocks`` (traced) x ``steps`` (static,
     <= halo) simulation steps in ONE kernel launch. Returns the new pairs
@@ -841,6 +877,12 @@ def megastep_impl(
     entry-gated handshake. See ``_mega_kernel``."""
     if not (1 <= steps <= halo):
         raise ValueError(f"steps must be in [1, {halo}], got {steps}")
+    if not (2 <= depth <= 8):
+        raise ValueError(f"pipeline depth must be in [2, 8], got {depth}")
+    if specialize and strip_store:
+        # the strip-store fix-up writes scratch refs inside the step
+        # loop; duplicating it across the cond branches buys nothing
+        raise ValueError("specialize and strip_store conflict")
     if strip_store and boundary != "naive":
         raise ValueError("strip_store is naive-only")
     if strip_store and (n_shards > 1 or n_shard_cols > 1):
@@ -913,6 +955,13 @@ def megastep_impl(
     w = tr + 2 * halo
     wc = (tc + 2 * chalo) if tc is not None else c
     otc = tc if tc is not None else c
+    # a depth > 2 ring only acts in the seamless single-chip form; force
+    # the double buffer elsewhere instead of allocating dead slots
+    sharded_any = n_shards > 1 or n_shard_cols > 1
+    n_b_flat = b_blocks * c_blocks
+    seam_cap = n_b_flat if c_blocks == 1 else (b_blocks - 1) * c_blocks
+    if sharded_any or seam_cap < 2 * depth:
+        depth = 2
     scalars = [jnp.asarray(n_blocks, jnp.int32).reshape(1)]
     if n_shards > 1 or n_shard_cols > 1:
         scalars.append(jnp.asarray(my_shard, jnp.int32).reshape(1))
@@ -925,7 +974,7 @@ def megastep_impl(
         runtime_params=reaction is not None, dt_is_one=dt_is_one,
         strip_store=strip_store, n_shards=n_shards,
         tc=tc, chalo=chalo, c_blocks=c_blocks, c_dom=c_dom,
-        n_shard_cols=n_shard_cols,
+        n_shard_cols=n_shard_cols, depth=depth, specialize=specialize,
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     operands = [scalars]
@@ -946,12 +995,12 @@ def megastep_impl(
         ],
         input_output_aliases={n_in - 2: 0, n_in - 1: 1},
         scratch_shapes=[
-            pltpu.VMEM((2, w, wc), u_pair.dtype),
-            pltpu.VMEM((2, w, wc), v_pair.dtype),
-            pltpu.VMEM((2, tr, otc), u_pair.dtype),
-            pltpu.VMEM((2, tr, otc), v_pair.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((depth, w, wc), u_pair.dtype),
+            pltpu.VMEM((depth, w, wc), v_pair.dtype),
+            pltpu.VMEM((depth, tr, otc), u_pair.dtype),
+            pltpu.VMEM((depth, tr, otc), v_pair.dtype),
+            pltpu.SemaphoreType.DMA((depth, 2)),
+            pltpu.SemaphoreType.DMA((depth, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ] + ([pltpu.VMEM((w, c), jnp.float32),
               pltpu.VMEM((w, c), jnp.float32)] if strip_store else [])
@@ -964,7 +1013,7 @@ def megastep_impl(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes
             or mega_vmem_limit(tr, halo, c, strip_store=strip_store,
-                               tc=tc, chalo=chalo),
+                               tc=tc, chalo=chalo, depth=depth),
         ),
         interpret=interpret,
     )(*operands)
@@ -973,7 +1022,7 @@ def megastep_impl(
 
 _STATIC = ("steps", "tr", "r", "params", "boundary", "halo", "interpret",
            "vmem_limit_bytes", "dt_is_one", "strip_store", "n_shards",
-           "tc", "c_dom", "n_shard_cols")
+           "tc", "c_dom", "n_shard_cols", "depth", "specialize")
 
 megastep = jax.jit(
     megastep_impl,

@@ -353,13 +353,19 @@ def make_window_stepper(
                 return s
             return s - x * b_field
 
-        def make_b_field(giota, r_total, gcol, c_total, lcol=None, poff=None):
+        def make_b_field(giota, r_total, gcol, c_total, lcol=None, poff=None,
+                         interior=False):
             if boundary == "zero":
                 return None
             # folded: panel-local columns and panel row offsets make the
             # edge tests per-panel ((W,1)-vs-(1,F*Cd) broadcasts)
             cs = _col_sums(lcol if lcol is not None else gcol,
                            c_total, h, dtype)
+            if interior:
+                # window holds no global row 0 / r-1: the row factor is
+                # the constant full sum, so the field collapses to a
+                # (1, W_c) vector — same products bitwise where used
+                return jnp.asarray(float(h.sum()), dtype) * cs
             if poff is None:
                 edge = jnp.logical_or(giota == 0, giota == r_total - 1)
             else:
@@ -399,7 +405,8 @@ def make_window_stepper(
                         full = full + float(w[i][j]) * taps[(i, j)]
             return full - x * b_field
 
-        def make_b_field(giota, r_total, gcol, c_total, lcol=None, poff=None):
+        def make_b_field(giota, r_total, gcol, c_total, lcol=None, poff=None,
+                         interior=False):
             if boundary == "zero":
                 return None
             # per-column sums of in-bounds weights for each stencil row i
@@ -416,6 +423,10 @@ def make_window_stepper(
                     jnp.asarray(float(w[i][0] + w[i][1]), dtype), row,
                 )
                 cw.append(row)
+            if interior:
+                # no global row 0 / r-1 in the window: all stencil rows
+                # in bounds, field is the (1, W_c) column-sum vector
+                return cw[0] + cw[1] + cw[2]
             top_lim = 1 if poff is None else 1 - poff
             bot_lim = r_total - 2 if poff is None else r_total - 2 - poff
             ok_top = (giota >= top_lim).astype(dtype)
@@ -444,10 +455,22 @@ def make_window_stepper(
         (du_rate, dv_rate, f, mfk, dt,
          cu, cv, e_f, au, bv, dt_is_one) = reaction
 
-    def precompute(giota, r_total, gcol, c_total):
+    def precompute(giota, r_total, gcol, c_total, interior=False):
         """Loop-invariant context: domain mask / per-row dt, boundary
         weight-sum field, strip masks — several full-window VPU ops, paid
-        once per window."""
+        once per window.
+
+        ``interior=True`` (unpacked, unfolded, full-width callers only)
+        asserts the window holds NO out-of-domain rows and no global row
+        0 / r-1: the domain mask drops entirely (2 full-window selects
+        per species per step), the naive top-row fix-up disappears
+        (1 more select per species per step plus the strip compute), and
+        the boundary weight field collapses to a (1, W_c) vector.
+        Every retained operation computes the same values; callers
+        branching on interiority (ops.megakernel ``specialize``) still
+        see ulp-scale drift from the compiler's per-branch FMA
+        contraction, so specialization is an opt-in mode, not the
+        bit-frozen default."""
         if pack:
             # species-packed context: the half predicate (U lanes vs V
             # lanes), the per-lane reaction coefficient vectors, and the
@@ -479,6 +502,10 @@ def make_window_stepper(
             ctx["qvec"] = (jnp.where(half, -1.0, 1.0) if dt_is_one
                            else jnp.where(half, -dt, dt))
             return ctx
+        if interior and (fold is not None or chalo > 0):
+            raise ValueError(
+                "interior windows require unfolded full-width layouts"
+            )
         poff = lcol = None
         if fold is not None:
             # panel row offset (1, F*Cd) and panel-local column index:
@@ -496,7 +523,8 @@ def make_window_stepper(
         ctx = {
             "b_field": make_b_field(giota, r_total, gcol,
                                     fold_cd if fold is not None else c_total,
-                                    lcol=lcol, poff=poff),
+                                    lcol=lcol, poff=poff,
+                                    interior=interior),
         }
         # Out-of-domain cells are re-zeroed each step by a predicate
         # select ((W, 1) row predicate for full-width windows; joined
@@ -520,7 +548,7 @@ def make_window_stepper(
             # them live — they hold neighbor-panel data refreshed every
             # K-step block by fold_refresh.
             mask = jnp.logical_and(giota >= -poff, giota < r_total - poff)
-        elif mask_rows:
+        elif mask_rows and not interior:
             mask = jnp.logical_and(giota >= 0, giota < r_total)
         if need_cols:
             cols_in = jnp.logical_and(gcol >= 0, gcol < c_total)
@@ -547,6 +575,16 @@ def make_window_stepper(
             ctx["top_mask"] = jnp.logical_and(giota == 0, gcol < fold_cd)
             ctx["gcol"] = lcol
             ctx["c_total"] = fold_cd
+        elif boundary == "naive" and interior:
+            # no global row 0 (no top-row quirk strip) and no row r-1
+            # (the ok_s bottom-tap mask is identically 1, and x * 1.0 is
+            # a bitwise identity inside _left_col_strip); the column-0
+            # strip remains — every full-width window holds it
+            ctx["col0_mask"] = gcol == 0  # (1, W_c); select broadcasts
+            ctx["top_mask"] = None
+            ctx["ok_s"] = 1.0
+            ctx["gcol"] = gcol
+            ctx["c_total"] = c_total
         elif boundary == "naive":
             in_dom = jnp.logical_and(giota >= 1, giota < r_total)
             ctx["col0_mask"] = jnp.logical_and(gcol == 0, in_dom)
@@ -567,14 +605,15 @@ def make_window_stepper(
         cross-lowering; both raise NotImplementedError in
         pallas/mosaic/lowering.py). The 4 selects/step are naive's
         irreducible cost at the value level — cutting them needs a
-        scratch-ref state layout, not smaller operands."""
-        top = _edge_strip_1xc(
-            x[halo : halo + 1, :], x[halo + 1 : halo + 2, :],
-            w[0:2, :], ctx["gcol"], ctx["c_total"], chalo, shift_cols,
-        )
+        scratch-ref state layout, not smaller operands. (Interior
+        windows — ``precompute(interior=True)`` — drop the top-row
+        select: ``top_mask`` is None there because the window provably
+        holds no global row 0.)"""
         if fold is None:
             strip = _left_col_strip(x, w, ctx["ok_s"], chalo)
             fixed = jnp.where(ctx["col0_mask"], strip, full)
+            if ctx["top_mask"] is None:
+                return fixed
         else:
             # every panel holds global column 0 at its local column 0
             # (lane p*Cd; _left_col_strip's chalo is exactly "the static
@@ -589,6 +628,10 @@ def make_window_stepper(
                     x, w, ctx["ok_s_p"][p], p * fold_cd
                 )
                 fixed = jnp.where(ctx["col0_masks"][p], strip_p, fixed)
+        top = _edge_strip_1xc(
+            x[halo : halo + 1, :], x[halo + 1 : halo + 2, :],
+            w[0:2, :], ctx["gcol"], ctx["c_total"], chalo, shift_cols,
+        )
         return jnp.where(ctx["top_mask"], top, fixed)
 
     def _fix_naive_store(x, full, ctx, ref, at_top):

@@ -34,6 +34,8 @@ sim = PallasSimulation(
     engine=cfg.get("engine", "auto"),
     pack=cfg.get("pack", "auto"),
     naive_fix=cfg.get("fix", "select"),
+    mega_depth=cfg.get("depth"),
+    mega_specialize=cfg.get("spec"),
 )
 steps = cfg.get("steps", max(64 * cfg.get("k", 16), 256))
 res = run_one(sim, shape, steps, "compute", reps=5)

@@ -68,6 +68,23 @@ def main(argv=None) -> int:
             configs = json.load(f)
     results = []
     for cfg in configs:
+        try:
+            _run_one(cfg, results)
+        except Exception as e:  # keep later configs alive past one OOM
+            print("RESULT " + json.dumps(
+                {"label": cfg.get("label"), "error":
+                 f"{type(e).__name__}: {e}"[:300]}), flush=True)
+    print("DONE", flush=True)
+    return 0
+
+
+def _run_one(cfg, results) -> None:
+    import jax
+
+    from grayscott_tpu.backends.pallas import PallasSimulation
+    from grayscott_tpu.params import Parameters
+
+    if True:  # (kept for minimal indentation churn)
         shape = tuple(cfg["shape"])
         label = cfg.get("label") or "_".join(
             str(cfg.get(k, "")) for k in
@@ -78,6 +95,9 @@ def main(argv=None) -> int:
             Parameters(), boundary=cfg.get("boundary", "zero"),
             engine=cfg.get("engine", "auto"), pack=cfg.get("pack", "auto"),
             dtype=cfg.get("dtype", "float32"),
+            block_rows=cfg.get("tr"), block_cols=cfg.get("tc"),
+            mega_depth=cfg.get("depth"), mega_specialize=cfg.get("spec"),
+            vmem_limit_bytes=cfg.get("limit"),
         )
         sp = sim.make_species(shape)
         # warm: compile/load every executable the timed run will use
@@ -98,8 +118,6 @@ def main(argv=None) -> int:
                "device_gcells_per_sec": round(rate, 2)}
         results.append(row)
         print("RESULT " + json.dumps(row), flush=True)
-    print("DONE", flush=True)
-    return 0
 
 
 if __name__ == "__main__":

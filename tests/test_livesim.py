@@ -161,3 +161,36 @@ def test_set_params_reuses_pallas_executable():
     src.next_rgb()
     assert (ps.multistep._cache_size(),
             ps.run_blocks._cache_size()) == grown
+
+
+def test_pause_before_first_frame_does_not_advance():
+    """ADVICE r2: frame() while paused with nothing rendered yet must
+    not advance the simulation (it used to dispatch TWO frame-steps)."""
+    args = livesim.build_parser().parse_args(
+        ["-r", "16", "-c", "16", "--backend", "fused"]
+    )
+    src = livesim.FrameSource(args)
+    src.paused = True
+    rgb = src.frame()
+    assert rgb.shape == (16, 16, 3)
+    assert src.species.steps_performed == 0
+    # repeated paused frames stay put
+    src.frame()
+    assert src.species.steps_performed == 0
+    # unpausing resumes the pipeline
+    src.paused = False
+    src.frame()
+    assert src.species.steps_performed >= 1
+
+
+def test_headless_drains_pipeline(tmp_path):
+    """ADVICE r2: N headless outputs should cost N frame-steps — the
+    final in-flight frame is drained and rendered, not discarded."""
+    args = livesim.build_parser().parse_args(
+        ["-r", "16", "-c", "16", "--backend", "fused"]
+    )
+    src = livesim.FrameSource(args)
+    rc = livesim.run_headless(src, 3, str(tmp_path / "f"))
+    assert rc == 0
+    assert sorted(os.listdir(tmp_path / "f")) == ["0.png", "1.png", "2.png"]
+    assert src.species.steps_performed == 3 * src.steps_per_frame

@@ -402,3 +402,105 @@ def test_mega_extract_result_matches_uv(rng, params, kw):
     out = sim.extract_result(storage, shape)
     assert out.dtype == jnp.float32
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("boundary", ["naive", "zero"])
+@pytest.mark.parametrize("shape,tr,steps", [
+    ((48, 16), 8, 16),   # B=6: interior blocks 1..4 take the fast path
+    ((40, 16), 8, 24),   # B=5, odd time blocks
+    ((37, 16), 8, 16),   # padded last block: edge path must catch it
+    ((32, 16), 16, 16),  # B=2: no interior blocks (pred never true)
+])
+def test_mega_specialize_ulp_parity(rng, params, boundary, shape, tr,
+                                   steps):
+    """Interior/edge block specialization (VERDICT r3 #3, the regular
+    backend's center/edge split, compute/regular/src/lib.rs:49-62):
+    every op the interior branch retains computes the same VALUES, but
+    compiling the steppers inside ``lax.cond`` branches changes the
+    compiler's FMA-contraction choices — ulp-scale drift, the same
+    budget as fold/pack/strip_store (measured: <= 8e-9 absolute, even
+    when no interior block ever executes). Specialize is therefore an
+    OPT-IN performance mode; the bit-frozen naive default stays
+    unspecialized."""
+    u, v = random_uv(rng, shape)
+    gu, gv = run_mega(u, v, params, boundary, steps, block_rows=tr)
+    su, sv = run_mega(u, v, params, boundary, steps, block_rows=tr,
+                      mega_specialize=True)
+    np.testing.assert_allclose(su, gu, rtol=0, atol=3e-7)
+    np.testing.assert_allclose(sv, gv, rtol=0, atol=3e-7)
+
+
+def test_mega_specialize_fuzz(rng, params):
+    """Randomized geometry fuzz for the specialized kernel: odd shapes,
+    padded blocks, remainder steps — ulp-budget against unspecialized."""
+    for _ in range(6):
+        r = int(rng.randint(17, 80))
+        c = int(rng.randint(1, 3)) * 16
+        tr = 8 * int(rng.randint(1, 3))
+        steps = int(rng.randint(1, 30))
+        boundary = ["naive", "zero"][int(rng.randint(0, 2))]
+        u, v = random_uv(rng, (r, c))
+        gu, gv = run_mega(u, v, params, boundary, steps, block_rows=tr)
+        su, sv = run_mega(u, v, params, boundary, steps, block_rows=tr,
+                          mega_specialize=True)
+        np.testing.assert_allclose(su, gu, rtol=0, atol=3e-7,
+                                   err_msg=str((r, c, tr, steps, boundary)))
+        np.testing.assert_allclose(sv, gv, rtol=0, atol=3e-7)
+
+
+@pytest.mark.parametrize("depth", [3, 4])
+@pytest.mark.parametrize("shape,tr,steps", [
+    ((64, 16), 8, 24),   # B=8: depth 3 and 4 both eligible
+    ((67, 16), 8, 16),   # padded last block
+])
+def test_mega_depth_bitwise(rng, params, depth, shape, tr, steps):
+    """The D-slot DMA ring (VERDICT r3 #2) reorders waits only: outputs
+    must be bit-identical to the double-buffered kernel."""
+    u, v = random_uv(rng, shape)
+    gu, gv = run_mega(u, v, params, "naive", steps, block_rows=tr)
+    du, dv = run_mega(u, v, params, "naive", steps, block_rows=tr,
+                      mega_depth=depth)
+    np.testing.assert_array_equal(du, gu)
+    np.testing.assert_array_equal(dv, gv)
+
+
+def test_mega_depth_falls_back_when_ineligible(rng, params):
+    """depth > 2 on a domain too short for the seamless guard silently
+    runs the double buffer (no dead VMEM slots, same results)."""
+    u, v = random_uv(rng, (32, 16))  # B=2 at tr=16: two-loop form
+    ou, ov = oracle.run(u, v, params, 16, "zero")
+    du, dv = run_mega(u, v, params, "zero", 16, block_rows=16,
+                      mega_depth=4)
+    np.testing.assert_allclose(du, ou, rtol=0, atol=2e-6)
+    np.testing.assert_allclose(dv, ov, rtol=0, atol=2e-6)
+
+
+@pytest.mark.parametrize("dma_mode", ["on_wait", "eager"])
+@pytest.mark.parametrize("kw", [
+    dict(mega_depth=4),
+    dict(mega_specialize=True),
+    dict(mega_depth=3, mega_specialize=True),
+])
+def test_mega_depth_specialize_race_free(rng, params, dma_mode, kw):
+    """Deep-ring and specialized kernels under the vector-clock race
+    detector, both DMA interleaving extremes."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    u, v = random_uv(rng, (64, 16))  # B=8 at tr=8
+    sim = PallasSimulation(params, boundary="naive", engine="mega",
+                           interpret=True, block_rows=8, **kw)
+    sim.interpret = pltpu.InterpretParams(detect_races=True,
+                                          dma_execution_mode=dma_mode)
+    species = sim.make_species((64, 16))
+    species.storage = sim.build_storage(u, v)
+    sim.perform_steps(species, 24)
+    gu, gv = species.uv_host()
+    ou, ov = oracle.run(u, v, params, 24, "naive")
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=2e-6)
+    try:
+        from jax._src.pallas.mosaic.interpret import (
+            interpret_pallas_call as _ipc,
+        )
+        assert _ipc.races is None or not _ipc.races.races_found
+    except ImportError:  # pragma: no cover - jax layout drift
+        pass
