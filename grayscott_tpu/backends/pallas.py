@@ -25,6 +25,7 @@ import numpy as np
 
 from ..ops import megakernel as mk
 from ..ops import pallas_stencil as ps
+from ..errors import UnsupportedConfigError
 from ..params import Parameters
 from .base import Simulation, env_default
 
@@ -144,7 +145,7 @@ class PallasSimulation(Simulation):
             # same contract as ShardedSimulation: the megakernel's halo
             # depth IS its time-block depth — silently running K=8 under
             # a different pin would mislabel any A/B measurement
-            raise ValueError(
+            raise UnsupportedConfigError(
                 "engine='mega' fixes steps-per-call at its halo depth "
                 f"K={mk.MEGA_STEPS}; drop --pallas-steps-per-call"
             )
@@ -165,7 +166,7 @@ class PallasSimulation(Simulation):
                 f"naive_fix must be select/store, got {naive_fix!r}"
             )
         if naive_fix == "store" and boundary != "naive":
-            raise ValueError("naive_fix='store' requires the naive boundary")
+            raise UnsupportedConfigError("naive_fix='store' requires the naive boundary")
         self.naive_fix = naive_fix
         # opt-in bf16 STORAGE mode (beyond-reference capability): state
         # rides HBM in bf16 — half the memory traffic and footprint (wins
@@ -190,14 +191,14 @@ class PallasSimulation(Simulation):
         # instead of silently running a different configuration
         if self.resident == "on":
             if self.dtype != jnp.float32:
-                raise ValueError("resident='on' requires float32 storage")
+                raise UnsupportedConfigError("resident='on' requires float32 storage")
             if isinstance(self.fold, int) and self.fold > 1:
-                raise ValueError(
+                raise UnsupportedConfigError(
                     "resident='on' and a pinned lane fold conflict; "
                     "pin at most one of them"
                 )
             if self.engine != "auto":
-                raise ValueError(
+                raise UnsupportedConfigError(
                     "resident='on' and an explicit engine pin conflict; "
                     "pin at most one of them"
                 )
@@ -213,6 +214,11 @@ class PallasSimulation(Simulation):
         if mega_depth is not None and not (2 <= mega_depth <= 8):
             raise ValueError(f"mega_depth must be in [2, 8], got {mega_depth}")
         self.mega_depth = mega_depth
+        if mega_specialize and naive_fix == "store":
+            raise UnsupportedConfigError(
+                "mega_specialize and naive_fix='store' conflict; "
+                "pin at most one of them"
+            )
         self.mega_specialize = mega_specialize
 
     # -- storage: padded double buffers ------------------------------------
@@ -296,12 +302,12 @@ class PallasSimulation(Simulation):
         if isinstance(self.fold, int):
             if self.fold > 1:
                 if self.dtype != jnp.float32 or self.block_cols is not None:
-                    raise ValueError(
+                    raise UnsupportedConfigError(
                         "fold excludes bf16 storage and column tiling"
                     )
                 if (self.boundary == "naive" and c % 128 != 0
                         and not self.interpret):
-                    raise ValueError(
+                    raise UnsupportedConfigError(
                         "naive fold on hardware needs the domain width "
                         "to be a multiple of 128 (panel strip extraction "
                         "is lane-tile aligned)"
@@ -330,8 +336,11 @@ class PallasSimulation(Simulation):
     def _mega_specialize_resolved(self, tc) -> bool:
         """Interior/edge block specialization for this run. An explicit
         pin wins; the default is off until the hardware A/B adopts it
-        (VERDICT r3 #3). Full-width two-species select-fix windows only
-        (the megakernel rejects other combos)."""
+        (VERDICT r3 #3). Full-width two-species select-fix windows only:
+        pinning it with naive_fix='store' is rejected at construction
+        (the matrix rule, enforced by the megakernel too); column-tiled
+        layouts silently decline — tiling is an auto decision, not a
+        user contradiction."""
         if self.naive_fix == "store" or tc is not None:
             return False
         if self.mega_specialize is not None:
@@ -372,7 +381,7 @@ class PallasSimulation(Simulation):
             if (isinstance(self.fold, int) and self.fold > 1) or \
                     not mk.mega_ok(shape, tr, strip_store=strip, tc=tc,
                                    boundary=self.boundary):
-                raise ValueError(
+                raise UnsupportedConfigError(
                     "engine='mega' needs windows under the VMEM/compile "
                     f"ceilings and no lane fold; unsupported for shape "
                     f"{shape} at tr={tr}, tc={tc}"
@@ -455,7 +464,7 @@ class PallasSimulation(Simulation):
         )
         if self.pack == "on":
             if not supported:
-                raise ValueError(
+                raise UnsupportedConfigError(
                     "pack requires the zero boundary, f32 storage, a "
                     "separable stencil plan, and no fold/column tiling"
                 )
@@ -501,7 +510,7 @@ class PallasSimulation(Simulation):
             # same contract as the unpacked _use_mega: a forced engine
             # the domain can't support is an immediate error, not a
             # compile-time VMEM failure or remote-compile hang
-            raise ValueError(
+            raise UnsupportedConfigError(
                 "engine='mega' with pack needs full-width windows under "
                 f"the VMEM/compile ceilings; unsupported for shape "
                 f"{(r, c)} packed to {(r, 2 * c)}"
@@ -553,7 +562,7 @@ class PallasSimulation(Simulation):
                 )
             rp = ps.fold_geometry(r, f, tr)
             if rp < halo:
-                raise ValueError(
+                raise UnsupportedConfigError(
                     f"fold={f} on a {r}-row domain leaves panels of "
                     f"{rp} rows < the {halo}-row halo; use a smaller "
                     "fold factor"

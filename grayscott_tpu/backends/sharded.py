@@ -20,6 +20,7 @@ import numpy as np
 from ..ops import megakernel as mk
 from ..ops import pallas_stencil as ps
 from ..parallel import halo
+from ..errors import UnsupportedConfigError
 from ..params import Parameters
 from .base import Simulation, env_default
 
@@ -53,7 +54,7 @@ class ShardedSimulation(Simulation):
         params: Parameters,
         boundary: str = "naive",
         n_devices: int | None = None,
-        mesh_cols: int = 1,
+        mesh_cols: int | None = None,
         block_rows: int | None = None,
         block_cols: int | None = None,
         steps_per_call: int | None = None,
@@ -68,20 +69,20 @@ class ShardedSimulation(Simulation):
             raise ValueError(f"engine must be windowed/mega, got {engine!r}")
         if engine == "mega":
             if overlap:
-                raise ValueError(
+                raise UnsupportedConfigError(
                     "engine='mega' overlaps exchange with interior compute "
                     "in-kernel; --sharded-overlap applies to the windowed "
                     "engine"
                 )
             if steps_per_call not in (None, mk.MEGA_STEPS):
-                raise ValueError(
+                raise UnsupportedConfigError(
                     "engine='mega' fixes steps-per-call at its exchange "
                     f"depth K={mk.MEGA_STEPS}; drop --pallas-steps-per-call"
                 )
             # the megakernel's exchange depth IS its time-block depth
             steps_per_call = mk.MEGA_STEPS
         elif block_cols is not None:
-            raise ValueError(
+            raise UnsupportedConfigError(
                 "--pallas-block-cols pins the megakernel's column tile; "
                 "the windowed sharded engine derives its own column "
                 "layout (2-D meshes shard columns instead)"
@@ -92,12 +93,14 @@ class ShardedSimulation(Simulation):
             on_tpu = jax.devices()[0].platform == "tpu"
             steps_per_call = 16 if on_tpu else ps.HALO
         super().__init__(params, boundary)
-        # the 1-D megakernel's remote DMAs address neighbors by the one
-        # row axis, so it gets the single-axis mesh; the 2-D megakernel
-        # and the windowed engine take the (rows, cols) grid
-        self.mesh = (halo.make_mesh_1d(n_devices)
-                     if engine == "mega" and mesh_cols == 1
-                     else halo.make_mesh(n_devices, mesh_cols))
+        # mesh_cols=None = AUTO: the (rows, cols) factorization is chosen
+        # from the domain geometry at first storage build
+        # (parallel/halo.choose_mesh_cols — the rayon longest-axis-split
+        # analog), because the domain shape is unknown here. An explicit
+        # int builds the mesh eagerly, exactly as before.
+        self._n_devices = n_devices
+        self.mesh = None
+        self.chalo = 0
         if not (1 <= steps_per_call <= 32):
             raise ValueError(
                 f"steps_per_call must be in [1, 32], got {steps_per_call}"
@@ -107,7 +110,8 @@ class ShardedSimulation(Simulation):
         # exchange depth = blocking depth rounded to the 8-row alignment
         # quantum; column halos only needed (and paid for) on 2-D meshes
         self.halo = ps.halo_for_steps(steps_per_call)
-        self.chalo = self.halo if mesh_cols > 1 else 0
+        if mesh_cols is not None:
+            self._set_mesh(mesh_cols)
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
         self.interpret = interpret
@@ -123,7 +127,29 @@ class ShardedSimulation(Simulation):
         else:
             raise ValueError(f"unsupported dtype {dtype!r}")
 
+    def _set_mesh(self, mesh_cols: int) -> None:
+        """Build the device mesh for ``mesh_cols`` columns. The 1-D
+        megakernel's remote DMAs address neighbors by the one row axis,
+        so it gets the single-axis mesh; the 2-D megakernel and the
+        windowed engine take the (rows, cols) grid."""
+        self.mesh = (halo.make_mesh_1d(self._n_devices)
+                     if self.engine == "mega" and mesh_cols == 1
+                     else halo.make_mesh(self._n_devices, mesh_cols))
+        self.chalo = self.halo if mesh_cols > 1 else 0
+
+    def _resolve_mesh(self, shape) -> None:
+        """AUTO mesh factorization on first use: pick (rows, cols) from
+        the domain geometry (halo.choose_mesh_cols), preferring 1-D
+        unless 2-D cuts per-chip exchange volume decisively."""
+        if self.mesh is not None:
+            return
+        import jax as _jax
+
+        n = self._n_devices or len(_jax.devices())
+        self._set_mesh(halo.choose_mesh_cols(n, shape))
+
     def _tr(self, shape) -> int:
+        self._resolve_mesh(shape)
         r, c = shape
         nr, nc = self.mesh.devices.shape
         r_loc = -(-r // max(nr, 1))
@@ -187,7 +213,7 @@ class ShardedSimulation(Simulation):
         r_loc = -(-u.shape[0] // nr)
         c_loc = -(-u.shape[1] // nc)
         if c_loc < 128:
-            raise ValueError(
+            raise UnsupportedConfigError(
                 f"2-D mesh shards would be {c_loc} columns wide "
                 "(narrower than one 128-lane tile); use fewer mesh "
                 "columns"
@@ -195,7 +221,7 @@ class ShardedSimulation(Simulation):
         tr, tc = self._mega_tiles_2d(r_loc, c_loc)
         if not mk.mega_ok((r_loc, c_loc), tr, self.halo, tc=tc,
                           boundary=self.boundary, cover=True):
-            raise ValueError(
+            raise UnsupportedConfigError(
                 f"sharded engine='mega' cannot fit a {r_loc}x{c_loc} "
                 "per-chip tile in VMEM windows; use the windowed engine "
                 "for this domain"
@@ -206,6 +232,7 @@ class ShardedSimulation(Simulation):
         return ("mega2d", up, vp, tr, tc)
 
     def build_storage(self, u: np.ndarray, v: np.ndarray):
+        self._resolve_mesh(u.shape)
         if self.engine == "mega":
             if self.mesh.devices.ndim == 2:
                 return self._build_storage_mega2d(u, v)
@@ -217,7 +244,7 @@ class ShardedSimulation(Simulation):
                 # choose_mega_rows falls back to tr=8 even when no tile
                 # fits: fail here instead of a Mosaic scoped-VMEM
                 # failure or a remote-compile hang on an ultra-wide slab
-                raise ValueError(
+                raise UnsupportedConfigError(
                     f"sharded engine='mega' cannot fit a {r_loc}x"
                     f"{u.shape[1]} per-chip slab in VMEM windows; use "
                     "the windowed engine for this domain"
@@ -369,16 +396,19 @@ class ShardedSimulation(Simulation):
         )
         parser.add_argument(
             "--sharded-mesh-cols", type=int,
-            default=env_default("GRAYSCOTT_SHARDED_MESH_COLS", 1, int),
-            help="Mesh columns for 2-D spatial decomposition (default 1 = "
-            "row sharding only)",
+            default=env_default("GRAYSCOTT_SHARDED_MESH_COLS", None, int),
+            help="Mesh columns for 2-D spatial decomposition (default: "
+            "auto — the (rows, cols) factorization minimizing per-chip "
+            "halo exchange for the domain geometry, 1-D preferred; "
+            "1 forces row sharding only)",
         )
         parser.add_argument(
             "--sharded-overlap", choices=["on", "off"],
             default=env_default("GRAYSCOTT_SHARDED_OVERLAP", "off"),
             help="Overlap halo exchange with interior compute by splitting "
-            "the per-shard kernel (1-D meshes; pays on high-latency DCN "
-            "links, costs two extra kernel launches per block on ICI)",
+            "the per-shard kernel (windowed engine; three slabs on 1-D "
+            "meshes, five on 2-D; pays on high-latency DCN links, costs "
+            "extra kernel launches per block on ICI)",
         )
 
     @classmethod
@@ -386,7 +416,7 @@ class ShardedSimulation(Simulation):
         k = getattr(ns, "pallas_steps_per_call", None)
         return {
             "n_devices": getattr(ns, "sharded_devices", None),
-            "mesh_cols": getattr(ns, "sharded_mesh_cols", 1),
+            "mesh_cols": getattr(ns, "sharded_mesh_cols", None),
             "block_rows": getattr(ns, "pallas_block_rows", None),
             "block_cols": getattr(ns, "pallas_block_cols", None),
             "steps_per_call": k,

@@ -20,6 +20,13 @@ from ..utils.runtime import env_flag
 
 
 def add_shared_args(parser: argparse.ArgumentParser) -> None:
+    # one user-facing support-matrix surface (grayscott_tpu/support.py):
+    # the same table the README renders, as the --help epilog
+    from .. import support
+
+    if parser.epilog is None:
+        parser.epilog = support.render("text")
+        parser.formatter_class = argparse.RawDescriptionHelpFormatter
     parser.add_argument(
         "-k", "--killrate", type=float, default=None,
         help="Rate of the process which converts V into P",

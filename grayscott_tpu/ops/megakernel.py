@@ -67,6 +67,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..errors import UnsupportedConfigError
 from ..params import Parameters, Precision
 from ..utils import device
 from . import pallas_stencil as ps
@@ -882,21 +883,21 @@ def megastep_impl(
     if specialize and strip_store:
         # the strip-store fix-up writes scratch refs inside the step
         # loop; duplicating it across the cond branches buys nothing
-        raise ValueError("specialize and strip_store conflict")
+        raise UnsupportedConfigError("specialize and strip_store conflict")
     if strip_store and boundary != "naive":
-        raise ValueError("strip_store is naive-only")
+        raise UnsupportedConfigError("strip_store is naive-only")
     if strip_store and (n_shards > 1 or n_shard_cols > 1):
         # the strip-store top-edge predicate is "first row block", which
         # on shard > 0 is NOT global row 0 — applying the row-0 edge
         # formula there would silently corrupt interior rows
-        raise ValueError("strip_store is single-chip only")
+        raise UnsupportedConfigError("strip_store is single-chip only")
     if n_shard_cols > 1:
         if my_shard is None or my_shard_col is None:
-            raise ValueError(
+            raise UnsupportedConfigError(
                 "2-D sharded mode needs my_shard and my_shard_col"
             )
         if tc is None:
-            raise ValueError(
+            raise UnsupportedConfigError(
                 "2-D sharded mode needs column-tiled windows (tc): the "
                 "128-lane column-halo ring is the mesh column halo"
             )
@@ -912,7 +913,7 @@ def megastep_impl(
             # site, which is only ahead of every halo-reading window DMA
             # when one tile row covers the halo depth (the 2-D form is
             # entry-gated instead, so it carries no such constraint)
-            raise ValueError(
+            raise UnsupportedConfigError(
                 f"sharded mode needs halo <= tr, got {halo} > {tr}"
             )
     _, hp, c = u_pair.shape
@@ -931,7 +932,7 @@ def megastep_impl(
     c_blocks = 1
     if tc is not None:
         if strip_store:
-            raise ValueError("strip_store needs full-width windows")
+            raise UnsupportedConfigError("strip_store needs full-width windows")
         chalo = ps.COL_HALO
         if tc % 128 != 0 or chalo < steps:
             raise ValueError(f"tc must be a multiple of 128, got {tc}")

@@ -65,6 +65,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..errors import UnsupportedConfigError
 from ..params import Parameters, Precision
 from ..utils import device
 
@@ -280,11 +281,11 @@ def make_window_stepper(
     w = params.weights_array()
     if pack:
         if fold is not None or chalo != 0:
-            raise ValueError("pack excludes fold and column halos")
+            raise UnsupportedConfigError("pack excludes fold and column halos")
         if boundary != "zero":
-            raise ValueError("pack supports the zero boundary only")
+            raise UnsupportedConfigError("pack supports the zero boundary only")
         if plan[0] != "separable":
-            raise ValueError("pack requires a separable stencil plan")
+            raise UnsupportedConfigError("pack requires a separable stencil plan")
         if c % 2 != 0:
             raise ValueError(f"packed array width must be even, got {c}")
         cd_p = c // 2
@@ -303,7 +304,7 @@ def make_window_stepper(
 
     elif fold is not None:
         if chalo != 0:
-            raise ValueError("fold excludes column halos")
+            raise UnsupportedConfigError("fold excludes column halos")
         fold_f, fold_cd, fold_rp = fold
 
         def shift_cols(x, d):

@@ -46,13 +46,64 @@ COLS = "cols"
 
 
 def make_mesh(n_devices: int | None = None, n_cols: int = 1) -> Mesh:
-    """1-D row mesh by default; (n_rows, n_cols) grid when n_cols > 1."""
+    """1-D row mesh by default; (n_rows, n_cols) grid when n_cols > 1.
+
+    On real multi-chip slices the (rows, cols) grid is laid out with
+    ``mesh_utils.create_device_mesh`` so neighboring mesh coordinates
+    sit on neighboring ICI links (the device ``coords`` topology);
+    virtual/CPU devices carry no topology, so they keep plain order."""
     devices = jax.devices()
     n = n_devices or len(devices)
     if n % n_cols != 0:
         raise ValueError(f"{n} devices not divisible by {n_cols} mesh columns")
-    grid = np.asarray(devices[:n]).reshape(n // n_cols, n_cols)
+    shape = (n // n_cols, n_cols)
+    if devices[0].platform == "tpu" and n == len(devices):
+        try:
+            from jax.experimental import mesh_utils
+
+            grid = mesh_utils.create_device_mesh(shape)
+            return Mesh(grid, (ROWS, COLS))
+        except Exception:  # odd topologies: fall back to plain order
+            pass
+    grid = np.asarray(devices[:n]).reshape(shape)
     return Mesh(grid, (ROWS, COLS))
+
+
+def choose_mesh_cols(n: int, shape, min_rows: int = 8,
+                     min_cols: int = 128, bias: float = 0.8) -> int:
+    """Mesh-column count for ``n`` devices on an (R, C) domain, chosen
+    by per-chip halo-exchange volume — the auto analog of the
+    reference's rayon split always cutting the longest axis first
+    (compute/parallel/src/lib.rs:107-114). For each (nr, nc)
+    factorization the dominant per-chip cost is
+
+        cost = row_neighbors * ceil(C/nc) + col_neighbors * ceil(R/nr)
+
+    (an interior chip exchanges with 2 neighbors per >2-extent axis).
+    1-D row sharding wins ties and anything within ``1 - bias`` (2-D
+    meshes pay extra messages, corner traffic, and the column-halo
+    ring); shards narrower than ``min_cols`` columns or shorter than
+    ``min_rows`` rows are not viable (lane/sublane quanta)."""
+    r, c = shape
+
+    def nb(extent: int) -> int:
+        return 0 if extent == 1 else (1 if extent == 2 else 2)
+
+    cost_1d = nb(n) * c
+    best_nc, best_cost = 1, cost_1d
+    for nc in range(2, n + 1):
+        if n % nc:
+            continue
+        nr = n // nc
+        if -(-c // nc) < min_cols:
+            continue
+        if nr > 1 and -(-r // nr) < min_rows:
+            continue
+        cost = nb(nr) * -(-c // nc) + nb(nc) * -(-r // nr)
+        if cost < best_cost:
+            best_nc, best_cost = nc, cost
+    # a 2-D mesh must beat 1-D by the bias margin, not merely tie
+    return best_nc if best_cost < bias * cost_1d else 1
 
 
 def make_mesh_1d(n_devices: int | None = None) -> Mesh:
@@ -77,12 +128,21 @@ def _exchange_cols(x, c_loc: int, chalo: int):
     """Fill the CHALO padding columns (incl. the row-halo rows, so corners
     arrive from diagonal neighbors)."""
     ch = chalo
+    west_halo, east_halo = _exchange_cols_start(x, c_loc, ch)
+    return jax.lax.concatenate([west_halo, x[:, ch : ch + c_loc], east_halo], 1)
+
+
+def _exchange_cols_start(x, c_loc: int, chalo: int):
+    """Issue the column-halo permutes WITHOUT consuming them: returns
+    the (west_halo, east_halo) arrivals (each ``x.rows x chalo``) so
+    callers can schedule independent work in between (2-D overlap)."""
+    ch = chalo
     n = jax.lax.axis_size(COLS)
     right = [(i, i + 1) for i in range(n - 1)]
     left = [(i + 1, i) for i in range(n - 1)]
-    west_halo = jax.lax.ppermute(x[:, ch + c_loc - ch : ch + c_loc], COLS, right)
-    east_halo = jax.lax.ppermute(x[:, ch : ch + ch], COLS, left)
-    return jax.lax.concatenate([west_halo, x[:, ch : ch + c_loc], east_halo], 1)
+    west = jax.lax.ppermute(x[:, ch + c_loc - ch : ch + c_loc], COLS, right)
+    east = jax.lax.ppermute(x[:, ch : ch + ch], COLS, left)
+    return west, east
 
 
 def _exchange_start(x, r_loc: int, halo: int):
@@ -150,9 +210,15 @@ def sharded_run_blocks(
     # refreshes that padding (put() writes interior rows only; exchange
     # arrivals feed the edge slabs directly) — those rows would be stale
     # zeros standing in for neighbor data. Fall back to the serialized
-    # exchange like the other structural gates below.
+    # exchange like the other structural gates below. 2-D meshes take
+    # the five-slab split (body_overlap2d) when the shard is wide enough
+    # for distinct left/right column slabs.
     use_overlap = (
         overlap and chalo == 0 and r_loc // tr >= 3 and tr >= halo
+    )
+    use_overlap2d = (
+        overlap and chalo > 0 and r_loc // tr >= 3 and tr >= halo
+        and c_loc >= 4 * chalo
     )
 
     def local(u, v, n_blocks, *maybe_reaction):
@@ -221,9 +287,114 @@ def sharded_run_blocks(
 
             return put(a, at, am, ab), put(b, bt, bm, bb)
 
-        out = jax.lax.fori_loop(
-            0, n_blocks, body_overlap if use_overlap else body, (u, v)
-        )
+        def body_overlap2d(_, carry):
+            """Five-slab interior/edge split for 2-D meshes (VERDICT r3
+            #7): the interior slab — trimmed one CHALO ring of rows AND
+            columns away from every exchanged cell — carries no
+            dependency on any ppermute, so XLA can run it while all
+            twelve arrivals (rows, interior-row columns, and the corner
+            columns of the arrived row halos — the overlap form of the
+            two-phase corner trick) are in flight. Left/right slabs
+            consume the column arrivals; top/bottom slabs consume rows
+            plus corners. Same windows and kernel ops as the serialized
+            two-phase path, so results agree to f32 round-off."""
+            a, b = carry
+            h, ch = halo, chalo
+            W = wp
+            ri = slice(tr, r_loc - tr + 2 * h)
+            ri0, ri1 = tr - h, r_loc - tr + h  # ri in interior-row coords
+
+            def starts(x):
+                top, bot = _exchange_start(x, r_loc, h)
+                wst, est = _exchange_cols_start(x[h : h + r_loc], c_loc, ch)
+                # corners: the column permute of the arrived row halos —
+                # the up-left diagonal's data lands in the top slab's
+                # west ring, exactly like phase 2 of the serialized path
+                twst, test = _exchange_cols_start(top, c_loc, ch)
+                bwst, best_ = _exchange_cols_start(bot, c_loc, ch)
+                return dict(top=top, bot=bot, wst=wst, est=est,
+                            twst=twst, test=test, bwst=bwst, best=best_)
+
+            sa, sb = starts(a), starts(b)
+
+            def interior(x):
+                return x[ri, ch : W - ch]
+
+            am, bm = ps.multistep_impl(
+                interior(a), interior(b), origin + tr, r_total,
+                origin_c + ch, c_total, reaction, chalo=ch, **kern,
+            )
+
+            def lr(x, s, side):
+                rows = x[ri]
+                if side == "left":
+                    return jnp.concatenate(
+                        [s["wst"][ri0:ri1], rows[:, ch : 3 * ch]], 1)
+                return jnp.concatenate(
+                    [rows[:, W - 3 * ch : W - ch], s["est"][ri0:ri1]], 1)
+
+            al, bl = ps.multistep_impl(
+                lr(a, sa, "left"), lr(b, sb, "left"),
+                origin + tr, r_total, origin_c, c_total, reaction,
+                chalo=ch, **kern,
+            )
+            ar, br = ps.multistep_impl(
+                lr(a, sa, "right"), lr(b, sb, "right"),
+                origin + tr, r_total, origin_c + (W - 3 * ch), c_total,
+                reaction, chalo=ch, **kern,
+            )
+
+            def tb(x, s, side):
+                if side == "top":
+                    halo_rows = jnp.concatenate(
+                        [s["twst"], s["top"][:, ch : W - ch], s["test"]], 1)
+                    body_rows = jnp.concatenate(
+                        [s["wst"][: tr + h], x[h : h + tr + h, ch : W - ch],
+                         s["est"][: tr + h]], 1)
+                    return jnp.concatenate([halo_rows, body_rows], 0)
+                halo_rows = jnp.concatenate(
+                    [s["bwst"], s["bot"][:, ch : W - ch], s["best"]], 1)
+                lo = h + r_loc - tr - h
+                body_rows = jnp.concatenate(
+                    [s["wst"][r_loc - tr - h :], x[lo : h + r_loc, ch : W - ch],
+                     s["est"][r_loc - tr - h :]], 1)
+                return jnp.concatenate([body_rows, halo_rows], 0)
+
+            at, bt = ps.multistep_impl(
+                tb(a, sa, "top"), tb(b, sb, "top"),
+                origin, r_total, origin_c, c_total, reaction,
+                chalo=ch, **kern,
+            )
+            ab_, bb_ = ps.multistep_impl(
+                tb(a, sa, "bot"), tb(b, sb, "bot"),
+                origin + (r_loc - tr), r_total, origin_c, c_total,
+                reaction, chalo=ch, **kern,
+            )
+
+            def put(x, top, left, mid, right, bot):
+                x = jax.lax.dynamic_update_slice(
+                    x, top[h : h + tr, ch : W - ch], (h, ch))
+                x = jax.lax.dynamic_update_slice(
+                    x, left[h : h + r_loc - 2 * tr, ch : 2 * ch],
+                    (h + tr, ch))
+                x = jax.lax.dynamic_update_slice(
+                    x, mid[h : h + r_loc - 2 * tr, ch : W - 3 * ch],
+                    (h + tr, 2 * ch))
+                x = jax.lax.dynamic_update_slice(
+                    x, right[h : h + r_loc - 2 * tr, ch : 2 * ch],
+                    (h + tr, W - 2 * ch))
+                return jax.lax.dynamic_update_slice(
+                    x, bot[h : h + tr, ch : W - ch], (h + r_loc - tr, ch))
+
+            return (put(a, at, al, am, ar, ab_),
+                    put(b, bt, bl, bm, br, bb_))
+
+        body_fn = body
+        if use_overlap2d:
+            body_fn = body_overlap2d
+        elif use_overlap:
+            body_fn = body_overlap
+        out = jax.lax.fori_loop(0, n_blocks, body_fn, (u, v))
         return tuple(x[None, None] for x in out)
 
     spec = P(ROWS, COLS, None, None)

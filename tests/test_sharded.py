@@ -297,3 +297,73 @@ def test_overlap_interior_kernel_independent_of_permutes(params):
     assert independent, (
         "every pallas_call depends on a ppermute: no overlap is possible"
     )
+
+
+def test_choose_mesh_cols_geometry():
+    """AUTO mesh factorization (VERDICT r3 #7): 2-D chosen over 1-D when
+    it decisively cuts per-chip halo exchange, 1-D kept otherwise."""
+    from grayscott_tpu.parallel import halo
+
+    # square 16384^2 on 8 chips: 4x2 halves the exchange volume
+    assert halo.choose_mesh_cols(8, (16384, 16384)) == 2
+    # tall-skinny: row sharding already minimal
+    assert halo.choose_mesh_cols(8, (16384, 1024)) == 1
+    # too narrow for 128-column shards: 1-D forced
+    assert halo.choose_mesh_cols(8, (4096, 200)) == 1
+    # single device: trivially 1
+    assert halo.choose_mesh_cols(1, (4096, 4096)) == 1
+    # wide-flat: column-heavy factorization wins
+    assert halo.choose_mesh_cols(8, (64, 65536)) >= 4
+
+
+def test_auto_mesh_resolution(rng, params):
+    """mesh_cols=None resolves the mesh from the domain geometry at
+    first storage build; small-width domains stay 1-D."""
+    sim = ShardedSimulation(params, n_devices=4, interpret=True)
+    assert sim.mesh is None
+    u, v = random_uv(rng, (64, 16))
+    sim.build_storage(u, v)
+    assert sim.mesh is not None
+    assert sim.mesh.devices.shape[-1] if sim.mesh.devices.ndim > 1 else 1 == 1
+    # wide square domain on 4 devices -> 2x2
+    sim2 = ShardedSimulation(params, n_devices=4, interpret=True,
+                             steps_per_call=4)
+    sim2._resolve_mesh((4096, 4096))
+    assert tuple(sim2.mesh.devices.shape) == (2, 2)
+    assert sim2.chalo == sim2.halo
+
+
+@pytest.mark.parametrize("boundary", ["naive", "zero"])
+def test_overlap2d_matches_oracle(rng, params, boundary):
+    """The five-slab 2-D overlap split (VERDICT r3 #7): interior carries
+    no ppermute dependency, edges consume rows/columns/corners — must
+    reproduce the oracle across shard boundaries and corners."""
+    u, v = random_uv(rng, (96, 144))  # 2x2 mesh: 48x72 per shard
+    ou, ov = oracle.run(u, v, params, 12, boundary)
+    gu, gv = run_sharded(u, v, params, boundary, 12, 4, mesh_cols=2,
+                         block_rows=8, steps_per_call=4, overlap=True)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=2e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=2e-6)
+
+
+def test_overlap2d_matches_serialized(rng, params):
+    """Same windows and kernel ops as the serialized two-phase path:
+    agreement to f32 round-off."""
+    u, v = random_uv(rng, (96, 144))
+    au, av = run_sharded(u, v, params, "naive", 8, 4, mesh_cols=2,
+                         block_rows=8, steps_per_call=4, overlap=False)
+    bu, bv = run_sharded(u, v, params, "naive", 8, 4, mesh_cols=2,
+                         block_rows=8, steps_per_call=4, overlap=True)
+    np.testing.assert_allclose(au, bu, rtol=0, atol=3e-7)
+    np.testing.assert_allclose(av, bv, rtol=0, atol=3e-7)
+
+
+def test_overlap2d_falls_back_when_too_narrow(rng, params):
+    """Shards narrower than 4 column halos keep the serialized path
+    (the left/right slabs would overlap) — results stay correct."""
+    u, v = random_uv(rng, (64, 32))  # 16 cols/shard at nc=2, chalo=8
+    ou, ov = oracle.run(u, v, params, 8, "zero")
+    gu, gv = run_sharded(u, v, params, "zero", 8, 4, mesh_cols=2,
+                         block_rows=8, steps_per_call=4, overlap=True)
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=2e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=2e-6)
