@@ -38,11 +38,18 @@ SHIPPED: dict[str, dict] = {
         "fold": 1, "pack": True, "gcells_per_sec": 16.331,
         "source": "shipped-v5e-r2",
     },
-    # unpacked megakernel everywhere else it was measured
+    # unpacked megakernel everywhere else it was measured. The 4096^2
+    # records pin block_rows=256: the round-3 ON-CHIP sweep
+    # (/tmp/devrate_r3*.log, BENCHMARKS.md round 3) ranked tr=256 above
+    # the auto geometry (tr=344) on both boundaries — 92.31 vs 91.17
+    # zero, 80.15 vs 77.5 naive device Gcell/s; tr=320 (90.44/77.94)
+    # and tr=128 (74.34 naive) bracket the optimum. gcells_per_sec is
+    # the DEVICE rate (the r3 autotuner ranks on device time).
     "v4:v5e:4096x4096:zero:oono-puri": {
-        "engine": "mega", "block_rows": None, "steps_per_call": 16,
-        "fold": 1, "pack": False, "gcells_per_sec": 76.657,
-        "source": "shipped-v5e-r2",
+        "engine": "mega", "block_rows": 256, "steps_per_call": 16,
+        "fold": 1, "pack": False, "gcells_per_sec": 92.31,
+        "device_gcells_per_sec": 92.31, "wall_gcells_per_sec": 77.9,
+        "source": "shipped-v5e-r3-device",
     },
     "v4:v5e:8192x8192:zero:oono-puri": {
         "engine": "mega", "block_rows": None, "steps_per_call": 16,
@@ -50,9 +57,10 @@ SHIPPED: dict[str, dict] = {
         "source": "shipped-v5e-r2",
     },
     "v4:v5e:4096x4096:naive:oono-puri": {
-        "engine": "mega", "block_rows": None, "steps_per_call": 16,
-        "fold": 1, "pack": False, "gcells_per_sec": 67.337,
-        "source": "shipped-v5e-r2",
+        "engine": "mega", "block_rows": 256, "steps_per_call": 16,
+        "fold": 1, "pack": False, "gcells_per_sec": 80.15,
+        "device_gcells_per_sec": 80.15, "wall_gcells_per_sec": 68.9,
+        "source": "shipped-v5e-r3-device",
     },
     # bf16 storage: the megakernel beats the windowed kernel 69.2 vs
     # 61.7 (+12.1%, same-process A/B, 1024 steps) — halved window DMA

@@ -42,13 +42,20 @@ def maybe_initialize(logger=None) -> bool:
         return False
     import jax
 
+    # peer-failure detection bound: a dead process is declared failed
+    # after this many seconds of missed heartbeats, turning a peer crash
+    # into a clean abort of the survivors instead of a hang on the next
+    # collective (exercised by tests/test_distributed.py failure
+    # injection). JAX's default is 100 s.
+    heartbeat = int(os.environ.get("GRAYSCOTT_HEARTBEAT_S", "100"))
     if coord == "auto":
-        jax.distributed.initialize()
+        jax.distributed.initialize(heartbeat_timeout_seconds=heartbeat)
     else:
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(os.environ["GRAYSCOTT_NUM_PROCESSES"]),
             process_id=int(os.environ["GRAYSCOTT_PROCESS_ID"]),
+            heartbeat_timeout_seconds=heartbeat,
         )
     if logger is not None:
         logger.info(
