@@ -81,6 +81,7 @@ class FrameSource:
         self.lut = inferno_lut(getattr(args, "color_palette_resolution", 256))
         self.paused = False
         self._last_rgb: np.ndarray | None = None
+        self._last_idx: np.ndarray | None = None
         self._pending = None  # in-flight device frame (frames-in-flight)
 
     def _dispatch_frame(self):
@@ -100,41 +101,60 @@ class FrameSource:
         idx.copy_to_host_async()
         return idx
 
-    def next_rgb(self) -> np.ndarray:
+    def next_idx(self) -> np.ndarray:
         """One-frame pipeline (the analog of the reference's
         frames-in-flight, livesim/src/frames.rs:21-175): frame N+1's
-        compute + transfer are dispatched before frame N is colorized,
-        so the host-link transfer overlaps host-side encode instead of
-        serializing after it."""
+        compute + transfer are dispatched before frame N is consumed,
+        so the host-link transfer overlaps host-side work instead of
+        serializing after it. Returns the PALETTE-INDEX array — the
+        cheapest per-pixel representation (1 B/px at <= 256 colors):
+        the canvas web view ships these bytes straight to the browser
+        and colorizes there (the browser as the reference's palette
+        sampler, livesim/src/palette.rs:42-121)."""
         if self._pending is None:
             self._pending = self._dispatch_frame()
         shown, self._pending = self._pending, self._dispatch_frame()
-        self._last_rgb = self.lut[np.asarray(shown)]
+        idx = np.asarray(shown)
+        self._last_idx = idx
+        return idx
+
+    def next_rgb(self) -> np.ndarray:
+        self._last_rgb = self.lut[self.next_idx()]
         return self._last_rgb
 
-    def frame(self) -> np.ndarray:
-        """Next frame to display: advances unless paused.
+    def _current_idx(self) -> np.ndarray:
+        """Palette indices of the CURRENT state, zero simulation steps."""
+        jnp = self._jnp
+        n = len(self.lut)
+        v = self.species.result()
+        idx = (jnp.clip(
+            v * np.float32(AMPLITUDE_SCALE), 0.0, 1.0
+        ) * float(n - 1)).astype(jnp.int32 if n > 256 else jnp.uint8)
+        return np.asarray(idx)
+
+    def frame_idx(self) -> np.ndarray:
+        """Next palette-index frame: advances unless paused.
 
         Paused with nothing rendered yet (pause before the first frame,
         or right after reset): show the pending/current state WITHOUT
-        dispatching new frame-steps — next_rgb() would advance the
+        dispatching new frame-steps — next_idx() would advance the
         nominally-paused simulation by two frame-steps (ADVICE r2)."""
         if self.paused:
-            if self._last_rgb is None:
+            if self._last_idx is None:
                 if self._pending is not None:
                     shown, self._pending = self._pending, None
+                    self._last_idx = np.asarray(shown)
                 else:
-                    # colorize the CURRENT state, zero simulation steps
-                    jnp = self._jnp
-                    n = len(self.lut)
-                    v = self.species.result()
-                    shown = (jnp.clip(
-                        v * np.float32(AMPLITUDE_SCALE), 0.0, 1.0
-                    ) * float(n - 1)).astype(
-                        jnp.int32 if n > 256 else jnp.uint8)
-                self._last_rgb = self.lut[np.asarray(shown)]
+                    self._last_idx = self._current_idx()
+            return self._last_idx
+        return self.next_idx()
+
+    def frame(self) -> np.ndarray:
+        """Next RGB frame to display: advances unless paused."""
+        if self.paused and self._last_rgb is not None:
             return self._last_rgb
-        return self.next_rgb()
+        self._last_rgb = self.lut[self.frame_idx()]
+        return self._last_rgb
 
     # -- live controls -------------------------------------------------------
 
@@ -147,6 +167,9 @@ class FrameSource:
             "steps_per_frame": int(self.steps_per_frame),
             "paused": bool(self.paused),
             "backend": self.sim.name,
+            "rows": int(self.species.shape[0]),
+            "cols": int(self.species.shape[1]),
+            "palette_n": int(len(self.lut)),
         }
 
     def set_params(self, feedrate=None, killrate=None, deltat=None,
@@ -176,6 +199,7 @@ class FrameSource:
     def reset(self) -> None:
         self.species = self.sim.make_species(shared.domain_shape(self.args))
         self._last_rgb = None
+        self._last_idx = None
         self._pending = None
 
 
@@ -213,7 +237,7 @@ _WEB_PAGE = """<!doctype html>
       background:#1c1c1c;flex-wrap:wrap}
  label{display:flex;gap:.4em;align-items:center}
  input[type=range]{width:9em} button{min-width:5em}
- img{width:100%;image-rendering:pixelated;display:block}
+ img,canvas{width:100%;image-rendering:pixelated;display:block}
 </style></head><body>
 <div id="bar">
  <button id="pause">Pause</button>
@@ -227,17 +251,13 @@ _WEB_PAGE = """<!doctype html>
  <label>steps/frame <input id="steps_per_frame" type="number" min="1"
    max="1024" style="width:4.5em"></label>
  <span id="backend"></span>
+ <span id="fps"></span>
 </div>
-<img src="/stream">
+<canvas id="view"></canvas>
 <script>
 const knobs=["feedrate","killrate","deltat","steps_per_frame"];
 function show(k,v){const s=document.getElementById(k+"_v");
   if(s)s.textContent=(+v).toFixed(3).replace(/0+$/,"").replace(/\\.$/,"");}
-fetch("/state").then(r=>r.json()).then(s=>{
-  for(const k of knobs){const e=document.getElementById(k);
-    e.value=s[k];show(k,s[k]);}
-  document.getElementById("backend").textContent="backend: "+s.backend;
-  setPaused(s.paused);});
 function setPaused(p){document.getElementById("pause").textContent=
   p?"Resume":"Pause";}
 for(const k of knobs){const e=document.getElementById(k);
@@ -246,6 +266,42 @@ for(const k of knobs){const e=document.getElementById(k);
 document.getElementById("pause").onclick=()=>
   fetch("/toggle").then(r=>r.json()).then(s=>setPaused(s.paused));
 document.getElementById("reset").onclick=()=>fetch("/reset");
+// Client-side colorization: the server streams raw PALETTE INDICES
+// (1 B/px) and the browser applies the LUT into a canvas — the
+// browser is the reference's palette sampler (livesim/src/palette.rs:
+// 42-121). Halves host work vs MJPEG (no JPEG encode, no RGB
+// expansion) and pipelines the next fetch behind the paint.
+async function start(){
+  const s=await (await fetch("/state")).json();
+  for(const k of knobs){const e=document.getElementById(k);
+    e.value=s[k];show(k,s[k]);}
+  document.getElementById("backend").textContent="backend: "+s.backend;
+  setPaused(s.paused);
+  const cv=document.getElementById("view");
+  if(s.palette_n>256){ // int32 indices: fall back to the MJPEG stream
+    const img=document.createElement("img");img.src="/stream";
+    cv.replaceWith(img);return;}
+  const pal=new Uint8Array(await (await fetch("/palette.bin")).arrayBuffer());
+  cv.width=s.cols;cv.height=s.rows;
+  const ctx=cv.getContext("2d");
+  const img=ctx.createImageData(s.cols,s.rows);
+  const d=img.data;d.fill(255);
+  let frames=0,t0=performance.now();
+  let inflight=fetch("/frame.bin");
+  async function loop(){
+    const buf=new Uint8Array(await (await inflight).arrayBuffer());
+    inflight=fetch("/frame.bin");   // next frame rides the paint
+    for(let i=0,j=0;i<buf.length;i++,j+=4){const p=buf[i]*3;
+      d[j]=pal[p];d[j+1]=pal[p+1];d[j+2]=pal[p+2];}
+    ctx.putImageData(img,0,0);
+    if(++frames%30==0){const t=performance.now();
+      document.getElementById("fps").textContent=
+        (30000/(t-t0)).toFixed(1)+" fps";t0=t;}
+    requestAnimationFrame(loop);
+  }
+  loop();
+}
+start();
 </script></body></html>"""
 
 
@@ -307,6 +363,28 @@ def run_web(src: FrameSource, port: int, fps_cap: float, logger) -> int:
                         self._json(src.state())
                 except (TypeError, ValueError) as e:
                     self.send_error(400, str(e))
+                return
+            if url.path == "/palette.bin":
+                body = np.ascontiguousarray(src.lut).tobytes()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if url.path == "/frame.bin":
+                # one raw palette-index frame (uint8, row-major): the
+                # canvas page colorizes client-side. Each GET advances
+                # the simulation by one frame unless paused.
+                with lock:
+                    idx = src.frame_idx()
+                body = np.ascontiguousarray(idx).tobytes()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
                 return
             if url.path != "/stream":
                 self.send_error(404)

