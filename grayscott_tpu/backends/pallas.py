@@ -77,6 +77,7 @@ class PallasSimulation(Simulation):
         tuned_lookup: bool = True,
         mega_depth: int | None = None,
         mega_specialize: bool | None = None,
+        naive_fold: bool = False,
         **kwargs,
     ):
         self._explicit_k = steps_per_call is not None
@@ -220,6 +221,26 @@ class PallasSimulation(Simulation):
                 "pin at most one of them"
             )
         self.mega_specialize = mega_specialize
+        # folded naive reaction (opt-in ulp mode, VERDICT r3 #3): the
+        # naive update's u-linear terms (incl. the clamped-window
+        # b_field correction) collapse into per-window coefficient
+        # fields — near-zero-path op count under exact naive SEMANTICS,
+        # at ulp-scale drift from the bit-frozen default rounding
+        if naive_fold:
+            if boundary != "naive":
+                raise UnsupportedConfigError(
+                    "naive_fold applies to the naive boundary")
+            if naive_fix == "store":
+                raise UnsupportedConfigError(
+                    "naive_fold and naive_fix='store' conflict; "
+                    "pin at most one of them")
+            if isinstance(fold, int) and fold > 1:
+                raise UnsupportedConfigError(
+                    "naive_fold excludes the lane-fold layout")
+            if resident == "on":
+                raise UnsupportedConfigError(
+                    "naive_fold runs on the windowed/mega engines only")
+        self.naive_fold = naive_fold
 
     # -- storage: padded double buffers ------------------------------------
 
@@ -439,6 +460,7 @@ class PallasSimulation(Simulation):
             self.resident == "auto"
             and self.engine == "auto"  # an engine pin names its kernel
             and not self.interpret  # keep CPU/test runs on the windowed path
+            and not self.naive_fold  # the resident kernel has no fold mode
             and self.dtype == jnp.float32
             and ps.resident_ok(shape)
             and self.block_rows is None
@@ -740,6 +762,7 @@ class PallasSimulation(Simulation):
                 tc=tc, c_dom=c if tc is not None else None,
                 depth=self.mega_depth or 2,
                 specialize=self._mega_specialize_resolved(tc),
+                fast_fold=self.naive_fold,
             )
             n_full, rem = divmod(steps, mk.MEGA_STEPS)
             if n_full:
@@ -803,6 +826,7 @@ class PallasSimulation(Simulation):
             # (bit-identical; saves per-call fixed cost on small domains)
             sanitize=True,
             strip_store=self.naive_fix == "store" and tc is None,
+            fast_fold=self.naive_fold,
             # liveness scales with the f32 compute copies even when HBM
             # storage is bf16, so always budget at 4 bytes/element
             vmem_limit_bytes=self._vmem_limit(tr, tc, chalo, c, halo, 4),
@@ -876,6 +900,16 @@ class PallasSimulation(Simulation):
             "(bit-identical values; perf experiment)",
         )
         parser.add_argument(
+            "--pallas-naive-fold", choices=["on", "off"],
+            default=env_default("GRAYSCOTT_NAIVE_FOLD", "off"),
+            help="Folded naive reaction (opt-in fast mode): the naive "
+            "update's u-linear terms, including the clamped-window "
+            "boundary correction, collapse into per-window coefficient "
+            "fields — near zero-path op count under exact naive "
+            "SEMANTICS, at ulp-scale drift from the bit-frozen default "
+            "rounding (same budget class as fold/pack/bf16)",
+        )
+        parser.add_argument(
             "--pallas-engine", choices=["auto", "windowed", "mega"],
             default=env_default("GRAYSCOTT_PALLAS_ENGINE", "auto"),
             help="Kernel engine: 'mega' runs the whole step loop in one "
@@ -916,6 +950,7 @@ class PallasSimulation(Simulation):
             "engine": getattr(ns, "pallas_engine", "auto"),
             "pack": getattr(ns, "pallas_pack", "auto"),
             "naive_fix": getattr(ns, "pallas_naive_fix", "select"),
+            "naive_fold": getattr(ns, "pallas_naive_fold", "off") == "on",
         }
 
     @staticmethod

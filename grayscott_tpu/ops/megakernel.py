@@ -86,7 +86,7 @@ def _mega_kernel(
     strip_store: bool = False, n_shards: int = 1,
     tc: int | None = None, chalo: int = 0, c_blocks: int = 1,
     c_dom: int | None = None, n_shard_cols: int = 1,
-    depth: int = 2, specialize: bool = False,
+    depth: int = 2, specialize: bool = False, fast_fold: bool = False,
 ):
     """One whole run: scal = [n_time_blocks] (+ [my_shard] when
     sharded); refs = optional reaction SMEM, then (u_pair, v_pair) HBM
@@ -170,7 +170,7 @@ def _mega_kernel(
     store_f32 = hbm[0].dtype == jnp.float32
     precompute, step = ps.make_window_stepper(
         params, boundary, w, wc, halo, chalo, dtype=jnp.float32,
-        reaction=reaction, pack=pack,
+        reaction=reaction, pack=pack, fast_fold=fast_fold,
     )
     # block-local column index; column-tiled windows add bc*tc per window
     gcol0 = ps._col_iota(wc) - chalo
@@ -855,7 +855,7 @@ def megastep_impl(
     strip_store: bool = False, n_shards: int = 1, my_shard=None,
     tc: int | None = None, c_dom: int | None = None,
     n_shard_cols: int = 1, my_shard_col=None,
-    depth: int = 2, specialize: bool = False,
+    depth: int = 2, specialize: bool = False, fast_fold: bool = False,
 ):
     """Advance the pair state by ``n_blocks`` (traced) x ``steps`` (static,
     <= halo) simulation steps in ONE kernel launch. Returns the new pairs
@@ -884,6 +884,11 @@ def megastep_impl(
         # the strip-store fix-up writes scratch refs inside the step
         # loop; duplicating it across the cond branches buys nothing
         raise UnsupportedConfigError("specialize and strip_store conflict")
+    if fast_fold and strip_store:
+        raise UnsupportedConfigError("fast_fold and strip_store conflict")
+    if fast_fold and boundary != "naive":
+        raise UnsupportedConfigError("fast_fold applies to the naive "
+                                     "boundary")
     if strip_store and boundary != "naive":
         raise UnsupportedConfigError("strip_store is naive-only")
     if strip_store and (n_shards > 1 or n_shard_cols > 1):
@@ -976,6 +981,7 @@ def megastep_impl(
         strip_store=strip_store, n_shards=n_shards,
         tc=tc, chalo=chalo, c_blocks=c_blocks, c_dom=c_dom,
         n_shard_cols=n_shard_cols, depth=depth, specialize=specialize,
+        fast_fold=fast_fold,
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     operands = [scalars]
@@ -1023,7 +1029,8 @@ def megastep_impl(
 
 _STATIC = ("steps", "tr", "r", "params", "boundary", "halo", "interpret",
            "vmem_limit_bytes", "dt_is_one", "strip_store", "n_shards",
-           "tc", "c_dom", "n_shard_cols", "depth", "specialize")
+           "tc", "c_dom", "n_shard_cols", "depth", "specialize",
+           "fast_fold")
 
 megastep = jax.jit(
     megastep_impl,

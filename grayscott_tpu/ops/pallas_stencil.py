@@ -214,6 +214,7 @@ def make_window_stepper(
     mask_cols: bool | None = None,
     fold: Tuple[int, int, int] | None = None,
     pack: bool = False,
+    fast_fold: bool = False,
 ):
     """Build the per-window step for one in-VMEM iteration.
 
@@ -279,6 +280,26 @@ def make_window_stepper(
     """
     plan = params.separable_plan()
     w = params.weights_array()
+    if fast_fold:
+        # the FOLDED naive mode (opt-in, ulp-budget — VERDICT r3 #3):
+        # the naive update's u-linear terms (the Euler identity, the
+        # feed drain, AND the clamped-window `- x*b_field` center
+        # correction) collect into ONE per-window coefficient FIELD
+        # per species:
+        #     u' = ((Cu*s_u - dt*uv2) + E) + AUvec*u,
+        #     AUvec = (1 - dt*f) - Cu*b_field        (BVvec likewise)
+        # — the zero path's v4 linear fold generalized to a spatially
+        # varying coefficient. Saves the 2 subtracts/multiplies of the
+        # b_field application and the naive-ordered reaction's extra
+        # ~10 full-window ops; the two quirk strips are re-derived with
+        # NARROW math and selected in as before. Reassociates the f32
+        # sum, so results drift ulp-scale from the bit-frozen naive
+        # default (same budget as fold/pack/strip_store); the quirk
+        # strip VALUES themselves keep their op order.
+        if boundary != "naive":
+            raise ValueError("fast_fold applies to the naive boundary")
+        if fold is not None or pack:
+            raise ValueError("fast_fold excludes lane-fold and pack")
     if pack:
         if fold is not None or chalo != 0:
             raise UnsupportedConfigError("pack excludes fold and column halos")
@@ -348,9 +369,11 @@ def make_window_stepper(
         def laplacian(x, b_field):
             t = h1 * x + h0 * (shift_cols(x, 1) + shift_cols(x, -1))
             s = h1 * t + h0 * (shift_rows(t, 1) + shift_rows(t, -1))
-            if boundary == "zero":
-                # the ``- alpha*x`` center correction is folded into the
-                # reaction's Au/Bv coefficients (see _zero_fold_coeffs)
+            if boundary == "zero" or b_field is None:
+                # zero: the ``- alpha*x`` center correction is folded
+                # into the reaction's Au/Bv coefficients
+                # (_zero_fold_coeffs); naive fast_fold: the b_field
+                # correction rides AUvec/BVvec the same way
                 return s
             return s - x * b_field
 
@@ -404,6 +427,8 @@ def make_window_stepper(
                 for j in range(3):
                     if w[i][j] != 0.0:
                         full = full + float(w[i][j]) * taps[(i, j)]
+            if b_field is None:  # naive fast_fold: correction in AUvec
+                return full
             return full - x * b_field
 
         def make_b_field(giota, r_total, gcol, c_total, lcol=None, poff=None,
@@ -455,6 +480,15 @@ def make_window_stepper(
     else:
         (du_rate, dv_rate, f, mfk, dt,
          cu, cv, e_f, au, bv, dt_is_one) = reaction
+    if fast_fold:
+        # naive-fold base coefficients: the zero path's au/bv WITHOUT
+        # the corrected-weight alpha term (naive centers via b_field)
+        if reaction is None:
+            au0 = float(Precision(1.0) - Precision(e_f))
+            bv0 = float(Precision(1.0) + Precision(dt) * Precision(mfk))
+        else:
+            au0 = 1.0 - e_f
+            bv0 = 1.0 + dt * mfk
 
     def precompute(giota, r_total, gcol, c_total, interior=False):
         """Loop-invariant context: domain mask / per-row dt, boundary
@@ -521,12 +555,18 @@ def make_window_stepper(
                 lcol = lcol - jnp.where(
                     past, jnp.int32(fold_cd), jnp.int32(0)
                 )
-        ctx = {
-            "b_field": make_b_field(giota, r_total, gcol,
-                                    fold_cd if fold is not None else c_total,
-                                    lcol=lcol, poff=poff,
-                                    interior=interior),
-        }
+        bf = make_b_field(giota, r_total, gcol,
+                          fold_cd if fold is not None else c_total,
+                          lcol=lcol, poff=poff, interior=interior)
+        if fast_fold:
+            # fold the boundary weight field into the per-species
+            # u-linear coefficients; the laplacian then skips the
+            # `- x*b_field` subtract entirely (b_field=None)
+            ctx = {"b_field": None,
+                   "auvec": au0 - cu * bf,
+                   "bvvec": bv0 - cv * bf}
+        else:
+            ctx = {"b_field": bf}
         # Out-of-domain cells are re-zeroed each step by a predicate
         # select ((W, 1) row predicate for full-width windows; joined
         # with a column predicate for column-haloed/column-padded
@@ -671,6 +711,45 @@ def make_window_stepper(
     def step(u, v, ctx, fix=None):
         full_u = laplacian(u, ctx["b_field"])
         full_v = laplacian(v, ctx["b_field"])
+        if boundary == "naive" and fast_fold:
+            # folded naive (opt-in ulp mode): zero-style linear fold
+            # with per-window coefficient fields; the two quirk strips
+            # are re-derived with NARROW math at their static positions
+            # and selected in (same select count as _fix_naive, but the
+            # bulk update drops from ~19 extra ops to 0)
+            uv_square = u * v * v
+            q = uv_square if dt_is_one else dt * uv_square
+            un = ((cu * full_u - q) + e_f) + ctx["auvec"] * u
+            vn = (cv * full_v + q) + ctx["bvvec"] * v
+            ch0 = chalo
+            strip_u = _left_col_strip(u, w, ctx["ok_s"], ch0)
+            strip_v = _left_col_strip(v, w, ctx["ok_s"], ch0)
+            q0 = q[:, ch0 : ch0 + 1]
+            un0 = ((cu * strip_u - q0) + e_f) + au0 * u[:, ch0 : ch0 + 1]
+            vn0 = (cv * strip_v + q0) + bv0 * v[:, ch0 : ch0 + 1]
+            un = jnp.where(ctx["col0_mask"], un0, un)
+            vn = jnp.where(ctx["col0_mask"], vn0, vn)
+            if ctx["top_mask"] is not None:
+                top_u = _edge_strip_1xc(
+                    u[halo : halo + 1, :], u[halo + 1 : halo + 2, :],
+                    w[0:2, :], ctx["gcol"], ctx["c_total"], ch0,
+                    shift_cols,
+                )
+                top_v = _edge_strip_1xc(
+                    v[halo : halo + 1, :], v[halo + 1 : halo + 2, :],
+                    w[0:2, :], ctx["gcol"], ctx["c_total"], ch0,
+                    shift_cols,
+                )
+                qt = q[halo : halo + 1, :]
+                un_t = ((cu * top_u - qt) + e_f) \
+                    + au0 * u[halo : halo + 1, :]
+                vn_t = (cv * top_v + qt) + bv0 * v[halo : halo + 1, :]
+                un = jnp.where(ctx["top_mask"], un_t, un)
+                vn = jnp.where(ctx["top_mask"], vn_t, vn)
+            if ctx["dommask"] is not None:
+                un = jnp.where(ctx["dommask"], un, 0.0)
+                vn = jnp.where(ctx["dommask"], vn, 0.0)
+            return un, vn
         if boundary == "naive":
             # the bit-frozen path: exact reference-CPU semantics — the
             # parity suite and goldens pin every rounding in this order
@@ -743,7 +822,8 @@ def _kernel(scal_ref, *refs,
             boundary: str, tc: int | None = None,
             runtime_params: bool = False, dt_is_one: bool = False,
             fold: Tuple[int, int, int] | None = None,
-            sanitize: bool = False, strip_store: bool = False):
+            sanitize: bool = False, strip_store: bool = False,
+            fast_fold: bool = False):
     fix_refs = None
     if strip_store:
         *refs, u_fix, v_fix = refs
@@ -767,7 +847,7 @@ def _kernel(scal_ref, *refs,
     store_dtype = u_ref.dtype
     precompute, step = make_window_stepper(
         params, boundary, w_rows, c, halo, chalo, dtype=jnp.float32,
-        reaction=reaction, fold=fold,
+        reaction=reaction, fold=fold, fast_fold=fast_fold,
     )
     origin = scal_ref[0, 0]
     r_total = scal_ref[0, 1]
@@ -884,7 +964,7 @@ def multistep_impl(
     vmem_limit_bytes: int | None = None, zero_padding: bool = True,
     tc: int | None = None, dt_is_one: bool = False,
     fold: Tuple[int, int, int] | None = None, sanitize: bool = False,
-    strip_store: bool = False,
+    strip_store: bool = False, fast_fold: bool = False,
 ):
     """Advance padded state by ``steps`` (<= halo) simulation steps.
 
@@ -994,6 +1074,7 @@ def multistep_impl(
         params=params, boundary=boundary, tc=tc,
         runtime_params=reaction is not None, dt_is_one=dt_is_one,
         fold=fold, sanitize=sanitize, strip_store=strip_store,
+        fast_fold=fast_fold,
     )
     zero_map = (lambda i: (0, 0)) if tc is None else (lambda i, j: (0, 0))
     in_specs = [pl.BlockSpec((1, 4), zero_map, memory_space=pltpu.SMEM)]
@@ -1046,7 +1127,7 @@ def multistep_impl(
 
 _STATIC = ("steps", "tr", "params", "boundary", "halo", "chalo",
            "interpret", "vmem_limit_bytes", "zero_padding", "tc",
-           "dt_is_one", "fold", "sanitize", "strip_store")
+           "dt_is_one", "fold", "sanitize", "strip_store", "fast_fold")
 
 multistep = jax.jit(
     multistep_impl,
@@ -1068,7 +1149,7 @@ def run_blocks(
     vmem_limit_bytes: int | None = None, zero_padding: bool = True,
     tc: int | None = None, dt_is_one: bool = False,
     fold: Tuple[int, int, int] | None = None, sanitize: bool = False,
-    strip_store: bool = False,
+    strip_store: bool = False, fast_fold: bool = False,
 ):
     """Run ``n_blocks`` successive K-step kernel calls in ONE executable.
 
@@ -1096,7 +1177,7 @@ def run_blocks(
             vmem_limit_bytes=vmem_limit_bytes,
             zero_padding=zero_padding and fold is None,
             tc=tc, dt_is_one=dt_is_one, fold=fold, sanitize=sanitize,
-            strip_store=strip_store,
+            strip_store=strip_store, fast_fold=fast_fold,
         )
 
     return jax.lax.fori_loop(0, n_blocks, body, (u_pad, v_pad))

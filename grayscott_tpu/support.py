@@ -37,6 +37,9 @@ MATRIX: tuple[tuple[str, str, str], ...] = (
     ("naive_fix=store x naive x mega/windowed full-width", "ok",
      "rejected with zero boundary, pack, column tiles, sharding, or "
      "mega_specialize (ulp-budget mode, not bit-frozen)"),
+    ("naive_fold x naive x mega/windowed", "ok",
+     "opt-in folded naive reaction (ulp-budget); rejected with zero "
+     "boundary, naive_fix=store, lane-fold pins, or forced residency"),
     ("mega_specialize x full-width two-species", "ok",
      "opt-in ulp-budget mode; silently inert for column-tiled/packed "
      "layouts, rejected with naive_fix=store"),

@@ -36,6 +36,7 @@ sim = PallasSimulation(
     naive_fix=cfg.get("fix", "select"),
     mega_depth=cfg.get("depth"),
     mega_specialize=cfg.get("spec"),
+    naive_fold=cfg.get("nfold", False),
 )
 steps = cfg.get("steps", max(64 * cfg.get("k", 16), 256))
 res = run_one(sim, shape, steps, "compute", reps=5)

@@ -97,6 +97,7 @@ def _run_one(cfg, results) -> None:
             dtype=cfg.get("dtype", "float32"),
             block_rows=cfg.get("tr"), block_cols=cfg.get("tc"),
             mega_depth=cfg.get("depth"), mega_specialize=cfg.get("spec"),
+            naive_fold=cfg.get("nfold", False),
             vmem_limit_bytes=cfg.get("limit"),
         )
         sp = sim.make_species(shape)

@@ -504,3 +504,76 @@ def test_mega_depth_specialize_race_free(rng, params, dma_mode, kw):
         assert _ipc.races is None or not _ipc.races.races_found
     except ImportError:  # pragma: no cover - jax layout drift
         pass
+
+
+@pytest.mark.parametrize("shape,tr,steps", [
+    ((48, 16), 8, 24),
+    ((37, 16), 8, 16),   # padded last block
+    ((19, 32), 8, 9),    # remainder call
+])
+def test_mega_naive_fold_ulp_parity(rng, params, shape, tr, steps):
+    """Folded naive reaction (VERDICT r3 #3, opt-in): per-window
+    coefficient fields replace the b_field subtract and the naive-
+    ordered reaction; quirk strips re-derived narrow. Must agree with
+    the bit-frozen naive path to the usual reassociation budget."""
+    u, v = random_uv(rng, shape)
+    gu, gv = run_mega(u, v, params, "naive", steps, block_rows=tr)
+    fu, fv = run_mega(u, v, params, "naive", steps, block_rows=tr,
+                      naive_fold=True)
+    np.testing.assert_allclose(fu, gu, rtol=0, atol=3e-6)
+    np.testing.assert_allclose(fv, gv, rtol=0, atol=3e-6)
+
+
+def test_mega_naive_fold_long_run_oracle(rng, params):
+    """Error growth over hundreds of steps stays in the fold/pack
+    budget class against the oracle."""
+    u, v = random_uv(rng, (40, 16))
+    ou, ov = oracle.run(u, v, params, 240, "naive")
+    fu, fv = run_mega(u, v, params, "naive", 240, block_rows=8,
+                      naive_fold=True)
+    np.testing.assert_allclose(fu, ou, rtol=0, atol=1e-4)
+    np.testing.assert_allclose(fv, ov, rtol=0, atol=1e-4)
+
+
+def test_windowed_naive_fold_matches_mega_mode(rng, params):
+    """The windowed engine shares the folded stepper: both engines'
+    fold modes agree to reassociation tolerance."""
+    from grayscott_tpu.backends.pallas import PallasSimulation
+
+    u, v = random_uv(rng, (32, 16))
+    outs = []
+    for engine in ("mega", "windowed"):
+        sim = PallasSimulation(params, boundary="naive", interpret=True,
+                               engine=engine, block_rows=8,
+                               naive_fold=True)
+        sp = sim.make_species((32, 16))
+        sp.storage = sim.build_storage(u, v)
+        sim.perform_steps(sp, 16)
+        outs.append(sp.uv_host())
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=0, atol=3e-6)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=0, atol=3e-6)
+
+
+def test_naive_fold_specialize_compose(rng, params):
+    """naive_fold composes with interior/edge specialization: interior
+    blocks then drop mask+top-fix on top of the folded reaction."""
+    u, v = random_uv(rng, (48, 16))
+    gu, gv = run_mega(u, v, params, "naive", 16, block_rows=8)
+    fu, fv = run_mega(u, v, params, "naive", 16, block_rows=8,
+                      naive_fold=True, mega_specialize=True)
+    np.testing.assert_allclose(fu, gu, rtol=0, atol=3e-6)
+    np.testing.assert_allclose(fv, gv, rtol=0, atol=3e-6)
+
+
+def test_naive_fold_rejections(params):
+    """Matrix rules: naive_fold excludes zero boundary, strip-store,
+    lane-fold pins, and forced residency."""
+    from grayscott_tpu.backends.pallas import PallasSimulation
+    from grayscott_tpu.errors import UnsupportedConfigError
+
+    for kw in (dict(boundary="zero"),
+               dict(boundary="naive", naive_fix="store"),
+               dict(boundary="naive", fold=2),
+               dict(boundary="naive", resident="on")):
+        with pytest.raises(UnsupportedConfigError):
+            PallasSimulation(params, interpret=True, naive_fold=True, **kw)
