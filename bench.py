@@ -58,15 +58,20 @@ def measure(r=4096, c=4096, steps=1000, backend=None, boundary="zero"):
     k = getattr(sim, "steps_per_call", 8)
     sim.prepare_steps(species, 2 * k + steps % k)
     sync()
-    # best-of-3, like the in-repo harness (bench/harness.py) and the
-    # reference's criterion sampling: the tunneled dispatch path adds
-    # run-to-run noise that a single sample conflates with kernel time
+    # best-of-5 (bench/harness.py now samples 5 like criterion): the
+    # tunneled dispatch path adds run-to-run noise — and occasionally a
+    # DEGRADED-LINK window where every sync RTT runs 3-4x the ~25 ms
+    # floor (observed r3). A short pause between samples gives a
+    # congested link a chance to drain; the best sample is the honest
+    # kernel+link floor either way.
     dt = float("inf")
-    for _ in range(3):
+    for i in range(5):
         t0 = time.time()
         sim.prepare_steps(species, steps)
         sync()
         dt = min(dt, time.time() - t0)
+        if i < 4:
+            time.sleep(1.0)
     return name, r * c * steps / dt / 1e9, dt
 
 
