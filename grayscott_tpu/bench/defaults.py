@@ -26,17 +26,27 @@ from __future__ import annotations
 #: key format: utils.cache.autotune_key (kernel version, platform,
 #: shape, boundary, stencil[, dtype])
 SHIPPED: dict[str, dict] = {
-    # species-packed megakernel wins at 2048^2-zero (54.6 vs 53.3)
+    # species-packed megakernel wins at 2048^2-zero — the round-2 wall
+    # verdict RE-CONFIRMED on DEVICE time in the round-3 RTT-regime
+    # re-sweep (packed mega 91.60 on-chip vs unpacked mega 91.09, a
+    # within-noise edge, and windowed 75.9; /tmp/hw_queue.log). tr=512
+    # is the measured tile at the packed (2048, 4096) width.
     "v4:v5e:2048x2048:zero:oono-puri": {
-        "engine": "mega", "block_rows": None, "steps_per_call": 16,
-        "fold": 1, "pack": True, "gcells_per_sec": 54.57,
-        "source": "shipped-v5e-r2",
+        "engine": "mega", "block_rows": 512, "steps_per_call": 8,
+        "fold": 1, "pack": True, "gcells_per_sec": 91.60,
+        "device_gcells_per_sec": 91.60, "wall_gcells_per_sec": 56.88,
+        "source": "shipped-v5e-r3-device",
     },
-    # packed VMEM-resident wins at 512x1024-zero (16.3 vs 14.8)
+    # packed VMEM-resident wins at 512x1024-zero — round-2 wall verdict
+    # re-confirmed on device time (packed resident 97.70 vs resident
+    # 97.48 vs mega 84.6 on-chip): the old wall ranking at this shape
+    # was RTT-noise-ranked (95+ on-chip vs 16 wall) but happened to
+    # pick the same winner
     "v4:v5e:512x1024:zero:oono-puri": {
         "engine": "resident", "block_rows": None, "steps_per_call": 16,
-        "fold": 1, "pack": True, "gcells_per_sec": 16.331,
-        "source": "shipped-v5e-r2",
+        "fold": 1, "pack": True, "gcells_per_sec": 97.70,
+        "device_gcells_per_sec": 97.70, "wall_gcells_per_sec": 15.06,
+        "source": "shipped-v5e-r3-device",
     },
     # unpacked megakernel everywhere else it was measured. The 4096^2
     # records pin block_rows=256: the round-3 ON-CHIP sweep

@@ -385,7 +385,7 @@ def test_shipped_defaults_schema_and_fallback(monkeypatch, tmp_path, params):
     monkeypatch.setenv("GRAYSCOTT_DEVICE_KIND", "TPU v5 lite")
     rec = autotune.lookup(params, (2048, 2048), "zero")
     assert rec is not None and rec["pack"] is True
-    assert rec["source"] == "shipped-v5e-r2"
+    assert rec["source"].startswith("shipped-v5e")
     # the backend acts on the shipped verdict like any measured record
     from grayscott_tpu.backends.pallas import PallasSimulation
 
