@@ -29,7 +29,7 @@ SHIPPED: dict[str, dict] = {
     # species-packed megakernel wins at 2048^2-zero — the round-2 wall
     # verdict RE-CONFIRMED on DEVICE time in the round-3 RTT-regime
     # re-sweep (packed mega 91.60 on-chip vs unpacked mega 91.09, a
-    # within-noise edge, and windowed 75.9; /tmp/hw_queue.log). tr=512
+    # within-noise edge, and windowed 75.9; sweeps/r3/hw_queue.log). tr=512
     # is the measured tile at the packed (2048, 4096) width.
     "v4:v5e:2048x2048:zero:oono-puri": {
         "engine": "mega", "block_rows": 512, "steps_per_call": 8,
@@ -50,7 +50,7 @@ SHIPPED: dict[str, dict] = {
     },
     # unpacked megakernel everywhere else it was measured. The 4096^2
     # records pin block_rows=256: the round-3 ON-CHIP sweep
-    # (/tmp/devrate_r3*.log, BENCHMARKS.md round 3) ranked tr=256 above
+    # (sweeps/r3/, BENCHMARKS.md round 3) ranked tr=256 above
     # the auto geometry (tr=344) on both boundaries — 92.31 vs 91.17
     # zero, 80.15 vs 77.5 naive device Gcell/s; tr=320 (90.44/77.94)
     # and tr=128 (74.34 naive) bracket the optimum. gcells_per_sec is
