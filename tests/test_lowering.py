@@ -297,3 +297,47 @@ def test_megakernel_bf16_lowers_for_tpu():
         jnp.asarray(u_pair), jnp.asarray(v_pair)
     )
     assert "tpu_custom_call" in exp.mlir_module()
+
+
+def test_naive_fold_and_depth_lower_for_tpu():
+    """Round-3 megakernel modes must pass the Mosaic cross-lowering
+    gate: the folded naive stepper (fast_fold), the D-slot DMA ring,
+    and the interior/edge cond specialization."""
+    import numpy as np
+
+    from grayscott_tpu.ops import megakernel as mk
+    from grayscott_tpu.params import Parameters
+
+    params = Parameters()
+    r, c, tr = 64, 256, 16
+    u0 = np.zeros((r, c), np.float32)
+    v0 = np.ones((r, c), np.float32)
+    reaction = ps.reaction_operand(params)
+    kp = params.structure_only()
+    up, vp = mk.mega_pad_state(u0, v0, tr)
+
+    for kw in (dict(boundary="naive", fast_fold=True),
+               dict(boundary="zero", depth=3),
+               dict(boundary="naive", specialize=True)):
+        def fn(u_pair, v_pair, kw=kw):
+            return mk.megastep_impl(
+                u_pair, v_pair, jnp.int32(2), reaction,
+                steps=8, tr=tr, r=r, params=kp, dt_is_one=True, **kw,
+            )
+
+        exp = jax.export.export(jax.jit(fn), platforms=["tpu"])(
+            jnp.asarray(up), jnp.asarray(vp))
+        assert "tpu_custom_call" in exp.mlir_module(), kw
+
+    # windowed fast_fold too
+    upw, vpw = ps.pad_state(u0, v0, tr)
+
+    def fn_w(u_pad, v_pad):
+        return ps.multistep_impl(
+            u_pad, v_pad, -ps.HALO, r, 0, None, reaction,
+            steps=8, tr=tr, params=kp, boundary="naive", fast_fold=True,
+        )
+
+    exp = jax.export.export(jax.jit(fn_w), platforms=["tpu"])(
+        jnp.asarray(upw), jnp.asarray(vpw))
+    assert "tpu_custom_call" in exp.mlir_module()
