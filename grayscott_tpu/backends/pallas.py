@@ -341,6 +341,10 @@ class PallasSimulation(Simulation):
             or self.block_cols is not None
             or self.interpret  # perf adoption; tests pin F explicitly
             or self.resident == "on"  # an explicit resident pin wins
+            # naive_fold excludes the lane-fold layout (constructor rule
+            # for pins); 'auto' must not re-adopt a folded record behind
+            # the user's back — the folded run path has no fast_fold
+            or self.naive_fold
         ):
             return 1
         # 'auto' folds ONLY on a measured autotune verdict — never on the
@@ -382,14 +386,19 @@ class PallasSimulation(Simulation):
                 tc = tuned.get("block_cols")
         if tc is not None and tc >= shape[1]:
             tc = None
+        depth = self.mega_depth or 2
         if tr is None and tc is None:
-            return mk.choose_mega_geometry(*shape, strip_store=strip,
-                                           boundary=self.boundary)
+            return mk.choose_mega_geometry(
+                *shape, strip_store=strip, boundary=self.boundary,
+                depth=depth,
+                specialize=self._mega_specialize_resolved(None),
+            )
         if tr is None:
             tr = mk.choose_mega_rows(
                 *shape, strip_store=strip, tc=tc,
                 chalo=ps.COL_HALO if tc is not None else 0,
-                boundary=self.boundary,
+                boundary=self.boundary, depth=depth,
+                specialize=self._mega_specialize_resolved(tc),
             )
         return tr, tc
 
@@ -401,11 +410,14 @@ class PallasSimulation(Simulation):
             tr, tc = self._mega_tiles(shape)  # pins only: forced engine
             if (isinstance(self.fold, int) and self.fold > 1) or \
                     not mk.mega_ok(shape, tr, strip_store=strip, tc=tc,
-                                   boundary=self.boundary):
+                                   boundary=self.boundary,
+                                   depth=self.mega_depth or 2,
+                                   specialize=self._mega_specialize_resolved(tc)):
                 raise UnsupportedConfigError(
                     "engine='mega' needs windows under the VMEM/compile "
-                    f"ceilings and no lane fold; unsupported for shape "
-                    f"{shape} at tr={tr}, tc={tc}"
+                    f"ceilings (including the pinned mega_depth ring and "
+                    f"mega_specialize graph) and no lane fold; unsupported "
+                    f"for shape {shape} at tr={tr}, tc={tc}"
                 )
             return True
         # auto: the megakernel is the TPU default for every domain it
@@ -418,12 +430,17 @@ class PallasSimulation(Simulation):
         # engine='mega' explicitly); explicit tile/K pins mean "I want
         # THE windowed kernel with these knobs" (also what persisted
         # windowed autotune records rely on).
-        tr, tc = mk.choose_mega_geometry(*shape, strip_store=strip,
-                                         boundary=self.boundary)
+        tr, tc = mk.choose_mega_geometry(
+            *shape, strip_store=strip, boundary=self.boundary,
+            depth=self.mega_depth or 2,
+            specialize=self._mega_specialize_resolved(None),
+        )
         if not (
             not (isinstance(self.fold, int) and self.fold > 1)
             and mk.mega_ok(shape, tr, strip_store=strip, tc=tc,
-                           boundary=self.boundary)
+                           boundary=self.boundary,
+                           depth=self.mega_depth or 2,
+                           specialize=self._mega_specialize_resolved(tc))
             and not self.interpret
             and not self._explicit_k
             and self.block_rows is None
@@ -566,6 +583,17 @@ class PallasSimulation(Simulation):
             tuned = None
         if self._use_mega(u.shape, tuned):
             tr, tc = self._mega_tiles(u.shape, tuned)
+            strip = self.naive_fix == "store"
+            if not mk.mega_ok(u.shape, tr, strip_store=strip, tc=tc,
+                              boundary=self.boundary,
+                              depth=self.mega_depth or 2,
+                              specialize=self._mega_specialize_resolved(tc)):
+                # a tuned record's tiles were measured at the default
+                # double-buffer/single-stepper envelope; under a deeper
+                # mega_depth ring or a specialize pin they can exceed the
+                # VMEM/compile budgets the record never saw — re-derive
+                # the geometry for the pinned envelope instead
+                tr, tc = self._mega_tiles(u.shape)
             u_pair, v_pair = mk.mega_pad_state(u, v, tr, dtype=self.dtype,
                                                tc=tc)
             return ("mega", jnp.asarray(u_pair), jnp.asarray(v_pair),

@@ -326,22 +326,30 @@ def measure_config(
     # drops only the constant host RTT, identical across candidates.
     # The criterion analog: measure the workload, not the harness
     # (compute/shared/src/benchmark.rs:77-113). Wall stays in the
-    # record for audit; tracing failures fall back to wall silently.
+    # record for audit. ``rank_metric`` names the unit gcells_per_sec
+    # carries: a candidate whose trace failed (after one retry) is
+    # tagged 'wall' so autotune() can keep the ranking unit-consistent
+    # instead of comparing a 2-6x smaller wall rate against rivals'
+    # device rates.
     import jax
 
+    rec["rank_metric"] = "wall"
     if not getattr(sim, "interpret", True) and \
             jax.devices()[0].platform in ("tpu", "gpu"):
-        try:
-            from .harness import _device_time_rep
+        from .harness import _device_time_rep
 
-            dev_best = min(
-                _device_time_rep(sim, species, steps)
-                for _ in range(min(2, max(1, reps)))
-            )
+        for _ in range(2):  # one retry: transient profiler failures
+            try:
+                dev_best = min(
+                    _device_time_rep(sim, species, steps)
+                    for _ in range(min(2, max(1, reps)))
+                )
+            except Exception:
+                continue
             rec["device_gcells_per_sec"] = cells / dev_best / 1e9
             rec["gcells_per_sec"] = rec["device_gcells_per_sec"]
-        except Exception:
-            pass
+            rec["rank_metric"] = "device"
+            break
     return rec
 
 
@@ -407,10 +415,20 @@ def autotune(
                   f"/{res['block_cols']})")
         measured.append(dict(res, gcells_per_sec=round(
             res["gcells_per_sec"], 3)))
-    ranked = sorted(
-        (m for m in measured if "error" not in m),
-        key=lambda m: m["gcells_per_sec"], reverse=True,
-    )
+    pool = [m for m in measured if "error" not in m]
+    metrics = {m.get("rank_metric", "wall") for m in pool}
+    if len(metrics) > 1:
+        # mixed units (a trace failed even after retry): rank everything
+        # on the wall rate — a noisier but consistent comparison beats a
+        # device-vs-wall one that silently buries the fastest candidate
+        for m in pool:
+            m["gcells_per_sec"] = round(
+                m.get("wall_gcells_per_sec", m["gcells_per_sec"]), 3)
+            m["rank_metric"] = "wall"
+        if verbose:
+            print("autotune: a device-time trace failed; ranking all "
+                  "candidates on wall clock for unit consistency")
+    ranked = sorted(pool, key=lambda m: m["gcells_per_sec"], reverse=True)
     if not ranked:
         raise RuntimeError("no autotune candidate compiled successfully")
     # suspect call: winner within measurement noise of the runner-up —
@@ -443,6 +461,11 @@ def autotune(
                     params, shape, boundary, dtype=dtype, **cfg
                 )
             except Exception:
+                continue
+            if again.get("rank_metric", "wall") != \
+                    m.get("rank_metric", "wall"):
+                # unit mismatch on the re-measure (trace flaked one way
+                # or the other): keep the original consistent number
                 continue
             m["gcells_per_sec"] = round(
                 max(m["gcells_per_sec"], again["gcells_per_sec"]), 3

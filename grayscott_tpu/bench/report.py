@@ -85,6 +85,13 @@ def build_rows(
                 overlap = _stats.intervals_overlap(st["ci95"], ost["ci95"])
                 entry["within_noise"] = overlap
                 entry["significant"] = not overlap
+                if st.get("median") and ost.get("median"):
+                    # the CI verdict describes the MEDIANS: the delta
+                    # must be the median delta too, or a best-of delta
+                    # can carry the opposite sign of the significance
+                    # label it is printed next to
+                    entry["delta_pct"] = (
+                        st["median"] / ost["median"] - 1.0) * 100.0
         rows.append(entry)
     for k, old in base.items():
         rows.append({

@@ -66,6 +66,15 @@ def summarize(samples: Sequence[float]) -> dict:
     med = _median(xs)
     mad = _median([abs(x - med) for x in xs])
     sig = MAD_TO_SIGMA * mad
+    if sig == 0.0:
+        # MAD degenerates to 0 whenever >= half the samples are
+        # identical (common when rates quantize to the timer grain) —
+        # a zero-width CI would then declare ARBITRARILY small deltas
+        # significant, the opposite of this module's purpose. Floor the
+        # dispersion at the observed half-range, and below that at a
+        # 0.5% measurement grain: claiming better-than-half-a-percent
+        # precision from samples that all collide is not evidence.
+        sig = max((max(xs) - min(xs)) / 2.0, 5e-3 * abs(med))
     half = Z95 * sig / math.sqrt(len(xs))
     q1, q3 = _quartiles(xs)
     iqr = q3 - q1

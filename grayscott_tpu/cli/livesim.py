@@ -314,6 +314,7 @@ def run_web(src: FrameSource, port: int, fps_cap: float, logger) -> int:
     boundary = b"grayscottframe"
     min_dt = 1.0 / max(fps_cap, 1e-3)
     lock = threading.Lock()  # one simulation, many viewers
+    pace = {"next_t": 0.0}  # fps-cap pacing for the /frame.bin pull path
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -375,8 +376,16 @@ def run_web(src: FrameSource, port: int, fps_cap: float, logger) -> int:
             if url.path == "/frame.bin":
                 # one raw palette-index frame (uint8, row-major): the
                 # canvas page colorizes client-side. Each GET advances
-                # the simulation by one frame unless paused.
+                # the simulation by one frame unless paused — so the
+                # --fps-cap applies HERE too, or the client's
+                # requestAnimationFrame rate (60-144 Hz) would drive the
+                # simulation past the user's bound
                 with lock:
+                    now = time.time()
+                    wait = pace["next_t"] - now
+                    if wait > 0:
+                        time.sleep(min(wait, min_dt))
+                    pace["next_t"] = max(now, pace["next_t"]) + min_dt
                     idx = src.frame_idx()
                 body = np.ascontiguousarray(idx).tobytes()
                 self.send_response(200)

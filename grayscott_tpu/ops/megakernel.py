@@ -709,7 +709,8 @@ def mega_vmem_limit(tr: int, halo: int, c: int, species: int = 2,
 def mega_ok(shape, tr: int | None = None, halo: int = MEGA_STEPS,
             species: int = 2, strip_store: bool = False,
             tc: int | None = None, boundary: str = "zero",
-            cover: bool = False) -> bool:
+            cover: bool = False, depth: int = 2,
+            specialize: bool = False) -> bool:
     """Whether the megakernel supports this domain: windows (full-width,
     or ``(w, tc + 256)`` column tiles) must fit the VMEM budget and the
     K-unrolled graph must clear the Mosaic compile ceiling (derated for
@@ -726,7 +727,8 @@ def mega_ok(shape, tr: int | None = None, halo: int = MEGA_STEPS,
     if tc is not None and (strip_store or species != 2):
         return False
     if tr is None and tc is None and species == 2 and not strip_store:
-        tr, tc = choose_mega_geometry(r, c, halo, boundary=boundary)
+        tr, tc = choose_mega_geometry(r, c, halo, boundary=boundary,
+                                      depth=depth, specialize=specialize)
     chalo = ps.COL_HALO if tc is not None else 0
     if tc is not None and not (
         128 <= tc and tc % 128 == 0
@@ -734,19 +736,33 @@ def mega_ok(shape, tr: int | None = None, halo: int = MEGA_STEPS,
     ):
         return False
     tr = tr or choose_mega_rows(r, c, halo, species, strip_store,
-                                tc=tc, chalo=chalo, boundary=boundary)
+                                tc=tc, chalo=chalo, boundary=boundary,
+                                depth=depth, specialize=specialize)
     wc = (tc + 2 * chalo) if tc is not None else c
+    # a depth > 2 ring only acts in the seamless single-chip form; mirror
+    # the run-time clamp (megastep_impl) so a depth pin on a too-small
+    # block count is judged at the depth=2 it will actually run with
+    b_blocks = -(-r // tr)
+    c_blocks = -(-c // tc) if tc is not None else 1
+    seam_cap = (b_blocks * c_blocks if c_blocks == 1
+                else (b_blocks - 1) * c_blocks)
+    if seam_cap < 2 * depth:
+        depth = 2
+    # specialize compiles BOTH steppers under lax.cond per block —
+    # roughly double the K-unrolled graph; gate it like doubled steps
+    csteps = 2 * halo if specialize else halo
     return (
-        mega_vmem_limit(tr, halo, c, species, strip_store, tc, chalo)
-        >= _mega_vmem_est(tr, halo, c, species, strip_store, tc, chalo)
-        and ps.window_compile_ok(tr, halo, wc, boundary, steps=halo)
+        _mega_vmem_est(tr, halo, c, species, strip_store, tc, chalo,
+                       depth=depth) <= device.vmem_tier_cap()
+        and ps.window_compile_ok(tr, halo, wc, boundary, steps=csteps)
     )
 
 
 def choose_mega_rows(r: int, c: int, halo: int = MEGA_STEPS,
                      species: int = 2, strip_store: bool = False,
                      tc: int | None = None, chalo: int = 0,
-                     boundary: str = "zero") -> int:
+                     boundary: str = "zero", depth: int = 2,
+                     specialize: bool = False) -> int:
     """Row-block size: largest padding-free tile whose window pair plus
     slots fit the 120 MB VMEM tier, preferring >= 2 blocks so the inner
     loop can prefetch (B=1 serializes each time block's DMA against
@@ -755,13 +771,14 @@ def choose_mega_rows(r: int, c: int, halo: int = MEGA_STEPS,
     full-width ones."""
     wc = (tc + 2 * chalo) if tc is not None else c
     rp8 = -(-r // 8) * 8
+    csteps = 2 * halo if specialize else halo
     best, best_score = None, None
     for tr in range(8, min(rp8, 1024) + 1, 8):
         w = tr + 2 * halo
-        if not ps.window_compile_ok(tr, halo, wc, boundary, steps=halo):
+        if not ps.window_compile_ok(tr, halo, wc, boundary, steps=csteps):
             break
         if _mega_vmem_est(tr, halo, c, species, strip_store,
-                          tc, chalo) > device.vmem_tier_cap():
+                          tc, chalo, depth=depth) > device.vmem_tier_cap():
             break
         n = -(-r // tr)
         if n == 1 and r > 2 * halo + 8:
@@ -788,7 +805,8 @@ def mega_window_cells(r: int, c: int, tr: int, tc: int | None,
 def choose_mega_geometry(r: int, c: int, halo: int = MEGA_STEPS,
                          strip_store: bool = False,
                          species: int = 2,
-                         boundary: str = "zero") -> tuple[int, int | None]:
+                         boundary: str = "zero", depth: int = 2,
+                         specialize: bool = False) -> tuple[int, int | None]:
     """(tr, tc): the megakernel window geometry for this domain.
 
     Full-width windows (tc=None) are preferred — no column-halo
@@ -801,10 +819,11 @@ def choose_mega_geometry(r: int, c: int, halo: int = MEGA_STEPS,
     3% full-width bias (strided column-sliced DMAs and the (W, Wc)
     column mask are unmodeled costs)."""
     tr_fw = choose_mega_rows(r, c, halo, species, strip_store,
-                             boundary=boundary)
+                             boundary=boundary, depth=depth,
+                             specialize=specialize)
     best: tuple[int, int | None] = (tr_fw, None)
     fw_ok = mega_ok((r, c), tr_fw, halo, species, strip_store,
-                    boundary=boundary)
+                    boundary=boundary, depth=depth, specialize=specialize)
     best_score = (
         mega_window_cells(r, c, tr_fw, None, halo) / 1.03 if fw_ok
         else float("inf")
@@ -815,9 +834,11 @@ def choose_mega_geometry(r: int, c: int, halo: int = MEGA_STEPS,
         if tc >= c:
             continue
         tr = choose_mega_rows(r, c, halo, species, strip_store,
-                              tc=tc, chalo=ps.COL_HALO, boundary=boundary)
+                              tc=tc, chalo=ps.COL_HALO, boundary=boundary,
+                              depth=depth, specialize=specialize)
         if not mega_ok((r, c), tr, halo, species, tc=tc,
-                       boundary=boundary):
+                       boundary=boundary, depth=depth,
+                       specialize=specialize):
             continue
         score = mega_window_cells(r, c, tr, tc, halo)
         if score < best_score:

@@ -40,7 +40,18 @@ sim = PallasSimulation(
 )
 steps = cfg.get("steps", max(64 * cfg.get("k", 16), 256))
 res = run_one(sim, shape, steps, "compute", reps=5)
-print("RESULT " + json.dumps({"config": cfg, **res.to_json()}), flush=True)
+out = {"config": cfg, **res.to_json()}
+import jax
+if jax.devices()[0].platform == "tpu":
+    # on-chip module time rides along so adopt_sweep can gate against
+    # the r3 device-ranked records in the SAME unit (wall carries a
+    # ~25 ms constant tunnel RTT the chip never sees)
+    try:
+        dres = run_one(sim, shape, steps, "device", reps=2)
+        out["device_gcells_per_sec"] = round(dres.gcells_per_sec, 3)
+    except Exception as e:
+        print("device-rate trace failed: %r" % (e,), file=sys.stderr)
+print("RESULT " + json.dumps(out), flush=True)
 """
 
 

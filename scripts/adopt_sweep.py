@@ -81,9 +81,17 @@ def to_record(res: dict) -> dict:
         "steps_per_call": cfg.get("k") or 16,
         "fold": cfg.get("fold") if isinstance(cfg.get("fold"), int) else 1,
         "pack": pack,
-        "gcells_per_sec": round(res["gcells_per_sec"], 3),
+        # run_one's compute workload = wall clock; a device rate (on-chip
+        # module time) rides along when the sweep child measured one. The
+        # record's headline gcells_per_sec follows the autotuner's
+        # convention: device when available, else wall.
+        "wall_gcells_per_sec": round(res["gcells_per_sec"], 3),
+        "gcells_per_sec": round(
+            res.get("device_gcells_per_sec") or res["gcells_per_sec"], 3),
         "source": "sweep",
     }
+    if res.get("device_gcells_per_sec"):
+        rec["device_gcells_per_sec"] = round(res["device_gcells_per_sec"], 3)
     if res.get("stats"):
         # dispersion rides along so later adoptions can reason about
         # noise against THIS record too (bench/stats.py)
@@ -126,8 +134,15 @@ def main(argv=None) -> int:
         by_key.setdefault(key, []).append(res)
     changed = False
     for key, group in by_key.items():
-        ranked = sorted(group, key=lambda r: r["gcells_per_sec"],
-                        reverse=True)
+        # rank on a CONSISTENT unit: on-chip device rate only when every
+        # result in the group carries one, else wall for all (a device
+        # rate is 2-6x a wall rate at small shapes — mixing units buries
+        # the genuinely fastest candidate)
+        if all(r.get("device_gcells_per_sec") for r in group):
+            rank_key = lambda r: r["device_gcells_per_sec"]  # noqa: E731
+        else:
+            rank_key = lambda r: r["gcells_per_sec"]  # noqa: E731
+        ranked = sorted(group, key=rank_key, reverse=True)
         # strip-store results are never auto-adopted: the autotune
         # record schema has no naive_fix field, and silently switching
         # the naive path's fix-up mechanism would change its bit-frozen
@@ -149,18 +164,37 @@ def main(argv=None) -> int:
             candidates += [c for c in [prev_entry]
                            + prev.get("candidates", [])
                            if c not in candidates]
+        # gate the challenger against the stored record in a MATCHED
+        # unit: device-vs-device when both sides carry on-chip rates
+        # (the r3 autotuner/defaults convention — such records always
+        # keep wall_gcells_per_sec alongside), else wall-vs-wall
+        # (legacy wall-only records store wall in gcells_per_sec).
+        if prev and best.get("device_gcells_per_sec") and \
+                prev.get("device_gcells_per_sec"):
+            best_val = best["device_gcells_per_sec"]
+            prev_val = prev["device_gcells_per_sec"]
+            unit = "device"
+        else:
+            best_val = best.get("wall_gcells_per_sec",
+                                best["gcells_per_sec"])
+            prev_val = (prev or {}).get(
+                "wall_gcells_per_sec",
+                (prev or {}).get("gcells_per_sec", 0.0))
+            unit = "wall"
         # noise gate (VERDICT r2 #5): a challenger with sample statistics
         # must beat the stored value beyond its OWN CI95 — a point win
-        # inside the noise band is not evidence. Falls back to the
-        # --margin factor for legacy results without samples.
+        # inside the noise band is not evidence. The sweep's sample stats
+        # are wall-clock, so the CI check applies on the wall comparison
+        # only (device reps carry MAD <= 0.02 on this chip; the --margin
+        # factor still gates them). Falls back to --margin for legacy
+        # results without samples.
         noisy_win = False
-        if prev and best.get("stats"):
+        if prev and best.get("stats") and unit == "wall":
             noisy_win = not stats.significantly_better(
-                best["stats"], prev.get("gcells_per_sec", 0.0))
-        if prev and (noisy_win or prev.get("gcells_per_sec", 0.0)
-                     * args.margin >= best["gcells_per_sec"]):
+                best["stats"], prev_val)
+        if prev and (noisy_win or prev_val * args.margin >= best_val):
             why = ("within the challenger's CI95 noise band" if noisy_win
-                   else f">= {best['gcells_per_sec']}/{args.margin}")
+                   else f"{unit} {prev_val} * margin >= {best_val}")
             print(f"{key}: keep existing "
                   f"{prev.get('gcells_per_sec')} ({why})")
             new = dict(prev, candidates=candidates)

@@ -54,10 +54,6 @@ module_device_ms = xplane.module_device_ms
 
 
 def main(argv=None) -> int:
-    import jax
-
-    from grayscott_tpu.backends.pallas import PallasSimulation
-    from grayscott_tpu.params import Parameters
     from grayscott_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -84,41 +80,46 @@ def _run_one(cfg, results) -> None:
     from grayscott_tpu.backends.pallas import PallasSimulation
     from grayscott_tpu.params import Parameters
 
-    if True:  # (kept for minimal indentation churn)
-        shape = tuple(cfg["shape"])
-        label = cfg.get("label") or "_".join(
-            str(cfg.get(k, "")) for k in
-            ("shape", "engine", "pack", "boundary", "dtype") if cfg.get(k)
-        )
-        steps = int(cfg.get("steps", STEPS))
-        sim = PallasSimulation(
-            Parameters(), boundary=cfg.get("boundary", "zero"),
-            engine=cfg.get("engine", "auto"), pack=cfg.get("pack", "auto"),
-            dtype=cfg.get("dtype", "float32"),
-            block_rows=cfg.get("tr"), block_cols=cfg.get("tc"),
-            mega_depth=cfg.get("depth"), mega_specialize=cfg.get("spec"),
-            naive_fold=cfg.get("nfold", False),
-            vmem_limit_bytes=cfg.get("limit"),
-        )
-        sp = sim.make_species(shape)
-        # warm: compile/load every executable the timed run will use
+    shape = tuple(cfg["shape"])
+    label = cfg.get("label") or "_".join(
+        str(cfg.get(k, "")) for k in
+        ("shape", "engine", "pack", "boundary", "dtype") if cfg.get(k)
+    )
+    steps = int(cfg.get("steps", STEPS))
+    sim = PallasSimulation(
+        Parameters(), boundary=cfg.get("boundary", "zero"),
+        engine=cfg.get("engine", "auto"), pack=cfg.get("pack", "auto"),
+        dtype=cfg.get("dtype", "float32"),
+        block_rows=cfg.get("tr"), block_cols=cfg.get("tc"),
+        mega_depth=cfg.get("depth"), mega_specialize=cfg.get("spec"),
+        naive_fold=cfg.get("nfold", False),
+        vmem_limit_bytes=cfg.get("limit"),
+    )
+    sp = sim.make_species(shape)
+    # warm: compile/load every executable the timed run will use
+    sim.perform_steps(sp, steps)
+    sp.result_host()
+    tdir = "/tmp/devrate/" + "".join(
+        c if c.isalnum() else "_" for c in label
+    )
+    shutil.rmtree(tdir, ignore_errors=True)
+    jax.profiler.start_trace(tdir)
+    try:
         sim.perform_steps(sp, steps)
         sp.result_host()
-        tdir = "/tmp/devrate/" + "".join(
-            c if c.isalnum() else "_" for c in label
-        )
-        shutil.rmtree(tdir, ignore_errors=True)
-        jax.profiler.start_trace(tdir)
-        sim.perform_steps(sp, steps)
-        sp.result_host()
+    finally:
+        # an exception inside the trace window (transfer error, OOM)
+        # must still close the profiler session, or every later
+        # config's start_trace fails with "profiler already started" —
+        # defeating main()'s keep-configs-alive handler
         jax.profiler.stop_trace()
-        dev_ms = module_device_ms(tdir)
-        cells = shape[0] * shape[1]
-        rate = cells * steps / (dev_ms * 1e-3) / 1e9 if dev_ms else 0.0
-        row = {"label": label, "steps": steps, "device_ms": round(dev_ms, 3),
-               "device_gcells_per_sec": round(rate, 2)}
-        results.append(row)
-        print("RESULT " + json.dumps(row), flush=True)
+    dev_ms = module_device_ms(tdir)
+    cells = shape[0] * shape[1]
+    rate = cells * steps / (dev_ms * 1e-3) / 1e9 if dev_ms else 0.0
+    row = {"label": label, "steps": steps, "device_ms": round(dev_ms, 3),
+           "device_gcells_per_sec": round(rate, 2)}
+    results.append(row)
+    print("RESULT " + json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

@@ -240,3 +240,39 @@ def test_canvas_endpoints():
     conn.request("GET", "/")
     page = conn.getresponse().read().decode()
     assert "canvas" in page and "/frame.bin" in page and "/palette.bin" in page
+
+
+def test_frame_bin_honors_fps_cap():
+    """--fps-cap must bound the pull path too: the canvas page polls
+    /frame.bin at the client's requestAnimationFrame rate (60-144 Hz),
+    which otherwise drives the simulation past the user's cap
+    (round-4 review)."""
+    port = _free_port()
+    args = livesim.build_parser().parse_args(
+        ["-r", "16", "-c", "24", "--backend", "fused", "--port", str(port)]
+    )
+    src = livesim.FrameSource(args)
+    from grayscott_tpu.utils.logs import init_logging
+
+    t = threading.Thread(
+        target=livesim.run_web,
+        args=(src, port, 5.0, init_logging()), daemon=True,  # 5 fps cap
+    )
+    t.start()
+    deadline = time.time() + 20
+    conn = None
+    while time.time() < deadline:
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+            conn.request("GET", "/frame.bin")
+            conn.getresponse().read()
+            break
+        except (ConnectionRefusedError, OSError):
+            time.sleep(0.2)
+    # 5 back-to-back fetches at a 5 fps cap must take >= ~4 pacing
+    # intervals (200 ms each); uncapped they complete in milliseconds
+    t0 = time.time()
+    for _ in range(5):
+        conn.request("GET", "/frame.bin")
+        conn.getresponse().read()
+    assert time.time() - t0 >= 0.6

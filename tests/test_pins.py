@@ -171,3 +171,92 @@ def test_sharded_mega_rejects_unfittable_slab(params):
                                  np.zeros((r, c), np.float32))
     assert storage[0] == "mega" and storage[4] is not None
     assert mk.mega_ok((r, c), storage[3], tc=storage[4])
+
+
+def test_mega_depth_pin_respects_vmem_envelope(params):
+    """A deep DMA ring multiplies the window/output slots: the envelope
+    must be judged at the PINNED depth, not the default double buffer
+    (round-4 review: mega_depth=8 at a depth-2 geometry compiled a
+    kernel past physical VMEM instead of erroring/adapting)."""
+    tr2 = mk.choose_mega_rows(4096, 4096)
+    # tr=256 keeps 16 row blocks, so the run-time seam cap does NOT
+    # clamp depth=8 back to 2 — the 8-slot ring is judged for real
+    assert mk.mega_ok((4096, 4096), 256, depth=2)
+    assert not mk.mega_ok((4096, 4096), 256, depth=8)
+    # auto geometry shrinks the tile to fit the ring instead
+    tr8 = mk.choose_mega_rows(4096, 4096, depth=8)
+    assert tr8 < tr2
+    assert mk.mega_ok((4096, 4096), tr8, depth=8)
+    assert mk.choose_mega_geometry(4096, 4096, depth=8)[0] == tr8
+    # backend level: a pinned tr past the pinned-depth envelope is a
+    # clean config error, not a Mosaic scoped-VMEM compile failure
+    from grayscott_tpu.errors import UnsupportedConfigError
+
+    sim = PallasSimulation(params, boundary="zero", engine="mega",
+                           block_rows=256, mega_depth=8)
+    with pytest.raises(UnsupportedConfigError, match="mega_depth"):
+        sim.build_storage(np.zeros((4096, 4096), np.float32),
+                          np.zeros((4096, 4096), np.float32))
+
+
+def test_mega_tuned_tiles_revalidated_under_depth_pin(
+    monkeypatch, tmp_path, params
+):
+    """A tuned record's tiles were measured at the default envelope; a
+    deeper mega_depth pin must re-derive geometry rather than run the
+    record's tiles past VMEM (round-4 review)."""
+    _put_record(monkeypatch, tmp_path, (4096, 4096), "zero", {
+        "engine": "mega", "block_rows": 256, "steps_per_call": 16,
+        "block_cols": None, "fold": 1, "pack": False,
+        "gcells_per_sec": 92.0,
+    }, params)
+    sim = PallasSimulation(params, boundary="zero", mega_depth=8,
+                           interpret=False)
+    storage = sim.build_storage(np.zeros((4096, 4096), np.float32),
+                                np.zeros((4096, 4096), np.float32))
+    assert storage[0] == "mega"
+    assert mk.mega_ok((4096, 4096), storage[3], tc=storage[4], depth=8)
+    # without the depth pin the record's tiles apply unchanged
+    sim2 = PallasSimulation(params, boundary="zero", interpret=False)
+    storage2 = sim2.build_storage(np.zeros((4096, 4096), np.float32),
+                                  np.zeros((4096, 4096), np.float32))
+    assert storage2[0] == "mega" and storage2[3] == 256
+
+
+def test_mega_specialize_derates_compile_ceiling(params):
+    """specialize compiles BOTH steppers under lax.cond — roughly twice
+    the K-unrolled graph. The compile-tractability gate must see that,
+    or a near-ceiling geometry sails into the remote-compile hang the
+    guard exists to prevent (round-4 review)."""
+    trn = mk.choose_mega_rows(4096, 4096, boundary="naive")
+    assert mk.mega_ok((4096, 4096), trn, boundary="naive")
+    assert not mk.mega_ok((4096, 4096), trn, boundary="naive",
+                          specialize=True)
+    trs = mk.choose_mega_rows(4096, 4096, boundary="naive",
+                              specialize=True)
+    assert trs < trn
+    assert mk.mega_ok((4096, 4096), trs, boundary="naive",
+                      specialize=True)
+
+
+def test_naive_fold_auto_fold_never_adopts_a_folded_record(
+    monkeypatch, tmp_path, params
+):
+    """naive_fold excludes the lane-fold layout (constructor rule for
+    pins) — but fold='auto' acting on a persisted fold record would
+    silently build the folded storage, whose run path has no fast_fold
+    (round-4 review: the requested mode then did nothing)."""
+    _put_record(monkeypatch, tmp_path, (256, 256), "naive", {
+        "engine": "windowed", "block_rows": 64, "steps_per_call": 8,
+        "block_cols": None, "fold": 2, "pack": False,
+        "gcells_per_sec": 50.0,
+    }, params)
+    sim = PallasSimulation(params, boundary="naive", naive_fold=True,
+                           interpret=False)
+    assert sim._fold_factor((256, 256)) == 1
+    storage = sim.build_storage(np.zeros((256, 256), np.float32),
+                                np.zeros((256, 256), np.float32))
+    assert storage[0] != "folded"
+    # the record still folds a sim WITHOUT naive_fold
+    plain = PallasSimulation(params, boundary="naive", interpret=False)
+    assert plain._fold_factor((256, 256)) == 2

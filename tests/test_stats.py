@@ -33,7 +33,36 @@ def test_summarize_flags_outliers():
 def test_summarize_single_sample():
     s = stats.summarize([5.0])
     assert s["median"] == 5.0 and s["mad"] == 0.0
-    assert s["ci95"] == [5.0, 5.0]
+    # never a zero-width CI: one sample cannot claim perfect precision —
+    # the 0.5% measurement-grain floor applies (round-4 review)
+    assert s["ci95"][0] < 5.0 < s["ci95"][1]
+
+
+def test_summarize_degenerate_mad_keeps_nonzero_ci():
+    """MAD = 0 whenever >= half the samples collide (timer-grain
+    quantization). The CI must fall back to the half-range / grain
+    floor, or arbitrarily small deltas read as 'significant' — the
+    opposite of the noise gate's purpose (round-4 review)."""
+    s = stats.summarize([91.6, 91.6, 91.6, 91.58, 91.62])
+    assert s["mad"] == 0.0
+    lo, hi = s["ci95"]
+    assert hi - lo > 0.0
+    # a -0.1% baseline sits INSIDE the grain-floored interval
+    assert lo < 91.5 * 1.0005 and stats.intervals_overlap(
+        [91.5, 91.5], [lo, hi])
+
+
+def test_gate_delta_follows_the_median_not_best_of():
+    """The CI verdict describes the medians, so the printed delta must
+    be the median delta: a best-of spike in the baseline must not flip
+    an improvement into a 'significant regression' (round-4 review)."""
+    # current: best 90 but median 89; baseline: one 92 spike, median 85
+    cur = _row(g=90.0, samples=[89.0, 88.9, 89.1, 89.0, 90.0])
+    old = _row(g=92.0, samples=[85.0, 84.9, 85.1, 85.0, 92.0])
+    rows = report.build_rows([cur], [old])
+    assert rows[0]["significant"] is True
+    assert rows[0]["delta_pct"] > 0  # median improved: +4.7%
+    assert report.gate(rows) == []  # NOT a regression
 
 
 def test_intervals_overlap():
@@ -189,3 +218,43 @@ def ps_version():
     from grayscott_tpu.ops import pallas_stencil as ps
 
     return ps.KERNEL_VERSION
+
+
+def test_adopt_sweep_gates_in_matched_units(tmp_path, monkeypatch):
+    """r3 records rank on ON-CHIP device rate; sweep challengers measure
+    wall. The adoption gate must compare device-vs-device (both sides
+    carry it) or wall-vs-wall — never a wall CI against a device point,
+    which silently blocks every future adoption (round-4 review)."""
+    import scripts.adopt_sweep as adopt
+    from grayscott_tpu.params import Parameters
+    from grayscott_tpu.utils import cache as c
+
+    monkeypatch.setattr(c, "CACHE_DIR", str(tmp_path))
+    params = Parameters()
+    key = c.autotune_key("v5e", (4096, 4096), "zero",
+                         params.stencil_name(), ps_version())
+    # an r3-style device-ranked record: gcells = device, wall alongside
+    c.save_autotune({key: {"engine": "mega", "block_rows": 256,
+                           "steps_per_call": 16, "fold": 1, "pack": False,
+                           "gcells_per_sec": 92.31,
+                           "device_gcells_per_sec": 92.31,
+                           "wall_gcells_per_sec": 77.9,
+                           "source": "shipped-v5e-r3-device"}})
+    # challenger: device rate 15% above the stored 92.31; its WALL rate
+    # (80.1) sits far below the stored device number — the old gate
+    # compared 80.1 against 92.31 and kept the stale record forever
+    samples = [80.0, 79.9, 80.1, 80.0, 80.05]
+    res = {"config": {"shape": [4096, 4096], "boundary": "zero",
+                      "tr": 192, "k": 16},
+           "gcells_per_sec": max(samples),
+           "device_gcells_per_sec": 106.2,
+           "samples_gcells": samples,
+           "stats": stats.summarize(samples)}
+    log = tmp_path / "sweep.log"
+    log.write_text(json.dumps(res) + "\n")
+    rc = adopt.main([str(log), "--platform", "v5e"])
+    assert rc == 0
+    rec = c.load_autotune()[key]
+    assert rec["block_rows"] == 192  # adopted on the device comparison
+    assert rec["gcells_per_sec"] == 106.2
+    assert rec["wall_gcells_per_sec"] == 80.1
