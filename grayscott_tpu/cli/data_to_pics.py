@@ -60,7 +60,60 @@ def build_parser() -> argparse.ArgumentParser:
         "reference's image-crate writer uses the equivalent fdeflate "
         "fast path), 4-9 = standard deflate for smaller archival files",
     )
+    parser.add_argument(
+        "--gif", default=None, metavar="PATH",
+        help="Additionally assemble an animated GIF of all frames "
+        "(palette-indexed INFERNO, so colors match the PNGs exactly). "
+        "The reference leaves movie assembly to external tools; this "
+        "covers the common small-clip case with no extra dependencies.",
+    )
+    parser.add_argument(
+        "--gif-fps", type=float, default=25.0,
+        help="GIF playback rate in frames/second (default 25)",
+    )
     return parser
+
+
+def write_gif(path: str, h5path: str, fps: float) -> int:
+    """Stream every frame of ``h5path`` into an animated GIF.
+
+    Frames are 8-bit palette indices under the same INFERNO LUT and
+    amplitude scale as the PNG path (``eval_continuous(2.0 * v)``,
+    data-to-pics/src/main.rs:139-142) — GIF's 256-color model is exactly
+    the palette sampler's output, so nothing is lost. Frames flow through
+    a generator: memory stays bounded at one frame regardless of clip
+    length. Returns the number of frames written."""
+    from PIL import Image
+
+    from ..utils.palette import AMPLITUDE_SCALE, inferno_lut
+
+    reader = Reader(h5path)
+    lut = inferno_lut()
+    count = [0]
+
+    def frames():
+        while True:
+            img = reader.read()
+            if img is None:
+                return
+            t = np.nan_to_num(
+                np.clip(img * np.float32(AMPLITUDE_SCALE), 0.0, 1.0),
+                nan=0.0, copy=False,
+            )
+            idx = (t * np.float32(len(lut) - 1)).round().astype(np.uint8)
+            im = Image.fromarray(idx, "P")
+            im.putpalette(lut.tobytes())
+            count[0] += 1
+            yield im
+
+    gen = frames()
+    first = next(gen)
+    first.save(
+        path, save_all=True, append_images=gen,
+        duration=max(int(round(1000.0 / max(fps, 1e-3))), 1), loop=0,
+    )
+    reader.close()
+    return count[0]
 
 
 def main(argv=None) -> int:
@@ -182,6 +235,10 @@ def main(argv=None) -> int:
     if errors:
         raise errors[0]
     logger.info("wrote %d images to %s", idx, args.output_dir)
+    if args.gif:
+        n = write_gif(args.gif, simulation_output_path(args.input),
+                      args.gif_fps)
+        logger.info("wrote %d-frame GIF to %s", n, args.gif)
     return 0
 
 

@@ -239,3 +239,31 @@ def test_simulate_preset_flag(tmp_path):
     )
     with Reader(out) as r:
         np.testing.assert_allclose(r.read(), v, rtol=0, atol=1e-6)
+
+
+def test_data_to_pics_gif_export(tmp_path):
+    """--gif assembles an animated GIF whose frames are the same
+    palette-indexed INFERNO colorization as the PNGs."""
+    out = tmp_path / "output.h5"
+    rc = simulate.main(["-n", "5", "-r", "24", "-c", "32", "-e", "4",
+                        "--backend", "fused", "-o", str(out)])
+    assert rc == 0
+    picdir = tmp_path / "pics"
+    gif = tmp_path / "run.gif"
+    rc = data_to_pics.main(["-i", str(out), "-o", str(picdir),
+                            "--gif", str(gif), "--gif-fps", "10"])
+    assert rc == 0
+    from PIL import Image
+
+    with Image.open(gif) as im:
+        assert im.format == "GIF"
+        assert im.n_frames == 5
+        assert im.size == (32, 24)
+        assert im.info.get("duration") == 100  # 10 fps
+        # frame colors match the PNG path's LUT: compare frame 0
+        im.seek(0)
+        rgb = np.asarray(im.convert("RGB"))
+    png0 = np.asarray(Image.open(sorted(picdir.iterdir())[0]))
+    # GIF uses nearest-index sampling vs the PNG's interpolated LUT:
+    # identical up to one LUT step
+    assert np.abs(rgb.astype(int) - png0.astype(int)).max() <= 16
