@@ -61,10 +61,16 @@ SHIPPED: dict[str, dict] = {
         "device_gcells_per_sec": 92.31, "wall_gcells_per_sec": 77.9,
         "source": "shipped-v5e-r3-device",
     },
+    # round-4 device-ranked confirmation: the auto geometry (full-width
+    # tr=152, the VMEM cap) measured 87.09 on-chip, bracketed by tr=128
+    # (84.97) and the column-tiled 304x4096 (87.14, within noise of
+    # auto) / 256x4096 (84.23) — the 4096^2 tr-re-pin anomaly does NOT
+    # recur here; auto stays (sweeps/r4/devrate_r4.log)
     "v4:v5e:8192x8192:zero:oono-puri": {
         "engine": "mega", "block_rows": None, "steps_per_call": 16,
-        "fold": 1, "pack": False, "gcells_per_sec": 83.919,
-        "source": "shipped-v5e-r2",
+        "fold": 1, "pack": False, "gcells_per_sec": 87.09,
+        "device_gcells_per_sec": 87.09, "wall_gcells_per_sec": 83.919,
+        "source": "shipped-v5e-r4-device",
     },
     "v4:v5e:4096x4096:naive:oono-puri": {
         "engine": "mega", "block_rows": 256, "steps_per_call": 16,
@@ -104,10 +110,14 @@ SHIPPED: dict[str, dict] = {
     # choose_mega_geometry — at these widths that is tc=4096 column
     # tiles (83.0 vs 77.3 full-width at 16384^2-zero; 75.9 vs 53.8
     # windowed at 4096x32768)
+    # round-4 device-ranked confirmation: auto (column-tiled 304x4096)
+    # measured 87.23 on-chip vs 85.83 at tr=272 and 84.51 at tr=256 —
+    # the heuristic's pick is the measured optimum at this width
     "v4:v5e:16384x16384:zero:oono-puri": {
         "engine": "mega", "block_rows": None, "steps_per_call": 16,
-        "fold": 1, "pack": False, "gcells_per_sec": 83.049,
-        "source": "shipped-v5e-r2",
+        "fold": 1, "pack": False, "gcells_per_sec": 87.23,
+        "device_gcells_per_sec": 87.23, "wall_gcells_per_sec": 83.049,
+        "source": "shipped-v5e-r4-device",
     },
     "v4:v5e:4096x32768:zero:oono-puri": {
         "engine": "mega", "block_rows": None, "steps_per_call": 16,

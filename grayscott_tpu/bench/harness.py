@@ -87,9 +87,15 @@ def _device_time_rep(sim, species, steps: int) -> float:
     tdir = tempfile.mkdtemp(prefix="gs_devtime_")
     try:
         jax.profiler.start_trace(tdir)
-        sim.prepare_steps(species, steps)
-        _sync_tiny(species)
-        jax.profiler.stop_trace()
+        try:
+            sim.prepare_steps(species, steps)
+            _sync_tiny(species)
+        finally:
+            # a mid-trace failure must still close the profiler session,
+            # or every later start_trace in this process raises "profiler
+            # already started" — silently downgrading the autotuner's
+            # whole ranking to wall clock (the retry could never succeed)
+            jax.profiler.stop_trace()
         dev_ms = xplane.module_device_ms(tdir)
     finally:
         shutil.rmtree(tdir, ignore_errors=True)

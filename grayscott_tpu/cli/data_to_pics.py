@@ -63,9 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--gif", default=None, metavar="PATH",
         help="Additionally assemble an animated GIF of all frames "
-        "(palette-indexed INFERNO, so colors match the PNGs exactly). "
-        "The reference leaves movie assembly to external tools; this "
-        "covers the common small-clip case with no extra dependencies.",
+        "(256-color INFERNO palette, nearest-index sampling: colors "
+        "match the PNGs within one LUT step). The reference leaves "
+        "movie assembly to external tools; this covers the common "
+        "small-clip case with no extra dependencies.",
     )
     parser.add_argument(
         "--gif-fps", type=float, default=25.0,
@@ -79,10 +80,13 @@ def write_gif(path: str, h5path: str, fps: float) -> int:
 
     Frames are 8-bit palette indices under the same INFERNO LUT and
     amplitude scale as the PNG path (``eval_continuous(2.0 * v)``,
-    data-to-pics/src/main.rs:139-142) — GIF's 256-color model is exactly
-    the palette sampler's output, so nothing is lost. Frames flow through
-    a generator: memory stays bounded at one frame regardless of clip
-    length. Returns the number of frames written."""
+    data-to-pics/src/main.rs:139-142), sampled nearest-index (within one
+    LUT step of the PNGs' interpolated colors — GIF's 256-color model).
+    Frames flow through a generator, so memory stays bounded at one
+    frame regardless of clip length; this is a deliberate second pass
+    over the file — GIF frames must arrive in order, while the PNG
+    pipeline's writer pool completes out of order. Returns the number of
+    frames written."""
     from PIL import Image
 
     from ..utils.palette import AMPLITUDE_SCALE, inferno_lut
@@ -106,13 +110,15 @@ def write_gif(path: str, h5path: str, fps: float) -> int:
             count[0] += 1
             yield im
 
-    gen = frames()
-    first = next(gen)
-    first.save(
-        path, save_all=True, append_images=gen,
-        duration=max(int(round(1000.0 / max(fps, 1e-3))), 1), loop=0,
-    )
-    reader.close()
+    try:
+        gen = frames()
+        first = next(gen)
+        first.save(
+            path, save_all=True, append_images=gen,
+            duration=max(int(round(1000.0 / max(fps, 1e-3))), 1), loop=0,
+        )
+    finally:
+        reader.close()
     return count[0]
 
 

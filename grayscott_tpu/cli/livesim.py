@@ -379,13 +379,17 @@ def run_web(src: FrameSource, port: int, fps_cap: float, logger) -> int:
                 # the simulation by one frame unless paused — so the
                 # --fps-cap applies HERE too, or the client's
                 # requestAnimationFrame rate (60-144 Hz) would drive the
-                # simulation past the user's bound
+                # simulation past the user's bound. Claim a pacing slot
+                # under the lock but SLEEP outside it: the slider/toggle/
+                # stream handlers share the lock and must not stall for
+                # up to 1/fps_cap per paced request.
                 with lock:
                     now = time.time()
                     wait = pace["next_t"] - now
-                    if wait > 0:
-                        time.sleep(min(wait, min_dt))
                     pace["next_t"] = max(now, pace["next_t"]) + min_dt
+                if wait > 0:
+                    time.sleep(min(wait, min_dt))
+                with lock:
                     idx = src.frame_idx()
                 body = np.ascontiguousarray(idx).tobytes()
                 self.send_response(200)

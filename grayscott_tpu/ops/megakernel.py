@@ -724,6 +724,11 @@ def mega_ok(shape, tr: int | None = None, halo: int = MEGA_STEPS,
     a 2-D mesh shard the ring IS the mesh column halo (shape is then
     the per-shard slab)."""
     r, c = shape
+    if tc is not None:
+        # column-tiled layouts silently decline specialize (backends/
+        # pallas._mega_specialize_resolved): never charge them its
+        # doubled-graph compile derate
+        specialize = False
     if tc is not None and (strip_store or species != 2):
         return False
     if tr is None and tc is None and species == 2 and not strip_store:
@@ -771,7 +776,8 @@ def choose_mega_rows(r: int, c: int, halo: int = MEGA_STEPS,
     full-width ones."""
     wc = (tc + 2 * chalo) if tc is not None else c
     rp8 = -(-r // 8) * 8
-    csteps = 2 * halo if specialize else halo
+    # column-tiled layouts decline specialize: no doubled-graph derate
+    csteps = 2 * halo if (specialize and tc is None) else halo
     best, best_score = None, None
     for tr in range(8, min(rp8, 1024) + 1, 8):
         w = tr + 2 * halo
@@ -833,12 +839,15 @@ def choose_mega_geometry(r: int, c: int, halo: int = MEGA_STEPS,
     for tc in (8192, 4096, 2048, 1024):
         if tc >= c:
             continue
+        # column-tiled runs always decline specialize — judge these
+        # candidates without its compile derate, or a mega_specialize
+        # pin silently degrades wide domains to slower full-width tiles
         tr = choose_mega_rows(r, c, halo, species, strip_store,
                               tc=tc, chalo=ps.COL_HALO, boundary=boundary,
-                              depth=depth, specialize=specialize)
+                              depth=depth, specialize=False)
         if not mega_ok((r, c), tr, halo, species, tc=tc,
                        boundary=boundary, depth=depth,
-                       specialize=specialize):
+                       specialize=False):
             continue
         score = mega_window_cells(r, c, tr, tc, halo)
         if score < best_score:

@@ -260,3 +260,15 @@ def test_naive_fold_auto_fold_never_adopts_a_folded_record(
     # the record still folds a sim WITHOUT naive_fold
     plain = PallasSimulation(params, boundary="naive", interpret=False)
     assert plain._fold_factor((256, 256)) == 2
+
+
+def test_specialize_pin_keeps_column_tiling():
+    """Column-tiled layouts decline specialize, so the geometry choice
+    must not charge tc candidates its doubled-graph compile derate — a
+    mega_specialize pin on a wide domain must not silently degrade to
+    slower full-width tiles (round-4 review)."""
+    plain = mk.choose_mega_geometry(16384, 16384)
+    assert plain[1] is not None  # column tiling wins at this width
+    assert mk.choose_mega_geometry(16384, 16384, specialize=True) == plain
+    assert mk.mega_ok((16384, 16384), plain[0], tc=plain[1],
+                      specialize=True)
