@@ -54,6 +54,8 @@ def make_mesh(n_devices: int | None = None, n_cols: int = 1) -> Mesh:
     virtual/CPU devices carry no topology, so they keep plain order."""
     devices = jax.devices()
     n = n_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, have {len(devices)}")
     if n % n_cols != 0:
         raise ValueError(f"{n} devices not divisible by {n_cols} mesh columns")
     shape = (n // n_cols, n_cols)
@@ -90,7 +92,12 @@ def choose_mesh_cols(n: int, shape, min_rows: int = 8,
         return 0 if extent == 1 else (1 if extent == 2 else 2)
 
     cost_1d = nb(n) * c
-    best_nc, best_cost = 1, cost_1d
+    # the 1-D baseline must pass its own viability rule: n 1-row-ish
+    # shards (< min_rows) burn most of every chip on masked padding —
+    # when a 2-D factorization IS viable, prefer it outright
+    viable_1d = n == 1 or -(-r // n) >= min_rows
+    best_nc = 1
+    best_cost = cost_1d if viable_1d else float("inf")
     for nc in range(2, n + 1):
         if n % nc:
             continue
@@ -102,6 +109,8 @@ def choose_mesh_cols(n: int, shape, min_rows: int = 8,
         cost = nb(nr) * -(-c // nc) + nb(nc) * -(-r // nr)
         if cost < best_cost:
             best_nc, best_cost = nc, cost
+    if not viable_1d:
+        return best_nc  # any viable 2-D beats a non-viable 1-D
     # a 2-D mesh must beat 1-D by the bias margin, not merely tie
     return best_nc if best_cost < bias * cost_1d else 1
 
@@ -114,6 +123,17 @@ def make_mesh_1d(n_devices: int | None = None) -> Mesh:
     n = n_devices or len(devices)
     if n > len(devices):
         raise ValueError(f"requested {n} devices, have {len(devices)}")
+    if devices[0].platform == "tpu" and n == len(devices):
+        # same ICI-adjacency layout as make_mesh: the megakernel's
+        # remote DMAs push to logical ids my±1, which must sit on
+        # neighboring links, not jax.devices() enumeration order
+        try:
+            from jax.experimental import mesh_utils
+
+            grid = mesh_utils.create_device_mesh((n,))
+            return Mesh(grid, (ROWS,))
+        except Exception:  # odd topologies: fall back to plain order
+            pass
     return Mesh(np.asarray(devices[:n]), (ROWS,))
 
 
@@ -196,6 +216,15 @@ def sharded_run_blocks(
     wp = u.shape[3]
     r_loc = hp - 2 * halo
     c_loc = wp - 2 * chalo
+    if dict(mesh.shape).get(COLS, 1) > 1 and chalo <= 0:
+        # shard_state enforces this for its callers; enforce it HERE too,
+        # because without the column-halo ring there is no inter-shard
+        # column exchange and every shard-column seam silently computes
+        # zero-boundary physics instead of erroring
+        raise ValueError(
+            "a multi-column mesh needs chalo > 0 (the column-halo ring "
+            "carries the inter-shard column exchange)"
+        )
     if c_total is None:
         c_total = c_loc
     if vmem_limit_bytes is None:
@@ -517,7 +546,6 @@ def sharded_mega_run2d(
     fresh halo rows — parallel/halo.py module docstring); every later
     exchange happens inside the kernel."""
     from ..ops import megakernel as mk
-    from ..ops import pallas_stencil as ps
 
     nr, nc = mesh.devices.shape
     if interpret is True:
@@ -566,6 +594,15 @@ def sharded_mega_run2d(
     )(u_pairs, v_pairs, n_blocks, *extra)
 
 
+def _tile_rounded(extent: int, n_shards: int, tile: int) -> int:
+    """ceil(ceil(extent / n_shards) / tile) * tile — the per-shard
+    interior extent, padded so every shard is tile-aligned. The ONE
+    definition: mega_shard_state/mega_shard_state2d/shard_extents must
+    agree with each other or shard geometry silently diverges."""
+    per = -(-extent // n_shards)
+    return -(-per // tile) * tile
+
+
 def mega_shard_state2d(
     u: np.ndarray, v: np.ndarray, mesh: Mesh, tr: int, tc: int,
     halo: int = 8, dtype=np.float32,
@@ -574,12 +611,11 @@ def mega_shard_state2d(
     pairs ``(nr, nc, 2, halo + Rp_loc + halo, CHALO + Cp_loc + CHALO)``
     on a (rows, cols) mesh, sharded on the first two axes. Returns
     (u_pairs, v_pairs, r_loc, c_loc)."""
-    from ..ops import pallas_stencil as ps
 
     r, c = u.shape
     nr, nc = mesh.devices.shape
-    r_loc = -(-(-(-r // nr)) // tr) * tr  # ceil(ceil(r/nr)/tr)*tr
-    c_loc = -(-(-(-c // nc)) // tc) * tc
+    r_loc = _tile_rounded(r, nr, tr)
+    c_loc = _tile_rounded(c, nc, tc)
     h, ch = halo, ps.COL_HALO
     out = []
     for x in (u, v):
@@ -599,7 +635,6 @@ def mega_shard_state2d(
 def mega_unshard_result2d(pairs, shape, halo: int = 8) -> jax.Array:
     """Interior cells of slot 0 across a 2-D mesh of column-tiled mega
     pairs, reassembled and cropped to (R, C)."""
-    from ..ops import pallas_stencil as ps
 
     r, c = shape
     nr, nc = pairs.shape[0], pairs.shape[1]
@@ -622,11 +657,10 @@ def mega_shard_state(
     sanitizes out-of-domain cells on load and the driver pre-exchanges
     live halos). ``dtype`` selects the storage precision (bfloat16 = the
     opt-in fast mode, like ``mega_pad_state``; compute stays f32)."""
-    from ..ops import pallas_stencil as ps
 
     r, c = u.shape
     n_sh = mesh.devices.shape[0]
-    r_loc = -(-(-(-r // n_sh)) // tr) * tr  # ceil(ceil(r/n)/tr)*tr
+    r_loc = _tile_rounded(r, n_sh, tr)
     h = halo
     chalo = ps.COL_HALO if tc is not None else 0
     cp = c if tc is None else -(-c // tc) * tc
@@ -664,7 +698,7 @@ def shard_extents(shape, mesh: Mesh, tr: int) -> Tuple[int, int]:
     data/src/concentration/gpu/shape.rs:141-164)."""
     r, c = shape
     nr, nc = mesh.devices.shape
-    r_loc = -(-(-(-r // nr)) // tr) * tr  # ceil(ceil(r/nr)/tr)*tr
+    r_loc = _tile_rounded(r, nr, tr)
     c_loc = -(-c // nc)
     return r_loc, c_loc
 

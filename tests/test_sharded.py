@@ -324,7 +324,8 @@ def test_auto_mesh_resolution(rng, params):
     u, v = random_uv(rng, (64, 16))
     sim.build_storage(u, v)
     assert sim.mesh is not None
-    assert sim.mesh.devices.shape[-1] if sim.mesh.devices.ndim > 1 else 1 == 1
+    cols = sim.mesh.devices.shape[-1] if sim.mesh.devices.ndim > 1 else 1
+    assert cols == 1  # narrow domain stays 1-D
     # wide square domain on 4 devices -> 2x2
     sim2 = ShardedSimulation(params, n_devices=4, interpret=True,
                              steps_per_call=4)
@@ -367,3 +368,36 @@ def test_overlap2d_falls_back_when_too_narrow(rng, params):
                          block_rows=8, steps_per_call=4, overlap=True)
     np.testing.assert_allclose(gu, ou, rtol=0, atol=2e-6)
     np.testing.assert_allclose(gv, ov, rtol=0, atol=2e-6)
+
+
+def test_choose_mesh_cols_nonviable_1d_prefers_2d():
+    """The 1-D baseline is subject to its own min_rows viability rule:
+    8 one-row shards burn ~8x masked compute, so a viable column-wise
+    factorization must win outright (round-4 review)."""
+    from grayscott_tpu.parallel import halo
+
+    # 32 rows / 8 devices = 4-row shards < min_rows=8 -> 1-D not viable;
+    # the pure-column 1x8 mesh (256-col shards) is
+    assert halo.choose_mesh_cols(8, (32, 2048)) == 8
+    # nothing viable at all: stays 1 (status quo; callers pad)
+    assert halo.choose_mesh_cols(8, (8, 300)) == 1
+
+
+def test_sharded_run_blocks_rejects_multicol_without_chalo():
+    """A multi-column mesh without the column-halo ring has NO
+    inter-shard column exchange — must error, not silently compute
+    zero-boundary physics at every shard-column seam (round-4
+    review)."""
+    import numpy as np
+
+    from grayscott_tpu.parallel import halo
+    from grayscott_tpu.params import Parameters
+
+    mesh = halo.make_mesh(4, 2)
+    z = np.zeros((2, 2, 8 + 16 + 8, 64), np.float32)
+    with pytest.raises(ValueError, match="chalo"):
+        halo.sharded_run_blocks(
+            z, z, 1, mesh=mesh, r_total=32, steps=8, tr=8,
+            params=Parameters(), boundary="zero", chalo=0,
+            interpret=True,
+        )
