@@ -540,10 +540,16 @@ def _mega_kernel(
                 for cp in dst_up:
                     cp.wait_send()
 
-    if not sharded and (
+    if not sharded and halo <= tr and (
         n_b >= 2 * depth if c_blocks == 1
         else (b_blocks - 1) * c_blocks >= 2 * depth
     ):
+        # (halo <= tr: the safety argument below counts on a window
+        # reaching at most ONE neighboring row block; a deeper halo
+        # spans row block br+2, whose previous-time-block output DMA is
+        # not yet semaphore-ordered at prefetch time. halo > tr takes
+        # the draining two-loop form, which has no cross-time-block
+        # in-flight DMAs.)
         # --- seamless pipeline: one flat loop over (time block, row
         # block, column block), so the DMA pipeline never drains at a
         # time boundary. The next iteration's window prefetch crosses the
@@ -724,6 +730,8 @@ def mega_ok(shape, tr: int | None = None, halo: int = MEGA_STEPS,
     a 2-D mesh shard the ring IS the mesh column halo (shape is then
     the per-shard slab)."""
     r, c = shape
+    if tr is not None and (tr < 8 or tr % 8 != 0):
+        return False  # megastep_impl requires 8-row-aligned tiles
     if tc is not None:
         # column-tiled layouts silently decline specialize (backends/
         # pallas._mega_specialize_resolved): never charge them its
@@ -968,9 +976,22 @@ def megastep_impl(
     if tc is not None:
         if strip_store:
             raise UnsupportedConfigError("strip_store needs full-width windows")
+        if specialize:
+            # backends silently decline specialize for column-tiled
+            # layouts; a direct ops-level caller gets the uniform error
+            # instead of an opaque trace-time failure in pallas_stencil
+            raise UnsupportedConfigError(
+                "specialize needs full-width windows (column-tiled "
+                "layouts decline it)"
+            )
         chalo = ps.COL_HALO
-        if tc % 128 != 0 or chalo < steps:
+        if tc % 128 != 0:
             raise ValueError(f"tc must be a multiple of 128, got {tc}")
+        if chalo < steps:
+            raise ValueError(
+                f"temporal depth {steps} exceeds the {chalo}-lane "
+                "column-halo ring"
+            )
         cp = c - 2 * chalo
         if cp % tc != 0:
             raise ValueError(

@@ -577,3 +577,48 @@ def test_naive_fold_rejections(params):
                dict(boundary="naive", resident="on")):
         with pytest.raises(UnsupportedConfigError):
             PallasSimulation(params, interpret=True, naive_fold=True, **kw)
+
+
+def test_mega_deep_halo_exceeding_tr_is_oracle_exact(rng, params):
+    """halo > tr single-chip: the seamless pipeline's safety argument
+    (a window reaches at most ONE neighboring row block) does not hold,
+    so these configs must take the draining two-loop form and stay
+    exact (round-4 review)."""
+    u, v = random_uv(rng, (32, 16))
+    tr, halo, steps = 8, 16, 16
+    up, vp = mk.mega_pad_state(u, v, tr, halo)
+    um, vm = mk.megastep(
+        jnp.asarray(up), jnp.asarray(vp), jnp.int32(2), None,
+        steps=steps, tr=tr, r=32, params=params, boundary="naive",
+        halo=halo, interpret=True,
+    )
+    ou, ov = oracle.run(u, v, params, 32, "naive")
+    np.testing.assert_allclose(np.asarray(um[0, halo:halo + 32]), ou,
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vm[0, halo:halo + 32]), ov,
+                               rtol=0, atol=1e-6)
+
+
+def test_mega_ok_rejects_unaligned_tr():
+    """mega_ok must answer False for tiles megastep_impl rejects
+    (round-4 review: a tr=12 pin passed the support gate, then died at
+    run time instead of falling back)."""
+    assert not mk.mega_ok((1080, 1920), 12)
+    assert not mk.mega_ok((1080, 1920), 4)
+    assert mk.mega_ok((1080, 1920), 16)
+
+
+def test_mega_specialize_with_tc_uniform_error(rng, params):
+    """Direct ops-level specialize + column tiling: the uniform
+    UnsupportedConfigError, not an opaque trace-time failure from
+    pallas_stencil (round-4 review)."""
+    from grayscott_tpu.errors import UnsupportedConfigError
+
+    u, v = random_uv(rng, (16, 640))
+    up, vp = mk.mega_pad_state(u, v, 8, 8, tc=256)
+    with pytest.raises(UnsupportedConfigError, match="full-width"):
+        mk.megastep(
+            jnp.asarray(up), jnp.asarray(vp), jnp.int32(1), None,
+            steps=8, tr=8, r=16, params=params, boundary="zero",
+            halo=8, tc=256, c_dom=640, specialize=True, interpret=True,
+        )
