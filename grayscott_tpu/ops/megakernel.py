@@ -141,9 +141,7 @@ def _mega_kernel(
     if runtime_params:
         react_ref = refs[0]
         refs = refs[1:]
-        reaction = tuple(
-            react_ref[0, i] for i in range(ps.REACTION_LEN)
-        ) + (dt_is_one,)
+        reaction = ps.unpack_reaction(react_ref, dt_is_one)
     else:
         reaction = None
     if pack:
@@ -169,7 +167,7 @@ def _mega_kernel(
     # windowed kernel (pallas_stencil._kernel)
     store_f32 = hbm[0].dtype == jnp.float32
     precompute, step = ps.make_window_stepper(
-        params, boundary, w, wc, halo, chalo, dtype=jnp.float32,
+        params, boundary, wc, halo, chalo, dtype=jnp.float32,
         reaction=reaction, pack=pack, fast_fold=fast_fold,
     )
     # block-local column index; column-tiled windows add bc*tc per window

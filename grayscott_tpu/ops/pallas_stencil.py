@@ -207,8 +207,17 @@ def _left_col_strip(x, w: np.ndarray, ok_s, chalo: int = 0):
     return full
 
 
+def unpack_reaction(react_ref, dt_is_one: bool):
+    """In-kernel unpack of the SMEM runtime-reaction operand — the ONE
+    definition of the operand layout contract (REACTION_LEN scalars +
+    the dt==1 predicate), shared by every kernel that takes one."""
+    return tuple(
+        react_ref[0, i] for i in range(REACTION_LEN)
+    ) + (dt_is_one,)
+
+
 def make_window_stepper(
-    params: Parameters, boundary: str, w_rows: int, c: int, halo: int = HALO,
+    params: Parameters, boundary: str, c: int, halo: int = HALO,
     chalo: int = 0, dtype=Precision, reaction=None,
     zero_fill_rows: bool = False, mask_rows: bool = True,
     mask_cols: bool | None = None,
@@ -830,9 +839,7 @@ def _kernel(scal_ref, *refs,
         fix_refs = (u_fix, v_fix)
     if runtime_params:
         react_ref, u_ref, v_ref, uo_ref, vo_ref = refs
-        reaction = tuple(
-            react_ref[0, i] for i in range(REACTION_LEN)
-        ) + (dt_is_one,)
+        reaction = unpack_reaction(react_ref, dt_is_one)
     else:
         u_ref, v_ref, uo_ref, vo_ref = refs
         reaction = None
@@ -846,7 +853,7 @@ def _kernel(scal_ref, *refs,
     # K-step block (on store), not per step.
     store_dtype = u_ref.dtype
     precompute, step = make_window_stepper(
-        params, boundary, w_rows, c, halo, chalo, dtype=jnp.float32,
+        params, boundary, c, halo, chalo, dtype=jnp.float32,
         reaction=reaction, fold=fold, fast_fold=fast_fold,
     )
     origin = scal_ref[0, 0]
@@ -1001,6 +1008,16 @@ def multistep_impl(
     rp = rp_full - 2 * halo
     if rp % tr != 0 or tr % 8 != 0:
         raise ValueError(f"interior rows {rp} must be a multiple of tr={tr} (tr % 8 == 0)")
+    if chalo and chalo < steps:
+        # per-step lateral invalidation moves 1 column/step: a column
+        # halo shallower than the temporal depth is outrun and the seam
+        # columns silently absorb wrap garbage. Validate on the UNTILED
+        # path too (the 2-D sharded backend's chalo>0/tc=None layout) —
+        # previously only the tc branch checked this, leaving the gap to
+        # caller convention.
+        raise ValueError(
+            f"temporal depth {steps} exceeds the {chalo}-column halo"
+        )
     if fold is not None:
         fold_f, fold_cd, fold_rp = fold
         if tc is not None or chalo != 0:
@@ -1020,11 +1037,15 @@ def multistep_impl(
             )
     if strip_store and (
         boundary != "naive" or tc is not None or chalo != 0
-        or fold is not None
+        or fold is not None or fast_fold
     ):
+        # fast_fold included: its step path returns before the fix refs,
+        # so strip_store would be silently dropped while its two (W, C)
+        # scratch windows still shrink the VMEM budget — megastep
+        # rejects the same combination
         raise ValueError(
             "strip_store is naive-only with full-width windows "
-            "(no column tiling/halos, no fold)"
+            "(no column tiling/halos, no fold, no fast_fold)"
         )
     if c_total is None:
         c_total = c  # single-chip, no column halos
@@ -1188,14 +1209,12 @@ def _resident_kernel(scal_ref, *refs, rp: int, cp: int, r: int, c: int,
                      dt_is_one: bool, unroll: int = 1):
     if runtime_params:
         react_ref, u_ref, v_ref, uo_ref, vo_ref = refs
-        reaction = tuple(
-            react_ref[0, i] for i in range(REACTION_LEN)
-        ) + (dt_is_one,)
+        reaction = unpack_reaction(react_ref, dt_is_one)
     else:
         u_ref, v_ref, uo_ref, vo_ref = refs
         reaction = None
     precompute, step = make_window_stepper(
-        params, boundary, rp, cp, halo=0, chalo=0, dtype=jnp.float32,
+        params, boundary, cp, halo=0, chalo=0, dtype=jnp.float32,
         reaction=reaction, zero_fill_rows=True,
         mask_rows=(rp != r), mask_cols=(cp != c),
     )
@@ -1499,15 +1518,13 @@ def _packed_kernel(*refs, steps: int, tr: int, c: int, halo: int, r: int,
                    dt_is_one: bool, sanitize: bool):
     if runtime_params:
         react_ref, x_ref, xo_ref = refs
-        reaction = tuple(
-            react_ref[0, i] for i in range(REACTION_LEN)
-        ) + (dt_is_one,)
+        reaction = unpack_reaction(react_ref, dt_is_one)
     else:
         x_ref, xo_ref = refs
         reaction = None
     w_rows = tr + 2 * halo
     precompute, step = make_window_stepper(
-        params, "zero", w_rows, c, halo, 0, dtype=jnp.float32,
+        params, "zero", c, halo, 0, dtype=jnp.float32,
         reaction=reaction, pack=True, mask_cols=(c // 2 != c_dom),
     )
     g0 = pl.program_id(0) * tr - halo
@@ -1622,14 +1639,12 @@ def _packed_resident_kernel(scal_ref, *refs, rp: int, cp: int, r: int,
                             dt_is_one: bool, unroll: int = 1):
     if runtime_params:
         react_ref, x_ref, xo_ref = refs
-        reaction = tuple(
-            react_ref[0, i] for i in range(REACTION_LEN)
-        ) + (dt_is_one,)
+        reaction = unpack_reaction(react_ref, dt_is_one)
     else:
         x_ref, xo_ref = refs
         reaction = None
     precompute, step = make_window_stepper(
-        params, "zero", rp, cp, halo=0, chalo=0, dtype=jnp.float32,
+        params, "zero", cp, halo=0, chalo=0, dtype=jnp.float32,
         reaction=reaction, zero_fill_rows=True, pack=True,
         mask_rows=(rp != r), mask_cols=(cp // 2 != c),
     )
@@ -1783,6 +1798,17 @@ def choose_block_rows(
         # ties favor the taller tile (fewer blocks, same compute volume)
         if best_score is None or score <= best_score:
             best, best_score = tr, score
+    if best_score is None and not window_compile_ok(8, halo, c, boundary):
+        # even the minimum tile is past the measured Mosaic compile
+        # ceiling: returning it anyway sends the remote compile into a
+        # tens-of-minutes hang (the guard's whole purpose). Error
+        # clearly; wide domains have the column-tiled megakernel.
+        raise UnsupportedConfigError(
+            f"no {c}-wide full-width window compiles within the Mosaic "
+            f"ceiling at halo={halo} ({boundary}); use column tiling "
+            "(--pallas-block-cols / the mega engine) or fewer steps "
+            "per call"
+        )
     return best
 
 

@@ -26,9 +26,21 @@ _compilation_cache_enabled = False
 
 
 def enable_compilation_cache() -> str:
-    """Point JAX's persistent compilation cache into our cache dir."""
+    """Point JAX's persistent compilation cache into our cache dir.
+
+    ``GRAYSCOTT_NO_PERSISTENT_CACHE=1`` makes this a no-op (the path is
+    still returned). The CPU test suite sets it (tests/conftest.py):
+    once a CLI test enables the cache, every LATER compile in the
+    process gets serialized into it — including interpret-mode Pallas
+    executables whose host-callback serialization segfaulted the
+    interpreter twice at the same test (jax compilation_cache
+    put_executable_and_time, observed 2026-08-21). Real CLI/bench runs
+    keep the cache: their executables are plain compiled programs.
+    """
     global _compilation_cache_enabled
     path = os.path.join(CACHE_DIR, "xla_cache")
+    if os.environ.get("GRAYSCOTT_NO_PERSISTENT_CACHE"):
+        return path
     if not _compilation_cache_enabled:
         os.makedirs(path, exist_ok=True)
         import jax

@@ -17,6 +17,12 @@ if not os.environ.get("GRAYSCOTT_TEST_TPU"):
     # env assignment too (not just jax.config): subprocess-spawning tests
     # (two-process jax.distributed, CLI drivers) inherit the environment
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # never write the persistent compilation cache from the CPU suite:
+    # once a CLI test enables it, every later compile in the process is
+    # serialized into it — and serializing interpret-mode Pallas
+    # executables (host callbacks) segfaulted the interpreter twice at
+    # the same test (utils/cache.enable_compilation_cache docstring)
+    os.environ["GRAYSCOTT_NO_PERSISTENT_CACHE"] = "1"
     from grayscott_tpu.utils.runtime import force_virtual_devices
 
     force_virtual_devices(8)

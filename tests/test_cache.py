@@ -42,11 +42,23 @@ def test_lookup_miss(monkeypatch, tmp_path, params):
 def test_compilation_cache_enable(monkeypatch, tmp_path):
     monkeypatch.setattr(cache, "CACHE_DIR", str(tmp_path))
     monkeypatch.setattr(cache, "_compilation_cache_enabled", False)
-    path = cache.enable_compilation_cache()
-    assert os.path.isdir(path)
+    # the suite-wide kill switch must win: no jax config change, no dir
+    monkeypatch.setenv("GRAYSCOTT_NO_PERSISTENT_CACHE", "1")
     import jax
 
+    before = jax.config.jax_compilation_cache_dir
+    path = cache.enable_compilation_cache()
+    assert path.startswith(str(tmp_path))
+    assert not os.path.isdir(path)  # no-op under the kill switch
+    assert jax.config.jax_compilation_cache_dir == before
+    # without the kill switch the cache is enabled for real
+    monkeypatch.delenv("GRAYSCOTT_NO_PERSISTENT_CACHE")
+    path = cache.enable_compilation_cache()
+    assert os.path.isdir(path)
     assert jax.config.jax_compilation_cache_dir == path
+    # restore: later suite compiles must not write the tmp cache
+    jax.config.update("jax_compilation_cache_dir", before)
+    monkeypatch.setattr(cache, "_compilation_cache_enabled", False)
 
 
 def test_autotune_candidate_normalization():

@@ -2,10 +2,12 @@
 NumPy oracle — covering temporal blocking depths, both boundary semantics,
 tile/domain edge interactions and all stencils."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from grayscott_tpu import oracle
+from grayscott_tpu.ops import pallas_stencil as ps
 from grayscott_tpu.backends.pallas import PallasSimulation
 from grayscott_tpu.params import Parameters, STENCILS
 from grayscott_tpu.species import initial_uv
@@ -364,3 +366,60 @@ def test_resident_unroll_parity(rng, params):
                                    rtol=0, atol=2e-7)
         np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
                                    rtol=0, atol=2e-7)
+
+
+def test_row_tile_smaller_than_halo_stays_exact(rng, params):
+    """tr < halo (a user block_rows pin under the deep-K default): the
+    naive quirk strips and masks must stay anchored to GLOBAL row/column
+    positions in every window, including windows where domain row 0 sits
+    mid-window (round-4 review scenario — held, pinned here)."""
+    u, v = random_uv(rng, (32, 16))
+    for boundary in ("naive", "zero"):
+        sim = PallasSimulation(params, boundary=boundary, interpret=True,
+                               engine="windowed", block_rows=8,
+                               steps_per_call=16)
+        species = sim.make_species((32, 16))
+        species.storage = sim.build_storage(u, v)
+        sim.perform_steps(species, 16)
+        gu, gv = species.uv_host()
+        ou, ov = oracle.run(u, v, params, 16, boundary)
+        np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
+def test_untiled_column_halo_shallower_than_steps_rejected(rng, params):
+    """chalo < steps on the UNTILED path (the 2-D sharded layout):
+    lateral invalidation outruns the ring — must error, not silently
+    corrupt shard-column seams (round-4 review)."""
+    u, v = random_uv(rng, (16, 64))
+    up, vp = ps.pad_state(u, v, 8, 16, chalo=8)
+    with pytest.raises(ValueError, match="column halo"):
+        ps.multistep_impl(
+            jnp.asarray(up), jnp.asarray(vp), -16, 16, -8, 64,
+            steps=16, tr=8, params=params, boundary="zero",
+            halo=16, chalo=8, interpret=True,
+        )
+
+
+def test_choose_block_rows_errors_past_compile_ceiling():
+    """When even the minimum tile exceeds the Mosaic compile ceiling,
+    the chooser must error clearly instead of returning a geometry its
+    own measurements say never compiles (round-4 review)."""
+    from grayscott_tpu.errors import UnsupportedConfigError
+
+    with pytest.raises(UnsupportedConfigError, match="column tiling"):
+        ps.choose_block_rows(4096, 32768, halo=16, boundary="naive")
+
+
+def test_strip_store_conflicts_with_fast_fold(rng, params):
+    """multistep_impl must reject strip_store + fast_fold like megastep
+    does, instead of silently dropping strip_store while budgeting its
+    dead scratch (round-4 review)."""
+    u, v = random_uv(rng, (16, 16))
+    up, vp = ps.pad_state(u, v, 8, 8)
+    with pytest.raises(ValueError, match="fast_fold"):
+        ps.multistep_impl(
+            jnp.asarray(up), jnp.asarray(vp), -8, 16,
+            steps=8, tr=8, params=params, boundary="naive",
+            halo=8, strip_store=True, fast_fold=True, interpret=True,
+        )
