@@ -28,11 +28,21 @@ from ..params import Parameters
 from ..species import Species, initial_uv
 
 
-def env_default(name: str, fallback, cast=None):
-    """CLI default with GRAYSCOTT_* env-var fallback (clap env analog)."""
+def env_default(name: str, fallback, cast=None, choices=None):
+    """CLI default with GRAYSCOTT_* env-var fallback (clap env analog).
+
+    ``choices``: argparse validates only values typed on the command
+    line, NOT string defaults — so an env value like ``true`` for an
+    on/off flag would flow through silently and compare unequal to
+    "on" downstream (the feature quietly off while the user believes
+    it's on). Pass the flag's choices here to fail loudly instead."""
     raw = os.environ.get(name)
     if raw is None:
         return fallback
+    if choices is not None and raw not in choices:
+        raise SystemExit(
+            f"{name}={raw!r}: expected one of {list(choices)}"
+        )
     return (cast or type(fallback))(raw)
 
 

@@ -891,7 +891,8 @@ class PallasSimulation(Simulation):
         )
         parser.add_argument(
             "--pallas-dtype", choices=["float32", "bfloat16"],
-            default=env_default("GRAYSCOTT_PALLAS_DTYPE", "float32"),
+            default=env_default("GRAYSCOTT_PALLAS_DTYPE", "float32",
+                                choices=["float32", "bfloat16"]),
             help="Storage precision: bfloat16 is an opt-in fast mode "
             "(halved HBM traffic and footprint; compute stays f32 in "
             "VMEM) that is NOT bit-compatible with the f32 reference "
@@ -899,7 +900,8 @@ class PallasSimulation(Simulation):
         )
         parser.add_argument(
             "--pallas-resident", choices=["auto", "on", "off"],
-            default=env_default("GRAYSCOTT_PALLAS_RESIDENT", "auto"),
+            default=env_default("GRAYSCOTT_PALLAS_RESIDENT", "auto",
+                                choices=["auto", "on", "off"]),
             help="VMEM-resident whole-domain fast path for small domains "
             "(auto: on TPU when the f32 state fits and no tile is pinned)",
         )
@@ -913,7 +915,8 @@ class PallasSimulation(Simulation):
         )
         parser.add_argument(
             "--pallas-pack", choices=["auto", "on", "off"],
-            default=env_default("GRAYSCOTT_PALLAS_PACK", "auto"),
+            default=env_default("GRAYSCOTT_PALLAS_PACK", "auto",
+                                choices=["auto", "on", "off"]),
             help="Species-packed layout: U and V side by side along "
             "lanes in one array (halves the diffusion op count; zero "
             "boundary only). 'auto' (default) packs only when the "
@@ -921,7 +924,8 @@ class PallasSimulation(Simulation):
         )
         parser.add_argument(
             "--pallas-naive-fix", choices=["select", "store"],
-            default=env_default("GRAYSCOTT_NAIVE_FIX", "select"),
+            default=env_default("GRAYSCOTT_NAIVE_FIX", "select",
+                                choices=["select", "store"]),
             help="Naive-boundary fix-up mechanism: 'select' (default) "
             "patches the quirk strips with full-window masked selects; "
             "'store' uses narrow scratch-ref stores instead "
@@ -929,7 +933,8 @@ class PallasSimulation(Simulation):
         )
         parser.add_argument(
             "--pallas-naive-fold", choices=["on", "off"],
-            default=env_default("GRAYSCOTT_NAIVE_FOLD", "off"),
+            default=env_default("GRAYSCOTT_NAIVE_FOLD", "off",
+                                choices=["on", "off"]),
             help="Folded naive reaction (opt-in fast mode): the naive "
             "update's u-linear terms, including the clamped-window "
             "boundary correction, collapse into per-window coefficient "
@@ -939,7 +944,8 @@ class PallasSimulation(Simulation):
         )
         parser.add_argument(
             "--pallas-engine", choices=["auto", "windowed", "mega"],
-            default=env_default("GRAYSCOTT_PALLAS_ENGINE", "auto"),
+            default=env_default("GRAYSCOTT_PALLAS_ENGINE", "auto",
+                                choices=["auto", "windowed", "mega"]),
             help="Kernel engine: 'mega' runs the whole step loop in one "
             "manual-DMA kernel launch (amortizes the per-call fixed "
             "cost); 'windowed' is the per-K-block pipeline; 'auto' "
@@ -948,7 +954,8 @@ class PallasSimulation(Simulation):
         parser.add_argument(
             "--pallas-runtime-params",
             choices=["on", "off"],
-            default=env_default("GRAYSCOTT_PALLAS_RUNTIME_PARAMS", "on"),
+            default=env_default("GRAYSCOTT_PALLAS_RUNTIME_PARAMS", "on",
+                                choices=["on", "off"]),
             help="Pass the reaction scalars (Du, Dv, f, -(f+k), dt) as a "
             "traced SMEM operand so parameter changes reuse the compiled "
             "kernel (default on; bit-identical to 'off', which folds them "

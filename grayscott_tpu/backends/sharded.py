@@ -98,6 +98,11 @@ class ShardedSimulation(Simulation):
         # (parallel/halo.choose_mesh_cols — the rayon longest-axis-split
         # analog), because the domain shape is unknown here. An explicit
         # int builds the mesh eagerly, exactly as before.
+        if n_devices is not None and n_devices < 1:
+            raise UnsupportedConfigError(
+                f"n_devices must be >= 1, got {n_devices} (omit the flag "
+                "to use every device)"
+            )
         self._n_devices = n_devices
         self.mesh = None
         self.chalo = 0
@@ -132,10 +137,23 @@ class ShardedSimulation(Simulation):
         megakernel's remote DMAs address neighbors by the one row axis,
         so it gets the single-axis mesh; the 2-D megakernel and the
         windowed engine take the (rows, cols) grid."""
+        if mesh_cols < 1:
+            raise UnsupportedConfigError(
+                f"mesh_cols must be >= 1, got {mesh_cols} (omit the flag "
+                "for automatic factorization)"
+            )
         self.mesh = (halo.make_mesh_1d(self._n_devices)
                      if self.engine == "mega" and mesh_cols == 1
                      else halo.make_mesh(self._n_devices, mesh_cols))
-        self.chalo = self.halo if mesh_cols > 1 else 0
+        # windowed 2-D meshes exchange a halo-deep column ring; the 2-D
+        # MEGAKERNEL's ring is the 128-lane COL_HALO (its build path
+        # reads ps.COL_HALO directly — keep this invariant in agreement)
+        if mesh_cols == 1:
+            self.chalo = 0
+        elif self.engine == "mega":
+            self.chalo = ps.COL_HALO
+        else:
+            self.chalo = self.halo
 
     def _resolve_mesh(self, shape) -> None:
         """AUTO mesh factorization on first use: pick (rows, cols) from
@@ -143,9 +161,7 @@ class ShardedSimulation(Simulation):
         unless 2-D cuts per-chip exchange volume decisively."""
         if self.mesh is not None:
             return
-        import jax as _jax
-
-        n = self._n_devices or len(_jax.devices())
+        n = self._n_devices or len(jax.devices())
         self._set_mesh(halo.choose_mesh_cols(n, shape))
 
     def _tr(self, shape) -> int:
@@ -234,6 +250,22 @@ class ShardedSimulation(Simulation):
     def build_storage(self, u: np.ndarray, v: np.ndarray):
         self._resolve_mesh(u.shape)
         if self.engine == "mega":
+            # report pin-alignment violations by name: mega_ok folds
+            # them into a bare False, which the gates below would
+            # misreport as a VMEM failure with remediation advice
+            # ("use the windowed engine") that ALSO rejects the pin
+            if self.block_rows is not None and (
+                    self.block_rows < 8 or self.block_rows % 8):
+                raise UnsupportedConfigError(
+                    "engine='mega' needs block_rows as a positive "
+                    f"multiple of 8, got {self.block_rows}"
+                )
+            if self.block_cols is not None and (
+                    self.block_cols < 128 or self.block_cols % 128):
+                raise UnsupportedConfigError(
+                    "engine='mega' needs block_cols as a positive "
+                    f"multiple of 128, got {self.block_cols}"
+                )
             if self.mesh.devices.ndim == 2:
                 return self._build_storage_mega2d(u, v)
             n_sh = self.mesh.devices.shape[0]
@@ -381,7 +413,8 @@ class ShardedSimulation(Simulation):
     def add_cli_args(cls, parser: argparse.ArgumentParser) -> None:
         parser.add_argument(
             "--sharded-engine", choices=["windowed", "mega"],
-            default=env_default("GRAYSCOTT_SHARDED_ENGINE", "windowed"),
+            default=env_default("GRAYSCOTT_SHARDED_ENGINE", "windowed",
+                                choices=["windowed", "mega"]),
             help="Multi-chip engine: 'windowed' exchanges halos with "
             "ppermute between per-K-block kernel launches; 'mega' runs "
             "the WHOLE step loop in one kernel launch per chip with "
@@ -404,7 +437,8 @@ class ShardedSimulation(Simulation):
         )
         parser.add_argument(
             "--sharded-overlap", choices=["on", "off"],
-            default=env_default("GRAYSCOTT_SHARDED_OVERLAP", "off"),
+            default=env_default("GRAYSCOTT_SHARDED_OVERLAP", "off",
+                                choices=["on", "off"]),
             help="Overlap halo exchange with interior compute by splitting "
             "the per-shard kernel (windowed engine; three slabs on 1-D "
             "meshes, five on 2-D; pays on high-latency DCN links, costs "

@@ -30,7 +30,7 @@ from ..io.hdf5 import Reader
 from ..utils.logs import init_logging
 from ..utils.palette import colorize
 from ..utils.progress import ProgressBar
-from .shared import simulation_output_path
+from .shared import bounded_put, simulation_output_path
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -211,16 +211,9 @@ def main(argv=None) -> int:
         t.start()
 
     def put_checked(item) -> bool:
-        """Bounded put that gives up when every writer thread has died
-        (a plain put would deadlock on a full queue with no consumers,
-        e.g. the output directory became unwritable mid-run)."""
-        while True:
-            try:
-                out_q.put(item, timeout=1.0)
-                return True
-            except queue.Full:
-                if not any(t.is_alive() for t in writers):
-                    return False
+        # dead consumers = every PNG writer thread exited (shared.bounded_put)
+        return bounded_put(
+            out_q, item, lambda: not any(t.is_alive() for t in writers))
 
     idx = 0
     while True:

@@ -135,3 +135,20 @@ def make_simulation(ns: argparse.Namespace):
 def simulation_output_path(path) -> str:
     """Default output file name (ui/src/lib.rs:72-75)."""
     return str(path) if path else "output.h5"
+
+
+def bounded_put(q, item, dead, timeout: float = 1.0) -> bool:
+    """Bounded queue put that keeps checking a dead-consumer predicate:
+    a plain ``q.put`` deadlocks on a full queue whose consumer thread
+    died (full disk, unwritable directory). Returns False when ``dead()``
+    reports no consumer remains. Shared by the simulate and data-to-pics
+    pipelines — one copy of the deadlock-avoidance protocol."""
+    import queue as _queue
+
+    while True:
+        try:
+            q.put(item, timeout=timeout)
+            return True
+        except _queue.Full:
+            if dead():
+                return False

@@ -94,10 +94,6 @@ def main(argv=None) -> int:
     file_name = shared.simulation_output_path(args.output)
 
     sim = shared.make_simulation(args)
-    logger.info(
-        "backend=%s boundary=%s stencil=%s domain=%dx%d",
-        sim.name, sim.boundary, sim.params.stencil_name(), args.nbrow, args.nbcol,
-    )
 
     if args.resume:
         from ..io.checkpoint import load_state
@@ -114,6 +110,13 @@ def main(argv=None) -> int:
         logger.info("resumed from %s at step %d", args.resume, ck_steps)
     else:
         species = sim.make_species(shared.domain_shape(args))
+    # log the shape the run ACTUALLY simulates: a resumed checkpoint's
+    # domain wins over the -r/-c defaults
+    logger.info(
+        "backend=%s boundary=%s stencil=%s domain=%dx%d",
+        sim.name, sim.boundary, sim.params.stencil_name(),
+        species.shape[0], species.shape[1],
+    )
     # one process owns the output file and the progress bar; the others
     # still run the (collective) compute + gather
     primary = dist.is_primary()
@@ -126,16 +129,8 @@ def main(argv=None) -> int:
     q: queue.Queue = queue.Queue(maxsize=max(args.output_buffer, 1))
 
     def put_checked(item) -> bool:
-        """Bounded put that keeps checking for a dead writer thread: a
-        plain q.put would deadlock on a full queue with no consumer (e.g.
-        HDF5 write failed on a full disk)."""
-        while True:
-            try:
-                q.put(item, timeout=1.0)
-                return True
-            except queue.Full:
-                if error:
-                    return False
+        # dead consumer = the writer recorded an error (shared.bounded_put)
+        return shared.bounded_put(q, item, lambda: bool(error))
 
     def io_thread() -> None:
         try:
