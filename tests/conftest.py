@@ -48,3 +48,24 @@ def random_uv(rng, shape):
     u = rng.uniform(0.0, 1.0, shape).astype(np.float32)
     v = rng.uniform(0.0, 1.0, shape).astype(np.float32)
     return u, v
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_state_per_module():
+    """Clear JAX's compiled-program caches after every test module.
+
+    The full suite segfaulted three times inside XLA:CPU — twice while
+    writing interpret-mode executables to the persistent cache (now
+    disabled for tests, see GRAYSCOTT_NO_PERSISTENT_CACHE above) and
+    once inside backend_compile_and_load itself — always in the same
+    late-alphabet module, only after ~500 accumulated in-process
+    compilations, and never when the module runs alone. Dropping
+    references to compiled executables at module boundaries bounds the
+    live JIT code arena instead of letting it grow monotonically for an
+    hour. Shapes/kernels rarely repeat across modules, so the recompile
+    cost is small.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
