@@ -26,6 +26,7 @@ from typing import Iterable, Mapping, Tuple, Union
 
 import numpy as np
 
+from ..errors import UnsupportedConfigError
 from ..ops import megakernel as mk
 from ..ops import pallas_stencil as ps
 from ..params import Parameters
@@ -62,6 +63,16 @@ def _guard_ok(cfg: Mapping, shape, boundary: str) -> bool:
     (column-tiled width when block_cols is pinned; folded width and the
     heuristic row tile for lane-fold candidates; doubled width for
     species-packed candidates)."""
+    try:
+        return _guard_ok_impl(cfg, shape, boundary)
+    except UnsupportedConfigError:
+        # choose_block_rows errors when NO tile compiles at this width
+        # (round-4): for the viability loop that simply means the
+        # candidate is not viable — skip, don't crash the tuner
+        return False
+
+
+def _guard_ok_impl(cfg: Mapping, shape, boundary: str) -> bool:
     if cfg.get("pack") == "on":
         r, c = shape
         pshape = (r, 2 * c)
@@ -125,12 +136,24 @@ def _wide_domain_candidates(
         ps.NAIVE_COMPILE_DERATE if boundary == "naive" else 1.0
     )
     for cfg in base:
-        halo = ps.halo_for_steps(cfg["steps_per_call"])
-        w_rows = cfg["block_rows"] + 2 * halo
+        # arbitrary Mapping candidates may omit either windowed knob
+        # (the _guard_ok contract): default like the runtime does
+        k = cfg.get("steps_per_call") or 16
+        halo = ps.halo_for_steps(k)
+        tr = cfg.get("block_rows")
+        if tr is None:
+            try:
+                tr = ps.choose_block_rows(
+                    shape[0], tc0 + 2 * ps.COL_HALO, halo=halo,
+                    boundary=boundary,
+                )
+            except UnsupportedConfigError:
+                continue
+        w_rows = tr + 2 * halo
         # widest tile this (tr, k) can compile with
-        limit = int(ceiling) // (w_rows * cfg["steps_per_call"])
+        limit = int(ceiling) // (w_rows * k)
         tc_cap = (limit - 2 * ps.COL_HALO) // 128 * 128
-        for tc in sorted(widths):
+        for tc in sorted(widths):  # noqa: B007
             tc = min(tc, tc_cap)
             if tc >= 128 and tc < c:
                 entry = {**cfg, "block_cols": tc}
@@ -217,8 +240,13 @@ def _pack_candidates(shape, boundary: str, dtype: str,
     if ps.resident_ok(pshape):
         out.append(dict(pack="on", resident="on"))
     halo = ps.halo_for_steps(16)
-    tr_w = ps.choose_block_rows(r, 2 * c, halo=halo, boundary="zero",
-                                species=1)
+    try:
+        tr_w = ps.choose_block_rows(r, 2 * c, halo=halo, boundary="zero",
+                                    species=1)
+    except UnsupportedConfigError:
+        # doubled width past the compile ceiling: no windowed pack
+        # candidate (the mega/resident probes above already decided)
+        return out
     if ps.window_compile_ok(tr_w, halo, 2 * c, "zero", 16):
         out.append(dict(pack="on", engine="windowed"))
     return out

@@ -89,17 +89,24 @@ class FrameSource:
         the new state as an in-flight device value: the step dispatch is
         async, and the device->host copy is started eagerly so it rides
         the link while the host colorizes/encodes the PREVIOUS frame."""
-        jnp = self._jnp
         self.sim.prepare_steps(self.species, self.steps_per_frame)
-        v = self.species.result()
-        # palette index on device: clamp(scale * v, 0, 1) * (n - 1)
-        n = len(self.lut)
-        idx = jnp.clip(v * np.float32(AMPLITUDE_SCALE), 0.0, 1.0) * float(n - 1)
-        idx = idx.astype(jnp.int32 if n > 256 else jnp.uint8)
-        # jnp.clip always yields a jax Array (even from numpy inputs on
+        idx = self._to_index(self.species.result())
+        # _to_index always yields a jax Array (even from numpy inputs on
         # the fused CPU path), so the async copy hint is always available
         idx.copy_to_host_async()
         return idx
+
+    def _to_index(self, v):
+        """Device-side palette index: clamp(scale * v, 0, 1) * (n - 1).
+        NaNs (a diverged field, e.g. via the dt slider) map to index 0
+        like utils/palette.colorize — clip propagates NaN, and a NaN
+        cast lands at an arbitrary out-of-range LUT index that would
+        IndexError any palette resolution != 256."""
+        jnp = self._jnp
+        n = len(self.lut)
+        t = jnp.nan_to_num(v * np.float32(AMPLITUDE_SCALE), nan=0.0)
+        idx = jnp.clip(t, 0.0, 1.0) * float(n - 1)
+        return idx.astype(jnp.int32 if n > 256 else jnp.uint8)
 
     def next_idx(self) -> np.ndarray:
         """One-frame pipeline (the analog of the reference's
@@ -124,13 +131,7 @@ class FrameSource:
 
     def _current_idx(self) -> np.ndarray:
         """Palette indices of the CURRENT state, zero simulation steps."""
-        jnp = self._jnp
-        n = len(self.lut)
-        v = self.species.result()
-        idx = (jnp.clip(
-            v * np.float32(AMPLITUDE_SCALE), 0.0, 1.0
-        ) * float(n - 1)).astype(jnp.int32 if n > 256 else jnp.uint8)
-        return np.asarray(idx)
+        return np.asarray(self._to_index(self.species.result()))
 
     def frame_idx(self) -> np.ndarray:
         """Next palette-index frame: advances unless paused.
@@ -175,14 +176,22 @@ class FrameSource:
     def set_params(self, feedrate=None, killrate=None, deltat=None,
                    steps_per_frame=None) -> None:
         """Apply new knob values; physics changes preserve the U/V state."""
-        if steps_per_frame is not None:
-            self.steps_per_frame = max(1, int(steps_per_frame))
-        changed = False
+        # parse EVERY value before applying ANY: a bad later value must
+        # not leave args half-mutated with the sim not rebuilt (the next
+        # unrelated /set would silently apply the rejected change)
+        spf = None if steps_per_frame is None else max(1, int(steps_per_frame))
+        updates = {}
         for attr, val in (("feedrate", feedrate), ("killrate", killrate),
                           ("deltat", deltat)):
-            if val is not None and float(val) != getattr(self.args, attr, None):
-                setattr(self.args, attr, float(val))
-                changed = True
+            if val is not None:
+                fval = float(val)
+                if fval != getattr(self.args, attr, None):
+                    updates[attr] = fval
+        if spf is not None:
+            self.steps_per_frame = spf
+        changed = bool(updates)
+        for attr, fval in updates.items():
+            setattr(self.args, attr, fval)
         if changed:
             from ..species import Species
 
@@ -209,10 +218,13 @@ def run_headless(src: FrameSource, frames: int, outdir: str) -> int:
     os.makedirs(outdir, exist_ok=True)
     width = max(len(str(max(frames - 1, 1))), 1)
     for i in range(frames):
-        if i == frames - 1 and src._pending is not None:
+        if i == frames - 1:
             # drain: show the in-flight frame as the last output instead
             # of dispatching a new frame-step that would never render
-            # (ADVICE r2: N outputs used to cost N+1 frame-steps)
+            # (ADVICE r2: N outputs used to cost N+1 frame-steps; the
+            # frames=1 cold start dispatches exactly once too)
+            if src._pending is None:
+                src._pending = src._dispatch_frame()
             shown, src._pending = src._pending, None
             rgb = src.lut[np.asarray(shown)]
             src._last_rgb = rgb
@@ -388,7 +400,10 @@ def run_web(src: FrameSource, port: int, fps_cap: float, logger) -> int:
                     wait = pace["next_t"] - now
                     pace["next_t"] = max(now, pace["next_t"]) + min_dt
                 if wait > 0:
-                    time.sleep(min(wait, min_dt))
+                    # the FULL assigned wait: truncating to one interval
+                    # would let N concurrent clients drive the sim at
+                    # ~N x fps_cap (each slot is min_dt apart)
+                    time.sleep(wait)
                 with lock:
                     idx = src.frame_idx()
                 body = np.ascontiguousarray(idx).tobytes()

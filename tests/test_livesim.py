@@ -5,6 +5,7 @@ import threading
 import time
 
 import numpy as np
+import pytest
 
 from grayscott_tpu.cli import livesim
 
@@ -276,3 +277,50 @@ def test_frame_bin_honors_fps_cap():
         conn.request("GET", "/frame.bin")
         conn.getresponse().read()
     assert time.time() - t0 >= 0.6
+
+
+def test_diverged_field_nan_safe_index_any_palette():
+    """NaNs from a diverged run map to palette index 0 on the device
+    index path for EVERY palette resolution — clip propagates NaN and a
+    NaN cast is an arbitrary out-of-range LUT index (round-4 review;
+    the 512-entry palette used to IndexError)."""
+    for res in (64, 256, 512):
+        args = livesim.build_parser().parse_args(
+            ["-r", "8", "-c", "16", "--backend", "fused",
+             "--color-palette-resolution", str(res)]
+        )
+        src = livesim.FrameSource(args)
+        import jax.numpy as jnp
+
+        bad = jnp.full((8, 16), np.nan, jnp.float32)
+        idx = np.asarray(src._to_index(bad))
+        assert idx.min() == 0 and idx.max() == 0
+        rgb = src.lut[idx]  # must not IndexError
+        assert rgb.shape == (8, 16, 3)
+
+
+def test_headless_single_frame_costs_one_frame_step(tmp_path):
+    """--frames 1 dispatches exactly one frame-step (round-4 review: the
+    cold-start drain used to dispatch a second, never-rendered frame)."""
+    args = livesim.build_parser().parse_args(
+        ["-r", "8", "-c", "16", "-e", "4", "--backend", "fused",
+         "--frames", "1", "--output-dir", str(tmp_path)]
+    )
+    src = livesim.FrameSource(args)
+    livesim.run_headless(src, 1, str(tmp_path))
+    assert src.species.steps_performed == 4  # one 4-step frame
+
+
+def test_set_params_is_atomic_on_bad_values():
+    """A bad later value must leave NO earlier value applied: args
+    half-mutated without a sim rebuild means the next unrelated /set
+    silently applies the rejected change (round-4 review)."""
+    args = livesim.build_parser().parse_args(
+        ["-r", "8", "-c", "16", "--backend", "fused"]
+    )
+    src = livesim.FrameSource(args)
+    before = src.state()["feedrate"]
+    with pytest.raises(ValueError):
+        src.set_params(feedrate="0.03", killrate="abc")
+    assert src.args.feedrate != 0.03
+    assert src.state()["feedrate"] == before

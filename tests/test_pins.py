@@ -272,3 +272,21 @@ def test_specialize_pin_keeps_column_tiling():
     assert mk.choose_mega_geometry(16384, 16384, specialize=True) == plain
     assert mk.mega_ok((16384, 16384), plain[0], tc=plain[1],
                       specialize=True)
+
+
+def test_autotune_candidate_generation_survives_wide_domains(params):
+    """Candidate generation must SKIP layouts whose tile chooser says no
+    window compiles, not crash the tuner (round-4 review: the new
+    choose_block_rows error propagated out of --autotune at exactly the
+    wide domains the wide-domain candidates exist for)."""
+    from grayscott_tpu.bench import autotune
+
+    packs = autotune._pack_candidates((4096, 16384), "zero", "float32",
+                                      params)
+    assert all(p.get("engine") != "windowed" for p in packs)
+    # Mapping candidates may omit both windowed knobs (_guard_ok contract)
+    wide = autotune._wide_domain_candidates(
+        (4096, 16384), [dict(engine="mega")], "zero")
+    assert wide and all("block_cols" in w for w in wide)
+    assert autotune._guard_ok(dict(block_rows=None),
+                              (4096, 32768), "naive") is False
