@@ -56,7 +56,7 @@ def measure(r=4096, c=4096, steps=1000, backend=None, boundary="zero"):
     from grayscott_tpu.backends import best_backend_name, get_backend
     from grayscott_tpu.params import Parameters
 
-    name = backend or best_backend_name()
+    name = backend or best_backend_name(shape=(r, c))
     if name == "sharded" and len(jax.devices()) == 1:
         name = "pallas"
     sim = get_backend(name)(Parameters(), boundary=boundary)
@@ -102,41 +102,63 @@ def measure(r=4096, c=4096, steps=1000, backend=None, boundary="zero"):
     return name, steady, single, batch
 
 
+def measure_boundary(boundary: str):
+    """measure() with the robust pure-XLA fallback: the fused backend runs
+    everywhere — but say WHY on stderr first, or a TPU-side regression
+    reads as a silent ~10x throughput collapse with nothing to debug (the
+    JSON line still names backend=fused, the honest label for what ran)."""
+    try:
+        return measure(boundary=boundary)
+    except Exception:
+        import traceback
+
+        print(f"bench.py: primary backend failed ({boundary} boundary), "
+              "falling back to fused:", file=sys.stderr)
+        traceback.print_exc()
+        return measure(backend="fused", boundary=boundary)
+
+
 def main() -> int:
     # best-effort wait for the tunneled TPU (multi-hour outages observed);
-    # bench still runs on any platform via the fused-backend fallback below
+    # bench still runs on any platform via the fused-backend fallback
     from grayscott_tpu.utils.runtime import wait_for_device
 
     wait_for_device()
-    try:
-        name, gcells, single, batch = measure()
-    except Exception:
-        # robust fallback: the pure-XLA backend runs everywhere — but say
-        # WHY on stderr first, or a TPU-side regression reads as a silent
-        # ~10x throughput collapse with nothing to debug (the JSON line
-        # still names backend=fused, the honest label for what ran)
-        import traceback
-
-        print("bench.py: primary backend failed, falling back to fused:",
-              file=sys.stderr)
-        traceback.print_exc()
-        name, gcells, single, batch = measure(backend="fused")
-    print(f"bench.py: single-run wall (1 run, 1 sync): "
+    name, gcells, single, batch = measure_boundary("zero")
+    print(f"bench.py: zero boundary: single-run wall (1 run, 1 sync): "
           f"{single:.2f} Gcell/s; steady-state ({batch} runs, 1 sync): "
           f"{gcells:.2f}", file=sys.stderr)
+    # second tracked row: the CLI DEFAULT semantics (--boundary naive,
+    # reference-CPU edge handling) so a regression on the default path
+    # moves a recorded number, not just the zero-border headline —
+    # the reference's sweep exists for the same reason
+    # (compute/shared/src/benchmark.rs:50-72)
+    nname, ngcells, nsingle, _ = measure_boundary("naive")
+    print(f"bench.py: naive boundary: single-run wall {nsingle:.2f} "
+          f"Gcell/s; steady-state {ngcells:.2f}", file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": (
                     f"Gcell-updates/s steady-state, 4096^2 x 1000 steps "
                     f"x{batch} back-to-back runs with one sync "
-                    f"(criterion-style total/iters; single-run wall "
-                    f"{round(single, 2)}), backend={name}, zero-border "
-                    "semantics (reference gpu_specialized parity)"
+                    f"(criterion-style total/iters), backend={name}, "
+                    "zero-border semantics (reference gpu_specialized "
+                    "parity); value_* keys carry both methodologies and "
+                    "naive_* the CLI-default boundary semantics"
                 ),
+                # headline (zero boundary, steady-state) — same definition
+                # as BENCH_r04.json; the explicit keys below keep the two
+                # methodologies from ever being conflated in a trend
                 "value": round(gcells, 3),
                 "unit": "Gcell/s",
                 "vs_baseline": round(gcells / ROOFLINE_GCELLS, 4),
+                "value_steady_state": round(gcells, 3),
+                "value_single_run": round(single, 3),
+                "naive_steady_state": round(ngcells, 3),
+                "naive_single_run": round(nsingle, 3),
+                "naive_vs_baseline": round(ngcells / ROOFLINE_GCELLS, 4),
+                "naive_backend": nname,
             }
         )
     )

@@ -59,8 +59,34 @@ def get_backend(name: str) -> Type[Simulation]:
     return BACKENDS[name]
 
 
-def best_backend_name() -> str:
-    """Best available backend for the current platform (selector analog)."""
+def sharded_worthwhile(shape, n_devices: int) -> bool:
+    """Is a ``shape`` domain big enough for the ``sharded`` backend to pay
+    for its halo exchange across ``n_devices``?
+
+    The selector is supposed to pick the *best* backend, not the widest
+    (compute/selector/src/lib.rs:4-59) — an 8-way mesh on a 64x64 domain
+    pays exchange and per-shard padding for nothing. Thresholds:
+
+    - every shard must own at least one 8-row sublane tile (below that the
+      row sharding itself is all padding), and
+    - the whole domain must be >= ~1 Mcell — below that a single chip runs
+      the step in microseconds and any exchange/dispatch overhead dominates
+      (BENCHMARKS.md: shard_map wrapper alone costs 2-9% at 4096^2, far
+      more at small shapes).
+
+    An explicit ``--backend sharded`` always wins; this gates only the
+    automatic choice."""
+    rows, cols = int(shape[0]), int(shape[1])
+    return rows >= 8 * max(1, n_devices) and rows * cols >= 1 << 20
+
+
+def best_backend_name(shape=None) -> str:
+    """Best available backend for the current platform (selector analog).
+
+    ``shape``, when given, lets the selector skip the multi-chip backend
+    for domains too small to amortize exchange (see
+    :func:`sharded_worthwhile`); without it the historical device-count
+    rule stands."""
     forced = os.environ.get("GRAYSCOTT_BACKEND")
     if forced:
         return forced
@@ -68,7 +94,8 @@ def best_backend_name() -> str:
 
     devices = jax.devices()
     platform = devices[0].platform
-    if len(devices) > 1 and "sharded" in BACKENDS:
+    if len(devices) > 1 and "sharded" in BACKENDS and (
+            shape is None or sharded_worthwhile(shape, len(devices))):
         return "sharded"
     if platform == "tpu" and "pallas" in BACKENDS:
         return "pallas"

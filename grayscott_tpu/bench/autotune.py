@@ -499,8 +499,15 @@ def autotune(
                 max(m["gcells_per_sec"], again["gcells_per_sec"]), 3
             )
         ranked.sort(key=lambda m: m["gcells_per_sec"], reverse=True)
-    # the full candidate table rides along for later audit
-    best = dict(ranked[0], candidates=measured)
+    # the full candidate table rides along for later audit; the transient
+    # ``rank_metric`` bookkeeping (which unit THIS run ranked on) stays out
+    # of the on-disk schema — the per-unit rates (wall_gcells_per_sec /
+    # device_gcells_per_sec) already record each number's provenance
+    def _persisted(m):
+        return {k: v for k, v in m.items() if k != "rank_metric"}
+
+    best = dict(_persisted(ranked[0]),
+                candidates=[_persisted(m) for m in measured])
     if persist:
         store[key] = best
         cache.save_autotune(store)

@@ -112,7 +112,14 @@ def write_gif(path: str, h5path: str, fps: float) -> int:
 
     try:
         gen = frames()
-        first = next(gen)
+        try:
+            first = next(gen)
+        except StopIteration:
+            # a zero-frame file would otherwise leak a bare StopIteration
+            # out of this function after the PNG pass already succeeded
+            raise ValueError(
+                f"no frames in {h5path}; nothing to write to {path}"
+            ) from None
         first.save(
             path, save_all=True, append_images=gen,
             duration=max(int(round(1000.0 / max(fps, 1e-3))), 1), loop=0,

@@ -118,7 +118,7 @@ def make_simulation(ns: argparse.Namespace):
 
     name = ns.backend
     if name in (None, "", "auto"):
-        name = best_backend_name()
+        name = best_backend_name(shape=domain_shape(ns))
     cls = get_backend(name)
     kwargs = cls.args_from_namespace(ns)
     params = simulation_parameters(ns)

@@ -113,3 +113,38 @@ def test_selector_env_override(monkeypatch):
     monkeypatch.delenv("GRAYSCOTT_BACKEND")
     # on the 8-virtual-CPU-device test platform, multi-device => sharded
     assert B.best_backend_name() == "sharded"
+
+
+def test_selector_domain_size_guard():
+    """Auto-selection skips `sharded` for domains too small to amortize
+    halo exchange (the selector picks the BEST backend, not the widest —
+    compute/selector/src/lib.rs:4-59). Explicit --backend sharded is
+    untouched; only the automatic choice is gated."""
+    import grayscott_tpu.backends as B
+
+    # 64x64 on 8 virtual devices: 8 rows/shard and 4 Kcell total — a
+    # single-device backend must win
+    assert B.best_backend_name(shape=(64, 64)) != "sharded"
+    assert not B.sharded_worthwhile((64, 64), 8)
+    # fewer than one 8-row sublane tile per shard: never worthwhile
+    assert not B.sharded_worthwhile((48, 1 << 16), 8)
+    # the flagship 4096^2 stays sharded on any reasonable topology
+    assert B.sharded_worthwhile((4096, 4096), 8)
+    assert B.best_backend_name(shape=(4096, 4096)) == "sharded"
+    # shape omitted: the historical device-count rule stands
+    assert B.best_backend_name() == "sharded"
+
+
+def test_make_simulation_auto_small_domain_not_sharded():
+    """The CLI auto path threads the domain into the selector: a small
+    run on the 8-virtual-device platform lands on a single-device
+    backend."""
+    import argparse
+
+    from grayscott_tpu.cli import shared
+
+    parser = argparse.ArgumentParser()
+    shared.add_shared_args(parser)
+    ns = parser.parse_args(["-r", "64", "-c", "64"])
+    sim = shared.make_simulation(ns)
+    assert sim.name != "sharded"

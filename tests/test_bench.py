@@ -86,6 +86,41 @@ def test_report_cli(tmp_path, capsys):
     assert "| fused |" in out and "1.25" in out
 
 
+def test_bench_headline_json_contract(monkeypatch, capsys):
+    """bench.py emits ONE JSON line whose per-methodology keys never
+    conflate definitions: value == value_steady_state (the r4 headline
+    definition), value_single_run is separate, and the naive-boundary
+    second tracked row rides along so a regression on the CLI-default
+    path moves a recorded number."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_headline",
+        pathlib.Path(__file__).resolve().parent.parent / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def fake_measure(r=4096, c=4096, steps=1000, backend=None,
+                     boundary="zero"):
+        steady = 80.0 if boundary == "naive" else 90.0
+        return (backend or "pallas"), steady, steady - 10.0, 5
+
+    monkeypatch.setattr(mod, "measure", fake_measure)
+    monkeypatch.setattr("grayscott_tpu.utils.runtime.wait_for_device",
+                        lambda *a, **k: None)
+    assert mod.main() == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1  # the driver contract: ONE JSON line on stdout
+    rec = json.loads(out[0])
+    assert rec["value"] == rec["value_steady_state"] == 90.0
+    assert rec["value_single_run"] == 80.0
+    assert rec["naive_steady_state"] == 80.0
+    assert rec["naive_single_run"] == 70.0
+    assert rec["unit"] == "Gcell/s"
+    assert 0 < rec["naive_vs_baseline"] < rec["vs_baseline"]
+
+
 def test_sweep_engine_kwarg_plumbed_and_filtered(capsys):
     # pallas accepts the engine pin; engine-less backends ignore it
     # loudly instead of crashing on an unexpected kwarg

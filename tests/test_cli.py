@@ -241,6 +241,21 @@ def test_simulate_preset_flag(tmp_path):
         np.testing.assert_allclose(r.read(), v, rtol=0, atol=1e-6)
 
 
+def test_write_gif_zero_frames_raises_cleanly(tmp_path):
+    """A zero-frame HDF5 file raises a clear ValueError instead of
+    leaking a bare StopIteration out of write_gif."""
+    import h5py
+    import pytest
+
+    # our own Writer refuses n=0 (h5py chunking), but a foreign/truncated
+    # file can still present an empty "matrix" dataset
+    empty = tmp_path / "empty.h5"
+    with h5py.File(empty, "w") as f:
+        f.create_dataset("matrix", shape=(0, 8, 8), dtype="f4")
+    with pytest.raises(ValueError, match="no frames"):
+        data_to_pics.write_gif(str(tmp_path / "x.gif"), str(empty), 10.0)
+
+
 def test_data_to_pics_gif_export(tmp_path):
     """--gif assembles an animated GIF whose frames are the same
     palette-indexed INFERNO colorization as the PNGs."""
