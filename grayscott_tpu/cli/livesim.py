@@ -56,6 +56,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--color-palette-resolution", type=int, default=256,
         help="Number of palette entries (livesim/src/main.rs:50-57 analog)",
     )
+    parser.add_argument(
+        "--frames-in-flight", type=int,
+        default=int(os.environ.get("GRAYSCOTT_FRAMES_IN_FLIGHT", "3")),
+        help="Device frames dispatched ahead of display (the reference's "
+        "swapchain frames-in-flight depth, livesim/src/frames.rs:21-175; "
+        "default 3). Deeper pipelines overlap several device->host "
+        "transfers with host-side encode across a high-RTT link, at the "
+        "cost of that many frames of display lag on the live controls",
+    )
     return parser
 
 
@@ -82,7 +91,13 @@ class FrameSource:
         self.paused = False
         self._last_rgb: np.ndarray | None = None
         self._last_idx: np.ndarray | None = None
-        self._pending = None  # in-flight device frame (frames-in-flight)
+        # in-flight device frames, oldest first (the reference's
+        # swapchain frames-in-flight analog, livesim/src/frames.rs:21-175)
+        self.frames_in_flight = max(
+            1, int(getattr(args, "frames_in_flight", 3)))
+        from collections import deque
+
+        self._pending: "deque" = deque()
 
     def _dispatch_frame(self):
         """Advance the simulation and return the palette-index array for
@@ -109,18 +124,29 @@ class FrameSource:
         return idx.astype(jnp.int32 if n > 256 else jnp.uint8)
 
     def next_idx(self) -> np.ndarray:
-        """One-frame pipeline (the analog of the reference's
-        frames-in-flight, livesim/src/frames.rs:21-175): frame N+1's
-        compute + transfer are dispatched before frame N is consumed,
-        so the host-link transfer overlaps host-side work instead of
-        serializing after it. Returns the PALETTE-INDEX array — the
-        cheapest per-pixel representation (1 B/px at <= 256 colors):
-        the canvas web view ships these bytes straight to the browser
-        and colorizes there (the browser as the reference's palette
-        sampler, livesim/src/palette.rs:42-121)."""
-        if self._pending is None:
-            self._pending = self._dispatch_frame()
-        shown, self._pending = self._pending, self._dispatch_frame()
+        """K-deep frame pipeline (the analog of the reference's
+        swapchain frames-in-flight, livesim/src/frames.rs:21-175):
+        frames N+1..N+K's compute + device->host transfers are
+        dispatched before frame N is consumed, so SEVERAL transfers ride
+        a high-RTT host link concurrently while the host encodes/serves
+        frame N — the steady-state rate approaches the link's bandwidth
+        bound instead of its per-frame round-trip latency. Returns the
+        PALETTE-INDEX array — the cheapest per-pixel representation
+        (1 B/px at <= 256 colors): the canvas web view ships these bytes
+        straight to the browser and colorizes there (the browser as the
+        reference's palette sampler, livesim/src/palette.rs:42-121)."""
+        return self.next_idx_bounded(1 << 30)
+
+    def next_idx_bounded(self, remaining: int) -> np.ndarray:
+        """next_idx with a hard frame-step budget: the pipeline never
+        holds more in-flight frames than outputs still to be shown, so
+        N bounded calls dispatch EXACTLY N frame-steps in total and the
+        final in-flight frames all get rendered (headless accounting —
+        N outputs must cost N frame-steps, not N + depth - 1)."""
+        while len(self._pending) < min(self.frames_in_flight,
+                                       max(1, remaining)):
+            self._pending.append(self._dispatch_frame())
+        shown = self._pending.popleft()
         idx = np.asarray(shown)
         self._last_idx = idx
         return idx
@@ -137,14 +163,14 @@ class FrameSource:
         """Next palette-index frame: advances unless paused.
 
         Paused with nothing rendered yet (pause before the first frame,
-        or right after reset): show the pending/current state WITHOUT
-        dispatching new frame-steps — next_idx() would advance the
-        nominally-paused simulation by two frame-steps (ADVICE r2)."""
+        or right after reset): show the oldest in-flight frame — or the
+        current state — WITHOUT dispatching new frame-steps; next_idx()
+        would advance the nominally-paused simulation (ADVICE r2). The
+        rest of the in-flight queue is kept for resume."""
         if self.paused:
             if self._last_idx is None:
-                if self._pending is not None:
-                    shown, self._pending = self._pending, None
-                    self._last_idx = np.asarray(shown)
+                if self._pending:
+                    self._last_idx = np.asarray(self._pending.popleft())
                 else:
                     self._last_idx = self._current_idx()
             return self._last_idx
@@ -195,7 +221,7 @@ class FrameSource:
         if changed:
             from ..species import Species
 
-            self._pending = None  # old-physics frame: don't show it
+            self._pending.clear()  # old-physics frames: don't show them
             u, v = self.species.uv_host()
             steps_done = self.species.steps_performed
             self.sim = shared.make_simulation(self.args)
@@ -209,7 +235,7 @@ class FrameSource:
         self.species = self.sim.make_species(shared.domain_shape(self.args))
         self._last_rgb = None
         self._last_idx = None
-        self._pending = None
+        self._pending.clear()
 
 
 def run_headless(src: FrameSource, frames: int, outdir: str) -> int:
@@ -218,18 +244,11 @@ def run_headless(src: FrameSource, frames: int, outdir: str) -> int:
     os.makedirs(outdir, exist_ok=True)
     width = max(len(str(max(frames - 1, 1))), 1)
     for i in range(frames):
-        if i == frames - 1:
-            # drain: show the in-flight frame as the last output instead
-            # of dispatching a new frame-step that would never render
-            # (ADVICE r2: N outputs used to cost N+1 frame-steps; the
-            # frames=1 cold start dispatches exactly once too)
-            if src._pending is None:
-                src._pending = src._dispatch_frame()
-            shown, src._pending = src._pending, None
-            rgb = src.lut[np.asarray(shown)]
-            src._last_rgb = rgb
-        else:
-            rgb = src.next_rgb()
+        # the bounded pipeline drains itself: the last `depth` outputs
+        # come straight from the in-flight queue, so N outputs dispatch
+        # exactly N frame-steps (ADVICE r2) at any pipeline depth
+        rgb = src.lut[src.next_idx_bounded(frames - i)]
+        src._last_rgb = rgb
         path = os.path.join(outdir, f"{i:0{width}d}.png")
         data = native.png_encode(rgb)
         if data is not None:

@@ -149,9 +149,9 @@ def test_set_params_reuses_pallas_executable():
     after = (ps.multistep._cache_size(), ps.run_blocks._cache_size())
     assert after == sizes, f"slider change recompiled: {sizes} -> {after}"
     # the state carried over and the new physics actually applies (each
-    # next_rgb dispatches the shown frame plus one in-flight frame —
-    # the frames-in-flight pipeline; set_params dropped the in-flight one)
-    assert src.species.steps_performed == 4
+    # cold next_rgb fills the frames-in-flight pipeline — `depth`
+    # frame-steps — and set_params dropped the in-flight frames)
+    assert src.species.steps_performed == 2 * src.frames_in_flight
     assert not np.array_equal(src.species.result_host(), before)
     # the dt slider moving off 1.0 recompiles once (dt_is_one
     # specialization), then all three sliders reuse that executable
@@ -186,15 +186,77 @@ def test_pause_before_first_frame_does_not_advance():
 
 def test_headless_drains_pipeline(tmp_path):
     """ADVICE r2: N headless outputs should cost N frame-steps — the
-    final in-flight frame is drained and rendered, not discarded."""
+    final in-flight frames are drained and rendered, not discarded —
+    at ANY pipeline depth, including depth > N and N == 1."""
+    for depth, frames in ((1, 3), (3, 3), (3, 5), (4, 2), (3, 1)):
+        args = livesim.build_parser().parse_args(
+            ["-r", "16", "-c", "16", "--backend", "fused",
+             "--frames-in-flight", str(depth)]
+        )
+        src = livesim.FrameSource(args)
+        out = tmp_path / f"f{depth}_{frames}"
+        rc = livesim.run_headless(src, frames, str(out))
+        assert rc == 0
+        assert len(os.listdir(out)) == frames
+        assert src.species.steps_performed == frames * src.steps_per_frame
+        assert not src._pending  # fully drained
+
+
+def test_frames_in_flight_depth_and_ordering():
+    """The pipeline keeps `depth` frames in flight at steady state, and
+    every frame is shown exactly once, in order: consecutive next_idx
+    results equal a serial replay of the same simulation."""
+    def run(extra):
+        args = livesim.build_parser().parse_args(
+            ["-r", "16", "-c", "16", "--backend", "fused"] + extra
+        )
+        src = livesim.FrameSource(args)
+        return src, [src.next_idx().copy() for _ in range(6)]
+
+    src3, seq3 = run(["--frames-in-flight", "3"])
+    assert src3.frames_in_flight == 3
+    # steady state: depth-1 frames remain queued after each show
+    assert len(src3._pending) == 2
+    # dispatched = shown + in flight
+    assert src3.species.steps_performed == 6 + 2
+    src1, seq1 = run(["--frames-in-flight", "1"])
+    for a, b in zip(seq3, seq1):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_set_params_drops_stale_frames_at_depth():
+    """A parameter edit discards ALL queued old-physics frames: the next
+    shown frame reflects the new physics (modulo the state already
+    advanced on device)."""
     args = livesim.build_parser().parse_args(
-        ["-r", "16", "-c", "16", "--backend", "fused"]
+        ["-r", "16", "-c", "16", "--backend", "fused",
+         "--frames-in-flight", "3"]
     )
     src = livesim.FrameSource(args)
-    rc = livesim.run_headless(src, 3, str(tmp_path / "f"))
-    assert rc == 0
-    assert sorted(os.listdir(tmp_path / "f")) == ["0.png", "1.png", "2.png"]
-    assert src.species.steps_performed == 3 * src.steps_per_frame
+    src.next_idx()
+    assert len(src._pending) == 2
+    src.set_params(feedrate=0.05)
+    assert len(src._pending) == 0
+
+
+def test_pause_at_depth_keeps_queue_for_resume():
+    """Pause before anything rendered shows the oldest in-flight frame
+    without dispatching; the remaining queue survives for resume."""
+    args = livesim.build_parser().parse_args(
+        ["-r", "16", "-c", "16", "--backend", "fused",
+         "--frames-in-flight", "3"]
+    )
+    src = livesim.FrameSource(args)
+    src.next_idx()  # fill pipeline: 3 dispatched, 2 queued
+    steps = src.species.steps_performed
+    src._last_idx = None
+    src.paused = True
+    src.frame_idx()
+    assert src.species.steps_performed == steps  # no new dispatch
+    assert len(src._pending) == 1  # one shown, one kept
+    src.paused = False
+    src.frame_idx()  # resume: shows the kept frame, tops the queue up
+    assert src.species.steps_performed > steps
 
 
 def test_canvas_endpoints():
