@@ -61,12 +61,34 @@ class ShardedSimulation(Simulation):
         interpret: bool | None = None,
         dtype: str = "float32",
         runtime_params: bool = True,
-        overlap: bool = False,
-        engine: str = "windowed",
+        overlap: bool | str = "auto",
+        engine: str = "auto",
+        tuned_lookup: bool = True,
         **kwargs,
     ):
-        if engine not in ("windowed", "mega"):
-            raise ValueError(f"engine must be windowed/mega, got {engine!r}")
+        if engine not in ("auto", "windowed", "mega"):
+            raise ValueError(
+                f"engine must be auto/windowed/mega, got {engine!r}")
+        # 'auto' knobs follow a persisted sharded autotune record when one
+        # exists for this (topology, shape) — the PallasSimulation 'auto'
+        # contract — and the historical defaults (windowed, overlap off)
+        # otherwise. Explicit pins always name exactly what runs.
+        self._engine_req = engine
+        if isinstance(overlap, str):
+            if overlap not in ("auto", "on", "off"):
+                raise ValueError(
+                    f"overlap must be auto/on/off or bool, got {overlap!r}")
+            self._overlap_req = "auto" if overlap == "auto" \
+                else overlap == "on"
+        else:
+            self._overlap_req = bool(overlap)
+        overlap = self._overlap_req is True
+        self._explicit_k = steps_per_call is not None
+        self._mesh_cols_pin = mesh_cols
+        self._adopted = False
+        self.tuned_lookup = tuned_lookup
+        if engine == "auto":
+            engine = "windowed"
         if engine == "mega":
             if overlap:
                 raise UnsupportedConfigError(
@@ -127,10 +149,73 @@ class ShardedSimulation(Simulation):
         self.overlap = overlap
         if dtype in (None, "float32", "f32"):
             self.dtype = jnp.float32
+            self._dtype_str = "float32"
         elif dtype in ("bfloat16", "bf16"):  # opt-in fast mode (see pallas)
             self.dtype = jnp.bfloat16
+            self._dtype_str = "bfloat16"
         else:
             raise ValueError(f"unsupported dtype {dtype!r}")
+
+    def _adopt_record(self, shape) -> None:
+        """Adopt the persisted sharded autotune winner for this
+        (topology, shape) into every knob the user left unpinned — pins
+        always win, and geometry verdicts (tile/K/overlap) only transfer
+        when this sim resolved to the record's engine AND mesh (a tile
+        measured under one engine must not pin another). Latched on the
+        first build_storage, like the mesh factorization: later species
+        reuse the first shape's verdict."""
+        if self._adopted:
+            return
+        self._adopted = True
+        if not self.tuned_lookup:
+            return
+        from ..bench import autotune
+
+        n = self._n_devices or len(jax.devices())
+        rec = autotune.sharded_lookup(
+            self.params, shape, self.boundary, self._dtype_str, n,
+            mesh_cols=self._mesh_cols_pin)
+        if not rec:
+            return
+        eng = rec.get("engine")
+        if self._engine_req == "auto" and eng in ("windowed", "mega"):
+            # a pinned overlap=on or a pinned K != MEGA_STEPS excludes
+            # the megakernel (the constructor's own conflict rules)
+            if not (eng == "mega" and (
+                    self._overlap_req is True
+                    or (self._explicit_k
+                        and self.steps_per_call != mk.MEGA_STEPS))):
+                self.engine = eng
+        if self.engine == "mega":
+            if not self._explicit_k:
+                self.steps_per_call = mk.MEGA_STEPS
+                self.halo = ps.halo_for_steps(mk.MEGA_STEPS)
+        elif not self._explicit_k and not self.interpret:
+            # interpreter mode keeps the small unroll (the pallas
+            # _tuned_k contract: deep K only pays on hardware)
+            k = rec.get("steps_per_call")
+            if k and 1 <= int(k) <= 32:
+                self.steps_per_call = int(k)
+                self.halo = ps.halo_for_steps(int(k))
+        if self._mesh_cols_pin is not None:
+            # rebuild the pinned mesh: the adopted engine/K may change
+            # the mesh axis layout (1-D mega mesh) or the chalo ring
+            self._set_mesh(self._mesh_cols_pin)
+        elif self.mesh is None and rec.get("mesh_cols"):
+            self._set_mesh(int(rec["mesh_cols"]))
+        self._resolve_mesh(shape)
+        dev_shape = self.mesh.devices.shape
+        nc = dev_shape[1] if len(dev_shape) == 2 else 1
+        if rec.get("engine") != self.engine or \
+                int(rec.get("mesh_cols") or 1) != nc:
+            return
+        if self.block_rows is None and rec.get("block_rows"):
+            self.block_rows = int(rec["block_rows"])
+        if self.engine == "mega" and self.block_cols is None and \
+                rec.get("block_cols"):
+            self.block_cols = int(rec["block_cols"])
+        if self._overlap_req == "auto" and self.engine == "windowed":
+            self.overlap = bool(rec.get("overlap"))
 
     def _set_mesh(self, mesh_cols: int) -> None:
         """Build the device mesh for ``mesh_cols`` columns. The 1-D
@@ -248,6 +333,7 @@ class ShardedSimulation(Simulation):
         return ("mega2d", up, vp, tr, tc)
 
     def build_storage(self, u: np.ndarray, v: np.ndarray):
+        self._adopt_record(u.shape)
         self._resolve_mesh(u.shape)
         if self.engine == "mega":
             # report pin-alignment violations by name: mega_ok folds
@@ -412,15 +498,17 @@ class ShardedSimulation(Simulation):
     @classmethod
     def add_cli_args(cls, parser: argparse.ArgumentParser) -> None:
         parser.add_argument(
-            "--sharded-engine", choices=["windowed", "mega"],
-            default=env_default("GRAYSCOTT_SHARDED_ENGINE", "windowed",
-                                choices=["windowed", "mega"]),
+            "--sharded-engine", choices=["auto", "windowed", "mega"],
+            default=env_default("GRAYSCOTT_SHARDED_ENGINE", "auto",
+                                choices=["auto", "windowed", "mega"]),
             help="Multi-chip engine: 'windowed' exchanges halos with "
             "ppermute between per-K-block kernel launches; 'mega' runs "
             "the WHOLE step loop in one kernel launch per chip with "
             "in-kernel remote-DMA halo exchange over ICI (1-D row "
             "meshes, or 8-direction exchange on --sharded-mesh-cols > 1 "
-            "grids; f32 or --pallas-dtype bfloat16 storage)",
+            "grids; f32 or --pallas-dtype bfloat16 storage). 'auto' "
+            "(default) follows a persisted --autotune verdict for this "
+            "topology and falls back to windowed",
         )
         parser.add_argument(
             "--sharded-devices", type=int,
@@ -436,13 +524,14 @@ class ShardedSimulation(Simulation):
             "1 forces row sharding only)",
         )
         parser.add_argument(
-            "--sharded-overlap", choices=["on", "off"],
-            default=env_default("GRAYSCOTT_SHARDED_OVERLAP", "off",
-                                choices=["on", "off"]),
+            "--sharded-overlap", choices=["auto", "on", "off"],
+            default=env_default("GRAYSCOTT_SHARDED_OVERLAP", "auto",
+                                choices=["auto", "on", "off"]),
             help="Overlap halo exchange with interior compute by splitting "
             "the per-shard kernel (windowed engine; three slabs on 1-D "
             "meshes, five on 2-D; pays on high-latency DCN links, costs "
-            "extra kernel launches per block on ICI)",
+            "extra kernel launches per block on ICI). 'auto' (default) "
+            "follows a persisted --autotune verdict and falls back to off",
         )
 
     @classmethod
@@ -457,6 +546,6 @@ class ShardedSimulation(Simulation):
             "dtype": getattr(ns, "pallas_dtype", "float32"),
             "runtime_params": getattr(
                 ns, "pallas_runtime_params", "on") != "off",
-            "overlap": getattr(ns, "sharded_overlap", "off") == "on",
-            "engine": getattr(ns, "sharded_engine", "windowed"),
+            "overlap": getattr(ns, "sharded_overlap", "auto"),
+            "engine": getattr(ns, "sharded_engine", "auto"),
         }

@@ -326,7 +326,41 @@ def measure_config(
         # TPU) is amortized over half the work for K=8 candidates,
         # systematically misranking them against K=16 ones
         steps = -(-1024 // k) * k
-    sim.prepare_steps(species, k)  # compile + warmup
+    rec = {
+        "engine": engine,
+        "block_rows": tr_used,
+        "steps_per_call": k,
+        "block_cols": tc_used,
+        "fold": f_used,
+        "pack": pack,
+    }
+    rec.update(_measure_rates(sim, species, shape, steps, reps, warm=k))
+    return rec
+
+
+def _measure_rates(sim, species, shape, steps: int, reps: int,
+                   warm: int) -> dict:
+    """Warmup + best-of-``reps`` timed runs + device-time ranking for one
+    built (sim, species) pair — the measurement core shared by the
+    single-chip and sharded tuners.
+
+    On real hardware, candidates are ranked on ON-CHIP module time: wall
+    clock through a tunneled host carries a ~25-30 ms constant
+    dispatch+sync RTT that is ~10x kernel time at small shapes, so wall
+    rankings there are noise-ranked tunnel measurements (BENCHMARKS.md).
+    Device module time still contains every per-call fixed cost inside
+    the executable (what the engines differ on) and drops only the
+    constant host RTT, identical across candidates. The criterion
+    analog: measure the workload, not the harness
+    (compute/shared/src/benchmark.rs:77-113). Wall stays in the record
+    for audit. ``rank_metric`` names the unit gcells_per_sec carries: a
+    candidate whose trace failed (after one retry) is tagged 'wall' so
+    the tuners can keep their rankings unit-consistent instead of
+    comparing a 2-6x smaller wall rate against rivals' device rates."""
+    import jax
+    import jax.numpy as jnp
+
+    sim.prepare_steps(species, warm)  # compile + warmup
     float(np.asarray(jnp.sum(species.result()[:1, :128])))
     best = float("inf")
     for _ in range(max(1, reps)):
@@ -336,32 +370,10 @@ def measure_config(
         best = min(best, time.perf_counter() - t0)
     cells = shape[0] * shape[1] * steps
     rec = {
-        "engine": engine,
-        "block_rows": tr_used,
-        "steps_per_call": k,
-        "block_cols": tc_used,
-        "fold": f_used,
-        "pack": pack,
         "gcells_per_sec": cells / best / 1e9,
         "wall_gcells_per_sec": cells / best / 1e9,
+        "rank_metric": "wall",
     }
-    # On real hardware, rank candidates on ON-CHIP module time: wall
-    # clock through a tunneled host carries a ~25-30 ms constant
-    # dispatch+sync RTT that is ~10x kernel time at small shapes, so
-    # wall rankings there are noise-ranked tunnel measurements
-    # (BENCHMARKS.md). Device module time still contains every per-call
-    # fixed cost inside the executable (what the engines differ on) and
-    # drops only the constant host RTT, identical across candidates.
-    # The criterion analog: measure the workload, not the harness
-    # (compute/shared/src/benchmark.rs:77-113). Wall stays in the
-    # record for audit. ``rank_metric`` names the unit gcells_per_sec
-    # carries: a candidate whose trace failed (after one retry) is
-    # tagged 'wall' so autotune() can keep the ranking unit-consistent
-    # instead of comparing a 2-6x smaller wall rate against rivals'
-    # device rates.
-    import jax
-
-    rec["rank_metric"] = "wall"
     if not getattr(sim, "interpret", True) and \
             jax.devices()[0].platform in ("tpu", "gpu"):
         from .harness import _device_time_rep
@@ -539,3 +551,234 @@ def lookup(params: Parameters, shape, boundary: str,
     from .defaults import SHIPPED
 
     return SHIPPED.get(key)
+
+
+# -- sharded (multi-chip) backend tuner --------------------------------------
+#
+# The reference's parallel rung ships tunables with measured-per-machine
+# defaults (compute/parallel/src/args.rs:8-28 -j/--seq-block-size,
+# compute/parallel/src/block.rs:12-47 per-thread cache budgets from hwloc).
+# The TPU analog measures the distribution-layer knobs on the live
+# topology: engine (windowed ppermute blocks vs the one-launch remote-DMA
+# megakernel), exchange/blocking depth K, per-shard row tile, mesh
+# factorization, and exchange/compute overlap — ranked on device time
+# like the single-chip tuner, keyed additionally on the device COUNT
+# (and on a pinned mesh, since a record measured on one topology must
+# not pin another).
+
+
+def sharded_key(params: Parameters, shape, boundary: str, dtype: str,
+                n_devices: int, mesh_cols: int | None = None) -> str:
+    """Record key for the sharded backend: the single-chip key plus the
+    topology. A user-pinned mesh gets its own record (tuning within that
+    mesh); auto-mesh records carry the winning factorization inside the
+    record instead."""
+    from ..utils import device
+
+    base = cache.autotune_key(device.autotune_platform(), shape, boundary,
+                              params.stencil_name(), ps.KERNEL_VERSION,
+                              dtype)
+    key = f"{base}|sharded:n{n_devices}"
+    if mesh_cols is not None:
+        key += f":mc{mesh_cols}"
+    return key
+
+
+def _viable_mesh_cols(shape, n: int) -> list[int]:
+    """Mesh factorizations worth measuring: every divisor of ``n`` whose
+    shards satisfy the lane/sublane quanta (>= 8 rows, >= 128 cols —
+    parallel/halo.choose_mesh_cols's viability rule)."""
+    r, c = shape
+    out = []
+    for nc in range(1, n + 1):
+        if n % nc:
+            continue
+        nr = n // nc
+        if nc > 1 and -(-c // nc) < 128:
+            continue
+        if nr > 1 and -(-r // nr) < 8:
+            continue
+        out.append(nc)
+    return out or [1]
+
+
+def _sharded_candidates(shape, n: int, boundary: str, dtype: str,
+                        mesh_cols: int | None = None,
+                        engine: str | None = None,
+                        overlap=None) -> list[dict]:
+    """Candidate configs honoring any user pins (``engine``/``overlap``/
+    ``mesh_cols``; pins always win — the backends' pin contract). Per
+    viable mesh: windowed K=16/K=8, a half-tile windowed variant,
+    windowed+overlap, and the megakernel with auto geometry. Unfittable
+    candidates raise UnsupportedConfigError at measure time (the
+    backend's storage gates are compile-ceiling-guarded internally), so
+    no extra viability filtering is needed here."""
+    meshes = [mesh_cols] if mesh_cols else _viable_mesh_cols(shape, n)
+    engines = [engine] if engine in ("windowed", "mega") \
+        else ["windowed", "mega"]
+    if overlap is True:
+        engines = [e for e in engines if e == "windowed"]
+    out = []
+    for nc in meshes:
+        nr = max(1, n // nc)
+        r_loc = -(-shape[0] // nr)
+        c_loc = -(-shape[1] // nc)
+        if "windowed" in engines:
+            for k in (16, 8):
+                base = dict(engine="windowed", mesh_cols=nc,
+                            steps_per_call=k)
+                if overlap is not True:
+                    out.append(dict(base, overlap=False))
+                # overlap splits the per-shard kernel into interior/edge
+                # slabs; it needs tr >= halo to be live (r2 fix) and only
+                # differs from the serialized form then
+                halo = ps.halo_for_steps(k)
+                if overlap in (None, True) and r_loc >= 2 * halo:
+                    out.append(dict(base, overlap=True))
+                if k == 16 and overlap is not True:
+                    # one explicit tile variant: half the heuristic row
+                    # tile (deeper pipelining of smaller blocks)
+                    try:
+                        chalo = halo if nc > 1 else 0
+                        tr0 = ps.choose_block_rows(
+                            r_loc, c_loc + 2 * chalo, halo=halo,
+                            boundary=boundary)
+                    except UnsupportedConfigError:
+                        continue
+                    half = max(8, tr0 // 2 // 8 * 8)
+                    if half < tr0:
+                        out.append(dict(base, overlap=False,
+                                        block_rows=half))
+        if "mega" in engines and overlap is not True:
+            out.append(dict(engine="mega", mesh_cols=nc))
+    return out
+
+
+def measure_sharded_config(
+    params: Parameters, shape, boundary: str, dtype: str = "float32",
+    reps: int = 3, steps: int | None = None, n_devices: int | None = None,
+    **config,
+) -> dict:
+    """Measure one sharded configuration end-to-end (shard, exchange,
+    unshard sync) and return what ACTUALLY ran: engine, mesh_cols, the
+    per-shard row tile from the built storage, K, overlap — plus the
+    ranked rates (device time on hardware, wall elsewhere)."""
+    from ..backends.sharded import ShardedSimulation
+
+    # tuned_lookup=False isolates candidates from persisted records (the
+    # same contract as the single-chip tuner): each candidate runs
+    # exactly what it pins
+    sim = ShardedSimulation(params, boundary=boundary, dtype=dtype,
+                            n_devices=n_devices, tuned_lookup=False,
+                            **config)
+    species = sim.make_species(shape)
+    storage = species.storage
+    dev_shape = sim.mesh.devices.shape
+    nr, nc = dev_shape if len(dev_shape) == 2 else (dev_shape[0], 1)
+    if storage[0] in ("mega", "mega2d"):
+        engine, tr_used, tc_used = "mega", storage[3], storage[4]
+        k = mk.MEGA_STEPS
+    else:
+        engine, tr_used, tc_used = "windowed", storage[3], None
+        k = sim.steps_per_call
+    if steps is None:
+        steps = -(-1024 // k) * k  # fixed work target (see measure_config)
+    rec = {
+        "engine": engine,
+        "mesh_cols": int(nc),
+        "mesh_rows": int(nr),
+        "block_rows": tr_used,
+        "block_cols": tc_used,
+        "steps_per_call": k,
+        "overlap": bool(sim.overlap) and engine == "windowed",
+    }
+    rec.update(_measure_rates(sim, species, shape, steps, reps, warm=k))
+    return rec
+
+
+def sharded_autotune(
+    params: Parameters, shape, boundary: str = "naive",
+    dtype: str = "float32", n_devices: int | None = None,
+    mesh_cols: int | None = None, engine: str | None = None,
+    overlap=None, candidates: Iterable[Mapping] | None = None,
+    persist: bool = True, verbose: bool = False, reps: int = 3,
+    steps: int | None = None,
+) -> dict:
+    """Measure sharded candidates on the live mesh, persist and return
+    the best config dict; ``ShardedSimulation`` adopts it through
+    ``sharded_lookup`` exactly like ``PallasSimulation`` adopts its
+    records. ``engine``/``overlap``/``mesh_cols`` restrict the candidate
+    set to the user's pins ('auto' strings mean unpinned)."""
+    import jax
+
+    n = n_devices or len(jax.devices())
+    if engine in ("auto", ""):
+        engine = None
+    if isinstance(overlap, str):
+        overlap = {"on": True, "off": False}.get(overlap)
+    key = sharded_key(params, shape, boundary, dtype, n, mesh_cols)
+    store = cache.load_autotune()
+    if key in store:
+        return store[key]
+    if candidates is None:
+        candidates = _sharded_candidates(
+            shape, n, boundary, dtype, mesh_cols=mesh_cols,
+            engine=engine, overlap=overlap)
+    measured = []
+    for cfg in candidates:
+        cfg = dict(cfg)
+        try:
+            res = measure_sharded_config(
+                params, shape, boundary, dtype=dtype, reps=reps,
+                n_devices=n_devices, steps=steps, **cfg)
+        except Exception as e:  # unfittable slab, unsupported geometry...
+            if verbose:
+                print(f"{cfg}: FAIL ({type(e).__name__})")
+            measured.append({**cfg, "error": type(e).__name__})
+            continue
+        if verbose:
+            print(f"{cfg}: {res['gcells_per_sec']:.2f} Gcell/s "
+                  f"({res['rank_metric']}; ran {res['engine']} "
+                  f"mesh={res['mesh_rows']}x{res['mesh_cols']} "
+                  f"tr={res['block_rows']} K={res['steps_per_call']})")
+        measured.append(dict(res, gcells_per_sec=round(
+            res["gcells_per_sec"], 3)))
+    pool = [m for m in measured if "error" not in m]
+    metrics = {m.get("rank_metric", "wall") for m in pool}
+    if len(metrics) > 1:
+        # mixed units (a trace failed even after retry): rank everything
+        # on the wall rate — a noisier but consistent comparison beats a
+        # device-vs-wall one that silently buries the fastest candidate
+        for m in pool:
+            m["gcells_per_sec"] = round(
+                m.get("wall_gcells_per_sec", m["gcells_per_sec"]), 3)
+            m["rank_metric"] = "wall"
+        if verbose:
+            print("sharded_autotune: a device-time trace failed; ranking "
+                  "all candidates on wall clock for unit consistency")
+    ranked = sorted(pool, key=lambda m: m["gcells_per_sec"], reverse=True)
+    if not ranked:
+        raise RuntimeError("no sharded autotune candidate ran successfully")
+
+    def _persisted(m):
+        return {k: v for k, v in m.items() if k != "rank_metric"}
+
+    best = dict(_persisted(ranked[0]),
+                candidates=[_persisted(m) for m in measured])
+    if persist:
+        store = cache.load_autotune()  # re-read: measuring took a while
+        store[key] = best
+        cache.save_autotune(store)
+    return best
+
+
+def sharded_lookup(params: Parameters, shape, boundary: str,
+                   dtype: str = "float32", n_devices: int | None = None,
+                   mesh_cols: int | None = None) -> dict | None:
+    """Best known sharded config for this topology, if any (local store
+    only: multi-chip verdicts are topology-specific, so nothing ships)."""
+    import jax
+
+    n = n_devices or len(jax.devices())
+    return cache.load_autotune().get(
+        sharded_key(params, shape, boundary, dtype, n, mesh_cols))
