@@ -162,12 +162,13 @@ class PallasSimulation(Simulation):
         # (the proven path); 'store' = narrow scratch-ref strip stores
         # (bit-identical values, hardware experiment — ROADMAP
         # "strip-store"). Windowed + mega engines, full-width only.
-        if naive_fix not in ("select", "store"):
+        if naive_fix not in ("select", "store", "slice"):
             raise ValueError(
-                f"naive_fix must be select/store, got {naive_fix!r}"
+                f"naive_fix must be select/store/slice, got {naive_fix!r}"
             )
-        if naive_fix == "store" and boundary != "naive":
-            raise UnsupportedConfigError("naive_fix='store' requires the naive boundary")
+        if naive_fix != "select" and boundary != "naive":
+            raise UnsupportedConfigError(
+                f"naive_fix={naive_fix!r} requires the naive boundary")
         self.naive_fix = naive_fix
         # opt-in bf16 STORAGE mode (beyond-reference capability): state
         # rides HBM in bf16 — half the memory traffic and footprint (wins
@@ -478,6 +479,7 @@ class PallasSimulation(Simulation):
             and self.engine == "auto"  # an engine pin names its kernel
             and not self.interpret  # keep CPU/test runs on the windowed path
             and not self.naive_fold  # the resident kernel has no fold mode
+            and self.naive_fix == "select"  # store/slice are windowed/mega
             and self.dtype == jnp.float32
             and ps.resident_ok(shape)
             and self.block_rows is None
@@ -787,6 +789,7 @@ class PallasSimulation(Simulation):
                 interpret=self.interpret, dt_is_one=dt_is_one,
                 vmem_limit_bytes=self.vmem_limit_bytes,
                 strip_store=self.naive_fix == "store",
+                slice_taps=self.naive_fix == "slice",
                 tc=tc, c_dom=c if tc is not None else None,
                 depth=self.mega_depth or 2,
                 specialize=self._mega_specialize_resolved(tc),
@@ -809,6 +812,7 @@ class PallasSimulation(Simulation):
                 tr=tr, params=kernel_params, boundary=self.boundary,
                 halo=halo, interpret=self.interpret,
                 dt_is_one=dt_is_one,
+                slice_taps=self.naive_fix == "slice",
                 fold=(f, c, rp),
                 vmem_limit_bytes=self.vmem_limit_bytes
                 or ps.choose_vmem_limit(tr, halo, f * c, 4, self.boundary,
@@ -854,6 +858,7 @@ class PallasSimulation(Simulation):
             # (bit-identical; saves per-call fixed cost on small domains)
             sanitize=True,
             strip_store=self.naive_fix == "store" and tc is None,
+            slice_taps=self.naive_fix == "slice",
             fast_fold=self.naive_fold,
             # liveness scales with the f32 compute copies even when HBM
             # storage is bf16, so always budget at 4 bytes/element
@@ -923,13 +928,16 @@ class PallasSimulation(Simulation):
             "autotuner measured pack winning on this domain",
         )
         parser.add_argument(
-            "--pallas-naive-fix", choices=["select", "store"],
+            "--pallas-naive-fix", choices=["select", "store", "slice"],
             default=env_default("GRAYSCOTT_NAIVE_FIX", "select",
-                                choices=["select", "store"]),
-            help="Naive-boundary fix-up mechanism: 'select' (default) "
-            "patches the quirk strips with full-window masked selects; "
-            "'store' uses narrow scratch-ref stores instead "
-            "(bit-identical values; perf experiment)",
+                                choices=["select", "store", "slice"]),
+            help="Naive-boundary fix-up mechanism: 'select' (default, "
+            "bit-frozen) patches the quirk strips with full-window "
+            "masked selects; 'store' uses narrow scratch-ref stores "
+            "(perf experiment, measured slower); 'slice' feeds the "
+            "top-row strip from the laplacian's own shifted tensors — "
+            "measured +4.0% on-chip at 4096^2 naive, at ulp-scale drift "
+            "from the frozen default (the naive_fold budget class)",
         )
         parser.add_argument(
             "--pallas-naive-fold", choices=["on", "off"],

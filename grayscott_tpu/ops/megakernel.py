@@ -87,6 +87,7 @@ def _mega_kernel(
     tc: int | None = None, chalo: int = 0, c_blocks: int = 1,
     c_dom: int | None = None, n_shard_cols: int = 1,
     depth: int = 2, specialize: bool = False, fast_fold: bool = False,
+    slice_taps: bool = False,
 ):
     """One whole run: scal = [n_time_blocks] (+ [my_shard] when
     sharded); refs = optional reaction SMEM, then (u_pair, v_pair) HBM
@@ -169,6 +170,7 @@ def _mega_kernel(
     precompute, step = ps.make_window_stepper(
         params, boundary, wc, halo, chalo, dtype=jnp.float32,
         reaction=reaction, pack=pack, fast_fold=fast_fold,
+        slice_taps=slice_taps,
     )
     # block-local column index; column-tiled windows add bc*tc per window
     gcol0 = ps._col_iota(wc) - chalo
@@ -892,6 +894,7 @@ def megastep_impl(
     tc: int | None = None, c_dom: int | None = None,
     n_shard_cols: int = 1, my_shard_col=None,
     depth: int = 2, specialize: bool = False, fast_fold: bool = False,
+    slice_taps: bool = False,
 ):
     """Advance the pair state by ``n_blocks`` (traced) x ``steps`` (static,
     <= halo) simulation steps in ONE kernel launch. Returns the new pairs
@@ -925,6 +928,12 @@ def megastep_impl(
     if fast_fold and boundary != "naive":
         raise UnsupportedConfigError("fast_fold applies to the naive "
                                      "boundary")
+    if slice_taps and boundary != "naive":
+        raise UnsupportedConfigError("slice_taps (naive_fix='slice') is "
+                                     "naive-only")
+    if slice_taps and strip_store:
+        raise UnsupportedConfigError("slice_taps and strip_store "
+                                     "conflict; pin at most one")
     if strip_store and boundary != "naive":
         raise UnsupportedConfigError("strip_store is naive-only")
     if strip_store and (n_shards > 1 or n_shard_cols > 1):
@@ -1030,7 +1039,7 @@ def megastep_impl(
         strip_store=strip_store, n_shards=n_shards,
         tc=tc, chalo=chalo, c_blocks=c_blocks, c_dom=c_dom,
         n_shard_cols=n_shard_cols, depth=depth, specialize=specialize,
-        fast_fold=fast_fold,
+        fast_fold=fast_fold, slice_taps=slice_taps,
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     operands = [scalars]
@@ -1079,7 +1088,7 @@ def megastep_impl(
 _STATIC = ("steps", "tr", "r", "params", "boundary", "halo", "interpret",
            "vmem_limit_bytes", "dt_is_one", "strip_store", "n_shards",
            "tc", "c_dom", "n_shard_cols", "depth", "specialize",
-           "fast_fold")
+           "fast_fold", "slice_taps")
 
 megastep = jax.jit(
     megastep_impl,

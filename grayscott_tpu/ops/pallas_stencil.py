@@ -136,24 +136,39 @@ def _col_sums(gcol, c_total, h: np.ndarray, dtype=Precision):
     )
 
 
-def _edge_strip_1xc(row0, row1, w2: np.ndarray, gcol, c_total, chalo: int,
-                    shift_cols):
-    """Naive-semantics diffusion gradient of a (1, W_c) domain-edge row
+def _edge_strip_1xc(x, halo: int, w2: np.ndarray, ok_e, c0_row,
+                    chalo: int, shift_cols):
+    """Naive-semantics diffusion gradient of the (1, W_c) global-row-0
     strip, in global column coordinates.
 
-    Same math as ops.stencil.naive_edge_strip, expressed on (1, W_c) window
-    slices (see that docstring for the formula and reference citations).
-    Global column 0 sits at static local column ``chalo`` whenever this
-    window contains it (the westmost shard; see the row analog in the
-    module docstring).
-    """
-    center = row0
-    full = jnp.zeros_like(row0)
-    lanes = (row0, row1)
-    ok_e = (gcol + 1 <= c_total - 1).astype(row0.dtype)
+    Same math as ops.stencil.naive_edge_strip, expressed on (1, W_c)
+    window slices (see that docstring for the formula and reference
+    citations). Global column 0 sits at static local column ``chalo``
+    whenever this window contains it (the westmost shard; see the row
+    analog in the module docstring).
+
+    The loop-invariant ``ok_e``/``c0_row`` predicates are hoisted into
+    the window context (r5): Mosaic performs no loop-invariant code
+    motion across the unrolled K-step chain, so computing them here
+    cost real per-step narrow ops. NOTE a stronger restructure — slicing
+    the column-shifted taps from the full-window shifted tensors the
+    laplacian computes (bitwise-equal values: lane shifts commute with
+    row extraction) — was built and measured in round 5: +1.1 Gcell/s
+    on-chip at 4096^2 naive, but it makes those tensors multi-consumer
+    and XLA:CPU then contracts the runtime-parameter and static modes
+    DIFFERENTLY (1-ulp divergence after ~7 steps), breaking the
+    modes-bit-identical contract (tests/test_pallas.py); rejected for
+    the bit-frozen default."""
+    rows = [
+        (shift_cols(x[halo + i : halo + i + 1, :], 1),
+         x[halo + i : halo + i + 1, :],
+         shift_cols(x[halo + i : halo + i + 1, :], -1))
+        for i in range(2)
+    ]
+    center = rows[0][1]
+    full = jnp.zeros_like(center)
     for i in range(2):
-        xi = lanes[i]
-        taps = (shift_cols(xi, 1), xi, shift_cols(xi, -1))
+        taps = rows[i]
         for j in range(3):
             wij = float(w2[i][j])
             if wij == 0.0:
@@ -164,16 +179,16 @@ def _edge_strip_1xc(row0, row1, w2: np.ndarray, gcol, c_total, chalo: int,
                 full = full + wij * (taps[j] - center)
     # global c == 0: taps are lane_i[c0], lane_i[c0+1] with weights
     # w2[i][0], w2[i][1], where c0 = chalo is the local position of col 0
-    q = jnp.zeros_like(row0[:, :1])
+    q = jnp.zeros_like(center[:, :1])
     c0 = chalo
     for i in range(2):
-        xi = lanes[i]
+        xi = rows[i][1]
         for j in range(2):
             wij = float(w2[i][j])
             if wij == 0.0:
                 continue
             q = q + wij * (xi[:, c0 + j : c0 + j + 1] - center[:, c0 : c0 + 1])
-    return jnp.where(gcol == 0, q, full)
+    return jnp.where(c0_row, q, full)
 
 
 def _left_col_strip(x, w: np.ndarray, ok_s, chalo: int = 0):
@@ -187,6 +202,12 @@ def _left_col_strip(x, w: np.ndarray, ok_s, chalo: int = 0):
 
     with the i == 2 tap masked out on the bottom domain row (ok_s).
     Returns a (W, 1) strip. Row wrap garbage lands in the window ring.
+
+    A (W, 128) lane-tile block formulation (aligned whole-tile slice,
+    sublane rotates + one lane roll, garbage lanes discarded) was
+    hardware-measured in round 5 and LOST: 82.25 vs 83.38 on-chip at
+    4096² naive — the ~22 one-lane-tile-wide ops cost more than this
+    narrow strided form (recorded so future rounds don't re-derive it).
     """
     cols01 = x[:, chalo : chalo + 2]
     center = x[:, chalo : chalo + 1]
@@ -207,6 +228,41 @@ def _left_col_strip(x, w: np.ndarray, ok_s, chalo: int = 0):
     return full
 
 
+def _edge_strip_sliced(x, xw, xe, halo: int, w2: np.ndarray, ok_e,
+                       c0_row, chalo: int):
+    """slice_taps variant of :func:`_edge_strip_1xc`: identical strip
+    arithmetic, but the column-shifted taps are ROWS of the full-window
+    shifted tensors ``xw = shift_cols(x, 1)`` / ``xe = shift_cols(x, -1)``
+    (bitwise-equal values — lane shifts commute with row extraction)."""
+    rows = [
+        (xw[halo + i : halo + i + 1, :], x[halo + i : halo + i + 1, :],
+         xe[halo + i : halo + i + 1, :])
+        for i in range(2)
+    ]
+    center = rows[0][1]
+    full = jnp.zeros_like(center)
+    for i in range(2):
+        taps = rows[i]
+        for j in range(3):
+            wij = float(w2[i][j])
+            if wij == 0.0:
+                continue
+            if j == 2:
+                full = full + wij * (taps[j] - center * ok_e)
+            else:
+                full = full + wij * (taps[j] - center)
+    q = jnp.zeros_like(center[:, :1])
+    c0 = chalo
+    for i in range(2):
+        xi = rows[i][1]
+        for j in range(2):
+            wij = float(w2[i][j])
+            if wij == 0.0:
+                continue
+            q = q + wij * (xi[:, c0 + j : c0 + j + 1] - center[:, c0 : c0 + 1])
+    return jnp.where(c0_row, q, full)
+
+
 def unpack_reaction(react_ref, dt_is_one: bool):
     """In-kernel unpack of the SMEM runtime-reaction operand — the ONE
     definition of the operand layout contract (REACTION_LEN scalars +
@@ -224,8 +280,23 @@ def make_window_stepper(
     fold: Tuple[int, int, int] | None = None,
     pack: bool = False,
     fast_fold: bool = False,
+    slice_taps: bool = False,
 ):
     """Build the per-window step for one in-VMEM iteration.
+
+    ``slice_taps`` (opt-in, ``--pallas-naive-fix slice``): the naive
+    top-row quirk strip slices its column-shifted taps from the SAME
+    full-window shifted tensors the laplacian consumes — bitwise-equal
+    tap VALUES (lane shifts and their lane-indexed zero-fill masks act
+    row-independently, so ``shift_cols(x, d)[r] == shift_cols(x[r], d)``)
+    replacing the per-step narrow (1, C) lane rotates + mask rebuilds
+    whose Mosaic lowering dominates the naive residual. Measured r5:
+    80.15 -> 83.38 on-chip Gcell/s at 4096^2 naive (+4.0%). NOT the
+    default because the multi-consumer shift tensors change XLA's
+    per-mode fusion/contraction choices: the runtime-parameter and
+    static modes (and this kernel vs the bit-frozen default) drift at
+    the 1-ulp/step scale — the same budget class as naive_fold/pack
+    (tests/test_slicetaps.py).
 
     Returns ``(precompute, step)``: ``precompute(giota, r_total)`` builds the
     loop-invariant context (domain mask, boundary weight-sum field, strip
@@ -309,6 +380,8 @@ def make_window_stepper(
             raise ValueError("fast_fold applies to the naive boundary")
         if fold is not None or pack:
             raise ValueError("fast_fold excludes lane-fold and pack")
+    if slice_taps and boundary != "naive":
+        raise ValueError("slice_taps applies to the naive boundary")
     if pack:
         if fold is not None or chalo != 0:
             raise UnsupportedConfigError("pack excludes fold and column halos")
@@ -375,8 +448,10 @@ def make_window_stepper(
         _, h, alpha = plan
         h0, h1 = float(h[0]), float(h[1])
 
-        def laplacian(x, b_field):
-            t = h1 * x + h0 * (shift_cols(x, 1) + shift_cols(x, -1))
+        def laplacian(x, b_field, shifted=None):
+            xw, xe = shifted if shifted is not None else (
+                shift_cols(x, 1), shift_cols(x, -1))
+            t = h1 * x + h0 * (xw + xe)
             s = h1 * t + h0 * (shift_rows(t, 1) + shift_rows(t, -1))
             if boundary == "zero" or b_field is None:
                 # zero: the ``- alpha*x`` center correction is folded
@@ -414,8 +489,9 @@ def make_window_stepper(
     else:
         wc = params.corrected_weights()
 
-        def _taps(x):
-            xw, xe = shift_cols(x, 1), shift_cols(x, -1)
+        def _taps(x, shifted=None):
+            xw, xe = shifted if shifted is not None else (
+                shift_cols(x, 1), shift_cols(x, -1))
             out = {}
             for i in range(3):
                 for j in range(3):
@@ -423,8 +499,8 @@ def make_window_stepper(
                     out[(i, j)] = src if i == 1 else shift_rows(src, 1 - i)
             return out
 
-        def laplacian(x, b_field):
-            taps = _taps(x)
+        def laplacian(x, b_field, shifted=None):
+            taps = _taps(x, shifted)
             full = jnp.zeros_like(x)
             if boundary == "zero":
                 for i in range(3):
@@ -625,6 +701,10 @@ def make_window_stepper(
             ctx["top_mask"] = jnp.logical_and(giota == 0, gcol < fold_cd)
             ctx["gcol"] = lcol
             ctx["c_total"] = fold_cd
+            # loop-invariant strip predicates, hoisted (no LICM across
+            # the unrolled K-step chain in Mosaic)
+            ctx["ok_e"] = (lcol + 1 <= fold_cd - 1).astype(dtype)
+            ctx["c0_row"] = lcol == 0
         elif boundary == "naive" and interior:
             # no global row 0 (no top-row quirk strip) and no row r-1
             # (the ok_s bottom-tap mask is identically 1, and x * 1.0 is
@@ -643,9 +723,13 @@ def make_window_stepper(
             ctx["ok_s"] = (giota <= r_total - 2).astype(dtype)
             ctx["gcol"] = gcol
             ctx["c_total"] = c_total
+            # loop-invariant strip predicates, hoisted (no LICM across
+            # the unrolled K-step chain in Mosaic)
+            ctx["ok_e"] = (gcol + 1 <= c_total - 1).astype(dtype)
+            ctx["c0_row"] = gcol == 0
         return ctx
 
-    def _fix_naive(x, full, ctx):
+    def _fix_naive(x, full, ctx, shifted=None):
         """Apply the clamped-window quirk fix-ups to one species' full.
 
         Full-window masked selects are the ONLY Mosaic-lowerable form of
@@ -678,13 +762,15 @@ def make_window_stepper(
                     x, w, ctx["ok_s_p"][p], p * fold_cd
                 )
                 fixed = jnp.where(ctx["col0_masks"][p], strip_p, fixed)
-        top = _edge_strip_1xc(
-            x[halo : halo + 1, :], x[halo + 1 : halo + 2, :],
-            w[0:2, :], ctx["gcol"], ctx["c_total"], chalo, shift_cols,
-        )
+        if shifted is not None:
+            top = _edge_strip_sliced(x, *shifted, halo, w[0:2, :],
+                                     ctx["ok_e"], ctx["c0_row"], chalo)
+        else:
+            top = _edge_strip_1xc(x, halo, w[0:2, :], ctx["ok_e"],
+                                  ctx["c0_row"], chalo, shift_cols)
         return jnp.where(ctx["top_mask"], top, fixed)
 
-    def _fix_naive_store(x, full, ctx, ref, at_top):
+    def _fix_naive_store(x, full, ctx, ref, at_top, shifted=None):
         """Strip-STORE variant of :func:`_fix_naive`: write ``full`` to a
         VMEM scratch ref once, then patch the quirk strips with NARROW
         ref stores — a (W, 1) column-0 store plus, only in the window
@@ -709,17 +795,25 @@ def make_window_stepper(
 
         @pl.when(at_top)
         def _():
-            top = _edge_strip_1xc(
-                x[halo : halo + 1, :], x[halo + 1 : halo + 2, :],
-                w[0:2, :], ctx["gcol"], ctx["c_total"], chalo, shift_cols,
-            )
+            if shifted is not None:
+                top = _edge_strip_sliced(x, *shifted, halo, w[0:2, :],
+                                         ctx["ok_e"], ctx["c0_row"], chalo)
+            else:
+                top = _edge_strip_1xc(x, halo, w[0:2, :], ctx["ok_e"],
+                                      ctx["c0_row"], chalo, shift_cols)
             ref[halo : halo + 1, :] = top
 
         return ref[:]
 
     def step(u, v, ctx, fix=None):
-        full_u = laplacian(u, ctx["b_field"])
-        full_v = laplacian(v, ctx["b_field"])
+        # slice_taps: ONE shared shifted-tensor pair per species feeds
+        # both the laplacian and the top quirk strip (see the docstring)
+        sh_u = sh_v = None
+        if slice_taps and not pack:
+            sh_u = (shift_cols(u, 1), shift_cols(u, -1))
+            sh_v = (shift_cols(v, 1), shift_cols(v, -1))
+        full_u = laplacian(u, ctx["b_field"], sh_u)
+        full_v = laplacian(v, ctx["b_field"], sh_v)
         if boundary == "naive" and fast_fold:
             # folded naive (opt-in ulp mode): zero-style linear fold
             # with per-window coefficient fields; the two quirk strips
@@ -739,16 +833,20 @@ def make_window_stepper(
             un = jnp.where(ctx["col0_mask"], un0, un)
             vn = jnp.where(ctx["col0_mask"], vn0, vn)
             if ctx["top_mask"] is not None:
-                top_u = _edge_strip_1xc(
-                    u[halo : halo + 1, :], u[halo + 1 : halo + 2, :],
-                    w[0:2, :], ctx["gcol"], ctx["c_total"], ch0,
-                    shift_cols,
-                )
-                top_v = _edge_strip_1xc(
-                    v[halo : halo + 1, :], v[halo + 1 : halo + 2, :],
-                    w[0:2, :], ctx["gcol"], ctx["c_total"], ch0,
-                    shift_cols,
-                )
+                if sh_u is not None:
+                    top_u = _edge_strip_sliced(
+                        u, *sh_u, halo, w[0:2, :], ctx["ok_e"],
+                        ctx["c0_row"], ch0)
+                    top_v = _edge_strip_sliced(
+                        v, *sh_v, halo, w[0:2, :], ctx["ok_e"],
+                        ctx["c0_row"], ch0)
+                else:
+                    top_u = _edge_strip_1xc(
+                        u, halo, w[0:2, :], ctx["ok_e"], ctx["c0_row"],
+                        ch0, shift_cols)
+                    top_v = _edge_strip_1xc(
+                        v, halo, w[0:2, :], ctx["ok_e"], ctx["c0_row"],
+                        ch0, shift_cols)
                 qt = q[halo : halo + 1, :]
                 un_t = ((cu * top_u - qt) + e_f) \
                     + au0 * u[halo : halo + 1, :]
@@ -763,12 +861,14 @@ def make_window_stepper(
             # the bit-frozen path: exact reference-CPU semantics — the
             # parity suite and goldens pin every rounding in this order
             if fix is None:
-                full_u = _fix_naive(u, full_u, ctx)
-                full_v = _fix_naive(v, full_v, ctx)
+                full_u = _fix_naive(u, full_u, ctx, sh_u)
+                full_v = _fix_naive(v, full_v, ctx, sh_v)
             else:
                 u_fix, v_fix, at_top = fix
-                full_u = _fix_naive_store(u, full_u, ctx, u_fix, at_top)
-                full_v = _fix_naive_store(v, full_v, ctx, v_fix, at_top)
+                full_u = _fix_naive_store(u, full_u, ctx, u_fix, at_top,
+                                          sh_u)
+                full_v = _fix_naive_store(v, full_v, ctx, v_fix, at_top,
+                                          sh_v)
             uv_square = u * v * v
             du = du_rate * full_u - uv_square + f * (1.0 - u)
             dv = dv_rate * full_v + uv_square + mfk * v
@@ -832,7 +932,7 @@ def _kernel(scal_ref, *refs,
             runtime_params: bool = False, dt_is_one: bool = False,
             fold: Tuple[int, int, int] | None = None,
             sanitize: bool = False, strip_store: bool = False,
-            fast_fold: bool = False):
+            fast_fold: bool = False, slice_taps: bool = False):
     fix_refs = None
     if strip_store:
         *refs, u_fix, v_fix = refs
@@ -855,6 +955,7 @@ def _kernel(scal_ref, *refs,
     precompute, step = make_window_stepper(
         params, boundary, c, halo, chalo, dtype=jnp.float32,
         reaction=reaction, fold=fold, fast_fold=fast_fold,
+        slice_taps=slice_taps,
     )
     origin = scal_ref[0, 0]
     r_total = scal_ref[0, 1]
@@ -972,6 +1073,7 @@ def multistep_impl(
     tc: int | None = None, dt_is_one: bool = False,
     fold: Tuple[int, int, int] | None = None, sanitize: bool = False,
     strip_store: bool = False, fast_fold: bool = False,
+    slice_taps: bool = False,
 ):
     """Advance padded state by ``steps`` (<= halo) simulation steps.
 
@@ -1095,7 +1197,7 @@ def multistep_impl(
         params=params, boundary=boundary, tc=tc,
         runtime_params=reaction is not None, dt_is_one=dt_is_one,
         fold=fold, sanitize=sanitize, strip_store=strip_store,
-        fast_fold=fast_fold,
+        fast_fold=fast_fold, slice_taps=slice_taps,
     )
     zero_map = (lambda i: (0, 0)) if tc is None else (lambda i, j: (0, 0))
     in_specs = [pl.BlockSpec((1, 4), zero_map, memory_space=pltpu.SMEM)]
@@ -1148,7 +1250,8 @@ def multistep_impl(
 
 _STATIC = ("steps", "tr", "params", "boundary", "halo", "chalo",
            "interpret", "vmem_limit_bytes", "zero_padding", "tc",
-           "dt_is_one", "fold", "sanitize", "strip_store", "fast_fold")
+           "dt_is_one", "fold", "sanitize", "strip_store", "fast_fold",
+           "slice_taps")
 
 multistep = jax.jit(
     multistep_impl,
@@ -1171,6 +1274,7 @@ def run_blocks(
     tc: int | None = None, dt_is_one: bool = False,
     fold: Tuple[int, int, int] | None = None, sanitize: bool = False,
     strip_store: bool = False, fast_fold: bool = False,
+    slice_taps: bool = False,
 ):
     """Run ``n_blocks`` successive K-step kernel calls in ONE executable.
 
@@ -1199,6 +1303,7 @@ def run_blocks(
             zero_padding=zero_padding and fold is None,
             tc=tc, dt_is_one=dt_is_one, fold=fold, sanitize=sanitize,
             strip_store=strip_store, fast_fold=fast_fold,
+            slice_taps=slice_taps,
         )
 
     return jax.lax.fori_loop(0, n_blocks, body, (u_pad, v_pad))
