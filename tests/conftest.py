@@ -69,3 +69,49 @@ def _bound_jit_state_per_module():
     import jax
 
     jax.clear_caches()
+
+
+# -- slow-marker split (VERDICT r4 #7) ---------------------------------------
+# The interpret-mode Pallas/megakernel/sharded heavyweights dominate the
+# ~55-minute full suite. They get an automatic `slow` marker here (a
+# curated list driven by the measured per-test durations, r5) so the
+# edit-test loop can run `pytest -m "not slow"` in well under 10 minutes;
+# default CI (and plain `pytest tests/`) still runs EVERYTHING — the
+# split deselects, it never skips. The reference's analog split: fast
+# `cargo test --workspace` on every push vs the cron matrix
+# (.github/workflows/ci.yml:12-16).
+
+_SLOW_FILES = {
+    "test_mega.py",           # interpret-mode megakernel fuzz/parity
+    "test_mega_sharded.py",   # multi-chip megakernel + race detector
+    "test_stripstore.py",     # naive_fix=store ulp budgets
+    "test_slicetaps.py",      # naive_fix=slice ulp budgets
+    "test_fold.py",           # lane-fold layout parity
+    "test_pack.py",           # species-packed layout parity
+    "test_distributed.py",    # two-process jax.distributed
+    "test_distributed_cli.py",  # two-process binary integration
+}
+
+_SLOW_TESTS = {
+    ("test_pallas.py", "test_row_tile_smaller_than_halo_stays_exact"),
+    ("test_pallas.py", "test_runtime_params_reuse_executable"),
+    ("test_pallas.py", "test_runtime_params_bit_identical_to_static"),
+    ("test_pallas.py", "test_multistep_parity"),
+    ("test_pallas.py", "test_deep_halo_k16"),
+    ("test_pallas.py", "test_standard_init_long"),
+    ("test_sharded.py", "test_overlap_falls_back_when_tr_below_halo"),
+    ("test_sharded.py", "test_overlap_mode_matches_serialized"),
+    ("test_sharded.py", "test_sharded_extract_result_matches_uv"),
+    ("test_sharded.py", "test_deep_k_sharded"),
+    ("test_cache.py", "test_autotune_skips_compile_ceiling"),
+    ("test_cache.py", "test_autotune_records_all_candidates"),
+    ("test_support.py", "test_supported_pallas_combinations"),
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        base = item.name.split("[")[0]
+        if fname in _SLOW_FILES or (fname, base) in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
