@@ -122,6 +122,15 @@ def make_simulation(ns: argparse.Namespace):
     cls = get_backend(name)
     kwargs = cls.args_from_namespace(ns)
     params = simulation_parameters(ns)
+    import logging
+
+    logger = logging.getLogger("grayscott_tpu")
+    if logger.isEnabledFor(logging.DEBUG):
+        # the reference's trace-level capability dump on context build
+        # (device.rs:77-118): everything a bug report needs, once
+        from ..utils import device as _device
+
+        logger.debug("device capabilities:\n%s", _device.capability_dump())
     if getattr(ns, "autotune", False) and name == "pallas":
         from ..bench import autotune
 

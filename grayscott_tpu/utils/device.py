@@ -164,6 +164,65 @@ def calibrated() -> bool:
     return kind in CALIBRATED_KINDS or kind in ("cpu", "gpu")
 
 
+def capability_dump() -> str:
+    """One-shot verbose "what am I running on" report — the analog of
+    the reference's trace-level device-capability dump
+    (compute/shared/src/gpu/context/device.rs:77-118, library.rs:10-33):
+    versions, every visible device with its memory stats, the budget
+    table this generation resolves to, cache locations and the
+    configuration environment. The CLI drivers log it at DEBUG on
+    simulation construction (enable with GRAYSCOTT_LOG_LEVEL=DEBUG);
+    for a bug report, print it directly:
+
+        python -m grayscott_tpu.utils.device
+    """
+    import jax
+
+    lines = [
+        f"jax {jax.__version__}; "
+        f"default backend {jax.default_backend()!r}",
+        f"process {jax.process_index()}/{jax.process_count()}; "
+        f"{jax.device_count()} device(s), "
+        f"{jax.local_device_count()} local",
+    ]
+    for d in jax.devices():
+        desc = (f"  device {d.id}: platform={d.platform} "
+                f"kind={getattr(d, 'device_kind', '?')!r} "
+                f"process={getattr(d, 'process_index', '?')}")
+        try:
+            stats = d.memory_stats() or {}
+        except Exception:
+            stats = {}
+        if stats:
+            in_use = stats.get("bytes_in_use")
+            limit = stats.get("bytes_limit") or stats.get(
+                "bytes_reservable_limit")
+            if in_use is not None:
+                desc += f" hbm_in_use={in_use >> 20}MiB"
+            if limit:
+                desc += f" hbm_limit={limit >> 20}MiB"
+        lines.append(desc)
+    kind = device_kind()
+    lines += [
+        f"normalized kind: {kind!r} (autotune key platform); "
+        f"calibrated verdicts: {calibrated()}",
+        f"VMEM budget: {vmem_bytes() >> 20} MiB "
+        f"(anchor v5e {ANCHOR_VMEM_BYTES >> 20} MiB, "
+        f"scale {vmem_scale():.3f}); "
+        f"scoped tiers MiB: {[t >> 20 for t in vmem_tiers()]}",
+    ]
+    from . import cache
+
+    lines.append(f"cache dir: {cache.CACHE_DIR} "
+                 f"(autotune records: {len(cache.load_autotune())})")
+    env = {k: v for k, v in sorted(os.environ.items())
+           if k.startswith("GRAYSCOTT_") or k in
+           ("JAX_PLATFORMS", "XLA_FLAGS", "TPU_ACCELERATOR_TYPE")}
+    lines.append("environment: " + (
+        " ".join(f"{k}={v}" for k, v in env.items()) or "(defaults)"))
+    return "\n".join(lines)
+
+
 _warned_uncalibrated = False
 
 
@@ -184,3 +243,7 @@ def warn_uncalibrated_once() -> None:
         "to measure and persist winners for this part",
         device_kind(), vmem_bytes() >> 20,
     )
+
+
+if __name__ == "__main__":  # pragma: no cover - bug-report shim
+    print(capability_dump())

@@ -166,3 +166,37 @@ def test_uncalibrated_warning_fires_once(monkeypatch, caplog):
         device.warn_uncalibrated_once()
     assert len([r for r in caplog.records
                 if "autotune" in r.getMessage()]) == 1
+
+
+def test_capability_dump_contents(monkeypatch):
+    """The one-shot capability report (device.rs:77-118 analog) names
+    the versions, every device, the resolved budget table, the cache
+    location and the GRAYSCOTT_* environment."""
+    import jax
+
+    monkeypatch.setenv("GRAYSCOTT_DEMO_FLAG", "1")
+    out = device.capability_dump()
+    assert f"jax {jax.__version__}" in out
+    assert f"{jax.device_count()} device(s)" in out
+    assert "device 0:" in out
+    assert f"normalized kind: {device.device_kind()!r}" in out
+    assert f"VMEM budget: {device.vmem_bytes() >> 20} MiB" in out
+    assert "cache dir:" in out
+    assert "GRAYSCOTT_DEMO_FLAG=1" in out
+
+
+def test_capability_dump_logged_at_debug(caplog):
+    """make_simulation emits the dump at DEBUG (the reference logs its
+    capability dump at trace level on context build)."""
+    import argparse
+    import logging
+
+    from grayscott_tpu.cli import shared
+
+    parser = argparse.ArgumentParser()
+    shared.add_shared_args(parser)
+    ns = parser.parse_args(["-r", "16", "-c", "16", "--backend", "fused"])
+    with caplog.at_level(logging.DEBUG, logger="grayscott_tpu"):
+        shared.make_simulation(ns)
+    assert any("device capabilities" in r.getMessage()
+               for r in caplog.records)
