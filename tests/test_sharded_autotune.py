@@ -158,6 +158,33 @@ def test_sharded_adoption_tile_transfers_on_match(isolated_cache, params):
     assert sim2.block_rows is None
 
 
+def test_sharded_adoption_mega_record(isolated_cache, params):
+    """An all-auto sim adopts a mega-engine record: engine flips to
+    mega, K locks to the exchange depth, and the recorded geometry
+    rides along — then the run stays oracle-exact."""
+    from grayscott_tpu.ops import megakernel as mk
+
+    shape = (64, 256)
+    key = autotune.sharded_key(params, shape, "naive", "float32", 8)
+    c.save_autotune({key: {
+        "engine": "mega", "mesh_cols": 1, "mesh_rows": 8,
+        "block_rows": 8, "block_cols": None,
+        "steps_per_call": mk.MEGA_STEPS, "overlap": False,
+    }})
+    sim = ShardedSimulation(params, boundary="naive")
+    species = sim.make_species(shape)
+    assert sim.engine == "mega"
+    assert sim.steps_per_call == mk.MEGA_STEPS
+    assert sim.block_rows == 8
+    assert species.storage[0] == "mega"
+    sim.perform_steps(species, 4)
+    u0, v0 = initial_uv(shape)
+    ou, ov = oracle.run(u0, v0, params, 4, "naive")
+    gu, gv = species.uv_host()
+    np.testing.assert_allclose(gu, ou, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gv, ov, rtol=0, atol=1e-6)
+
+
 def test_cli_autotune_sharded_backend(isolated_cache, monkeypatch):
     """--autotune --backend sharded works end-to-end: the CLI hook runs
     the sharded tuner (with the CLI's pins) and the simulation it builds
