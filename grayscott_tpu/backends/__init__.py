@@ -67,8 +67,12 @@ def sharded_worthwhile(shape, n_devices: int) -> bool:
     (compute/selector/src/lib.rs:4-59) — an 8-way mesh on a 64x64 domain
     pays exchange and per-shard padding for nothing. Thresholds:
 
-    - every shard must own at least one 8-row sublane tile (below that the
-      row sharding itself is all padding), and
+    - some (rows, cols) factorization of the devices must satisfy the
+      lane/sublane shard quanta (>= 8 rows / >= 128 cols per shard —
+      the SAME viability scan the backend's auto mesh and the sharded
+      autotuner use, parallel/halo.viable_mesh_cols, so the selector
+      never rejects a wide-short domain the backend could viably
+      column-shard), and
     - the whole domain must be >= ~1 Mcell — below that a single chip runs
       the step in microseconds and any exchange/dispatch overhead dominates
       (BENCHMARKS.md: shard_map wrapper alone costs 2-9% at 4096^2, far
@@ -77,7 +81,11 @@ def sharded_worthwhile(shape, n_devices: int) -> bool:
     An explicit ``--backend sharded`` always wins; this gates only the
     automatic choice."""
     rows, cols = int(shape[0]), int(shape[1])
-    return rows >= 8 * max(1, n_devices) and rows * cols >= 1 << 20
+    if rows * cols < 1 << 20:
+        return False
+    from ..parallel.halo import viable_mesh_cols
+
+    return bool(viable_mesh_cols((rows, cols), max(1, n_devices)))
 
 
 def best_backend_name(shape=None) -> str:

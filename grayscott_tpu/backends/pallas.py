@@ -194,6 +194,13 @@ class PallasSimulation(Simulation):
         if self.resident == "on":
             if self.dtype != jnp.float32:
                 raise UnsupportedConfigError("resident='on' requires float32 storage")
+            if naive_fix != "select":
+                # the store/slice mechanisms run on the windowed/mega
+                # engines; silently running the resident select kernel
+                # would ignore the pinned fix mode (review r5 #3)
+                raise UnsupportedConfigError(
+                    f"resident='on' and naive_fix={naive_fix!r} "
+                    "conflict; pin at most one of them")
             if isinstance(self.fold, int) and self.fold > 1:
                 raise UnsupportedConfigError(
                     "resident='on' and a pinned lane fold conflict; "

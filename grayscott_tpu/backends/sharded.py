@@ -174,7 +174,11 @@ class ShardedSimulation(Simulation):
         n = self._n_devices or len(jax.devices())
         rec = autotune.sharded_lookup(
             self.params, shape, self.boundary, self._dtype_str, n,
-            mesh_cols=self._mesh_cols_pin)
+            mesh_cols=self._mesh_cols_pin,
+            engine=None if self._engine_req == "auto"
+            else self._engine_req,
+            overlap=None if self._overlap_req == "auto"
+            else self._overlap_req)
         if not rec:
             return
         eng = rec.get("engine")
@@ -186,20 +190,14 @@ class ShardedSimulation(Simulation):
                     or (self._explicit_k
                         and self.steps_per_call != mk.MEGA_STEPS))):
                 self.engine = eng
-        if self.engine == "mega":
-            if not self._explicit_k:
-                self.steps_per_call = mk.MEGA_STEPS
-                self.halo = ps.halo_for_steps(mk.MEGA_STEPS)
-        elif not self._explicit_k and not self.interpret:
-            # interpreter mode keeps the small unroll (the pallas
-            # _tuned_k contract: deep K only pays on hardware)
-            k = rec.get("steps_per_call")
-            if k and 1 <= int(k) <= 32:
-                self.steps_per_call = int(k)
-                self.halo = ps.halo_for_steps(int(k))
+        if self.engine == "mega" and not self._explicit_k:
+            # not a record transfer: the megakernel's exchange depth IS
+            # its K (the constructor's own rule for explicit mega pins)
+            self.steps_per_call = mk.MEGA_STEPS
+            self.halo = ps.halo_for_steps(mk.MEGA_STEPS)
         if self._mesh_cols_pin is not None:
-            # rebuild the pinned mesh: the adopted engine/K may change
-            # the mesh axis layout (1-D mega mesh) or the chalo ring
+            # rebuild the pinned mesh: the adopted engine may change the
+            # mesh axis layout (1-D mega mesh) or the chalo ring
             self._set_mesh(self._mesh_cols_pin)
         elif self.mesh is None and rec.get("mesh_cols"):
             self._set_mesh(int(rec["mesh_cols"]))
@@ -208,7 +206,20 @@ class ShardedSimulation(Simulation):
         nc = dev_shape[1] if len(dev_shape) == 2 else 1
         if rec.get("engine") != self.engine or \
                 int(rec.get("mesh_cols") or 1) != nc:
+            # geometry verdicts (tile/K/overlap) never transfer across
+            # an engine or mesh mismatch — K included (review r5 #1:
+            # a mega record's K=8 must not detune a pinned-windowed run)
             return
+        if self.engine == "windowed" and not self._explicit_k \
+                and not self.interpret:
+            # interpreter mode keeps the small unroll (the pallas
+            # _tuned_k contract: deep K only pays on hardware)
+            k = rec.get("steps_per_call")
+            if k and 1 <= int(k) <= 32 and int(k) != self.steps_per_call:
+                self.steps_per_call = int(k)
+                self.halo = ps.halo_for_steps(int(k))
+                # chalo tracks halo on 2-D windowed meshes: rebuild
+                self._set_mesh(nc)
         if self.block_rows is None and rec.get("block_rows"):
             self.block_rows = int(rec["block_rows"])
         if self.engine == "mega" and self.block_cols is None and \

@@ -568,10 +568,14 @@ def lookup(params: Parameters, shape, boundary: str,
 
 
 def sharded_key(params: Parameters, shape, boundary: str, dtype: str,
-                n_devices: int, mesh_cols: int | None = None) -> str:
+                n_devices: int, mesh_cols: int | None = None,
+                engine: str | None = None, overlap=None) -> str:
     """Record key for the sharded backend: the single-chip key plus the
-    topology. A user-pinned mesh gets its own record (tuning within that
-    mesh); auto-mesh records carry the winning factorization inside the
+    topology AND any candidate-restricting pins. A user-pinned mesh,
+    engine, or overlap gets its own record (the tuner only measured
+    within that pin), so pin-restricted verdicts never cross-contaminate
+    all-auto runs — and an all-auto record never short-circuits a
+    pinned --autotune. Auto records carry the winning values inside the
     record instead."""
     from ..utils import device
 
@@ -581,25 +585,20 @@ def sharded_key(params: Parameters, shape, boundary: str, dtype: str,
     key = f"{base}|sharded:n{n_devices}"
     if mesh_cols is not None:
         key += f":mc{mesh_cols}"
+    if engine in ("windowed", "mega"):
+        key += f":eng-{engine}"
+    if overlap is not None:
+        key += f":ov-{'on' if overlap else 'off'}"
     return key
 
 
 def _viable_mesh_cols(shape, n: int) -> list[int]:
-    """Mesh factorizations worth measuring: every divisor of ``n`` whose
-    shards satisfy the lane/sublane quanta (>= 8 rows, >= 128 cols —
-    parallel/halo.choose_mesh_cols's viability rule)."""
-    r, c = shape
-    out = []
-    for nc in range(1, n + 1):
-        if n % nc:
-            continue
-        nr = n // nc
-        if nc > 1 and -(-c // nc) < 128:
-            continue
-        if nr > 1 and -(-r // nr) < 8:
-            continue
-        out.append(nc)
-    return out or [1]
+    """Mesh factorizations worth measuring: the shared lane/sublane
+    viability scan (parallel/halo.viable_mesh_cols), with a 1-D
+    fallback so the tuner always has something to measure."""
+    from ..parallel import halo as ph
+
+    return ph.viable_mesh_cols(shape, n) or [1]
 
 
 def _sharded_candidates(shape, n: int, boundary: str, dtype: str,
@@ -630,11 +629,23 @@ def _sharded_candidates(shape, n: int, boundary: str, dtype: str,
                 if overlap is not True:
                     out.append(dict(base, overlap=False))
                 # overlap splits the per-shard kernel into interior/edge
-                # slabs; it needs tr >= halo to be live (r2 fix) and only
-                # differs from the serialized form then
+                # slabs; pin a row tile the engagement rule accepts
+                # (>= 3 tiles of >= halo rows — parallel/halo
+                # .overlap_engages) so the measured candidate is
+                # guaranteed to run the overlapped code, not the
+                # serialized fallback under an identical label
                 halo = ps.halo_for_steps(k)
-                if overlap in (None, True) and r_loc >= 2 * halo:
-                    out.append(dict(base, overlap=True))
+                if overlap in (None, True):
+                    from ..parallel import halo as ph
+
+                    tr_ov = max(halo, r_loc // 3 // 8 * 8)
+                    c_eff = c_loc + (2 * halo if nc > 1 else 0)
+                    if ph.overlap_engages(r_loc, tr_ov, halo,
+                                          chalo=halo if nc > 1 else 0,
+                                          c_loc=c_loc) and                             ps.window_compile_ok(tr_ov, halo, c_eff,
+                                                 boundary, k):
+                        out.append(dict(base, overlap=True,
+                                        block_rows=tr_ov))
                 if k == 16 and overlap is not True:
                     # one explicit tile variant: half the heuristic row
                     # tile (deeper pipelining of smaller blocks)
@@ -652,6 +663,15 @@ def _sharded_candidates(shape, n: int, boundary: str, dtype: str,
         if "mega" in engines and overlap is not True:
             out.append(dict(engine="mega", mesh_cols=nc))
     return out
+
+
+def _overlap_engaged(sim, shape, tr: int, nr: int, nc: int) -> bool:
+    from ..parallel import halo as ph
+
+    r_loc = -(-shape[0] // max(nr, 1))
+    c_loc = -(-shape[1] // max(nc, 1))
+    return ph.overlap_engages(r_loc, tr, sim.halo, chalo=sim.chalo,
+                              c_loc=c_loc)
 
 
 def measure_sharded_config(
@@ -690,7 +710,11 @@ def measure_sharded_config(
         "block_rows": tr_used,
         "block_cols": tc_used,
         "steps_per_call": k,
-        "overlap": bool(sim.overlap) and engine == "windowed",
+        # record overlap only when the geometry ENGAGES the split
+        # (parallel/halo.overlap_engages): a serialized fallback must
+        # not persist an "overlap" verdict it never measured
+        "overlap": bool(sim.overlap) and engine == "windowed" and
+        _overlap_engaged(sim, shape, tr_used, nr, nc),
     }
     rec.update(_measure_rates(sim, species, shape, steps, reps, warm=k))
     return rec
@@ -716,7 +740,8 @@ def sharded_autotune(
         engine = None
     if isinstance(overlap, str):
         overlap = {"on": True, "off": False}.get(overlap)
-    key = sharded_key(params, shape, boundary, dtype, n, mesh_cols)
+    key = sharded_key(params, shape, boundary, dtype, n, mesh_cols,
+                      engine=engine, overlap=overlap)
     store = cache.load_autotune()
     if key in store:
         return store[key]
@@ -724,6 +749,12 @@ def sharded_autotune(
         candidates = _sharded_candidates(
             shape, n, boundary, dtype, mesh_cols=mesh_cols,
             engine=engine, overlap=overlap)
+        if not candidates:
+            raise UnsupportedConfigError(
+                "no sharded autotune candidate satisfies the pinned "
+                f"engine/overlap on this shape x {n}-device topology "
+                "(e.g. overlap needs >= 3 row tiles of >= halo rows "
+                "per shard); drop a pin or run without --autotune")
     measured = []
     for cfg in candidates:
         cfg = dict(cfg)
@@ -774,11 +805,14 @@ def sharded_autotune(
 
 def sharded_lookup(params: Parameters, shape, boundary: str,
                    dtype: str = "float32", n_devices: int | None = None,
-                   mesh_cols: int | None = None) -> dict | None:
-    """Best known sharded config for this topology, if any (local store
-    only: multi-chip verdicts are topology-specific, so nothing ships)."""
+                   mesh_cols: int | None = None, engine: str | None = None,
+                   overlap=None) -> dict | None:
+    """Best known sharded config for this (topology, pins), if any
+    (local store only: multi-chip verdicts are topology-specific, so
+    nothing ships)."""
     import jax
 
     n = n_devices or len(jax.devices())
     return cache.load_autotune().get(
-        sharded_key(params, shape, boundary, dtype, n, mesh_cols))
+        sharded_key(params, shape, boundary, dtype, n, mesh_cols,
+                    engine=engine, overlap=overlap))

@@ -71,6 +71,44 @@ def make_mesh(n_devices: int | None = None, n_cols: int = 1) -> Mesh:
     return Mesh(grid, (ROWS, COLS))
 
 
+def viable_mesh_cols(shape, n: int, min_rows: int = 8,
+                     min_cols: int = 128) -> list[int]:
+    """Every divisor of ``n`` whose (rows, cols) factorization satisfies
+    the lane/sublane shard quanta on ``shape`` (possibly EMPTY: callers
+    decide the fallback). The single source of the viability rule shared
+    by :func:`choose_mesh_cols`, the sharded autotuner's candidate
+    generation, and the backend auto-selector's worthwhileness gate —
+    three copies of this scan disagreed in round 5."""
+    r, c = shape
+    out = []
+    for nc in range(1, n + 1):
+        if n % nc:
+            continue
+        nr = n // nc
+        if nc > 1 and -(-c // nc) < min_cols:
+            continue
+        if nr > 1 and -(-r // nr) < min_rows:
+            continue
+        out.append(nc)
+    return out
+
+
+def overlap_engages(r_loc: int, tr: int, halo: int, chalo: int = 0,
+                    c_loc: int | None = None) -> bool:
+    """Whether sharded_run_blocks will ACTUALLY take the overlap split
+    for this geometry (the serialized fallback otherwise) — the one
+    definition of the engagement rule, shared with the autotuner so a
+    measured "overlap" candidate is guaranteed to run overlapped code:
+    >= 3 row tiles per shard and tr >= halo (correctness: the interior
+    slab must not reach the never-refreshed padding), plus a
+    4-column-halo-wide shard on 2-D meshes."""
+    if not (r_loc // tr >= 3 and tr >= halo):
+        return False
+    if chalo > 0:
+        return c_loc is not None and c_loc >= 4 * chalo
+    return True
+
+
 def choose_mesh_cols(n: int, shape, min_rows: int = 8,
                      min_cols: int = 128, bias: float = 0.8) -> int:
     """Mesh-column count for ``n`` devices on an (R, C) domain, chosen
@@ -243,11 +281,11 @@ def sharded_run_blocks(
     # the five-slab split (body_overlap2d) when the shard is wide enough
     # for distinct left/right column slabs.
     use_overlap = (
-        overlap and chalo == 0 and r_loc // tr >= 3 and tr >= halo
+        overlap and chalo == 0 and overlap_engages(r_loc, tr, halo)
     )
     use_overlap2d = (
-        overlap and chalo > 0 and r_loc // tr >= 3 and tr >= halo
-        and c_loc >= 4 * chalo
+        overlap and chalo > 0
+        and overlap_engages(r_loc, tr, halo, chalo, c_loc)
     )
 
     def local(u, v, n_blocks, *maybe_reaction):

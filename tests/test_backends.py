@@ -126,8 +126,10 @@ def test_selector_domain_size_guard():
     # single-device backend must win
     assert B.best_backend_name(shape=(64, 64)) != "sharded"
     assert not B.sharded_worthwhile((64, 64), 8)
-    # fewer than one 8-row sublane tile per shard: never worthwhile
-    assert not B.sharded_worthwhile((48, 1 << 16), 8)
+    # a wide-short domain the backend can COLUMN-shard stays worthwhile
+    # (review r5 #6: the selector shares the backend's viability scan
+    # instead of assuming row sharding)
+    assert B.sharded_worthwhile((48, 1 << 16), 8)
     # the flagship 4096^2 stays sharded on any reasonable topology
     assert B.sharded_worthwhile((4096, 4096), 8)
     assert B.best_backend_name(shape=(4096, 4096)) == "sharded"

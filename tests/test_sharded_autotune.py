@@ -213,3 +213,118 @@ def test_cli_autotune_sharded_backend(isolated_cache, monkeypatch):
     assert calls["n_devices"] is None and calls["mesh_cols"] is None
     sim.make_species((64, 256))
     assert sim.block_rows is not None  # adopted the measured winner
+
+
+# -- round-5 review regressions ----------------------------------------------
+
+
+def test_k_never_transfers_cross_engine(isolated_cache, params):
+    """Review r5 #1: a mega record's K must not detune a pinned-windowed
+    sim — K transfers only when engine AND mesh match the record."""
+    shape = (64, 256)
+    key = autotune.sharded_key(params, shape, "naive", "float32", 8,
+                               engine="windowed")
+    c.save_autotune({key: {
+        "engine": "mega", "mesh_cols": 1, "mesh_rows": 8,
+        "block_rows": 8, "block_cols": None, "steps_per_call": 32,
+        "overlap": False,
+    }})
+    sim = ShardedSimulation(params, boundary="naive", engine="windowed",
+                            interpret=False)
+    k0 = sim.steps_per_call
+    sim._adopt_record(shape)
+    assert sim.engine == "windowed"
+    assert sim.steps_per_call == k0  # the mega record's K=32 ignored
+    # matched case: a windowed record's K DOES transfer off-interpret
+    c.save_autotune({key: {
+        "engine": "windowed", "mesh_cols": 1, "mesh_rows": 8,
+        "block_rows": 8, "block_cols": None, "steps_per_call": 32,
+        "overlap": False,
+    }})
+    sim2 = ShardedSimulation(params, boundary="naive", engine="windowed",
+                             interpret=False)
+    sim2._adopt_record(shape)
+    assert sim2.steps_per_call == 32
+
+
+def test_pinned_key_isolated_from_auto_records(isolated_cache, params):
+    """Review r5 #2: engine/overlap pins key their own records, so a
+    pin-restricted --autotune neither reads nor writes the all-auto
+    verdict."""
+    shape = (64, 256)
+    kauto = autotune.sharded_key(params, shape, "naive", "float32", 8)
+    kmega = autotune.sharded_key(params, shape, "naive", "float32", 8,
+                                 engine="mega")
+    kover = autotune.sharded_key(params, shape, "naive", "float32", 8,
+                                 overlap=True)
+    assert len({kauto, kmega, kover}) == 3
+    # an all-auto record does NOT short-circuit a pinned tune
+    c.save_autotune({kauto: {"engine": "mega", "mesh_cols": 1}})
+    best = autotune.sharded_autotune(
+        params, shape, "naive", engine="windowed",
+        candidates=[dict(engine="windowed", mesh_cols=1,
+                         steps_per_call=4, overlap=False)],
+        steps=8, reps=1)
+    assert best["engine"] == "windowed"
+    kwin = autotune.sharded_key(params, shape, "naive", "float32", 8,
+                                engine="windowed")
+    store = c.load_autotune()
+    assert kwin in store and store[kauto] == {"engine": "mega",
+                                              "mesh_cols": 1}
+    # and the adoption lookup honors the pin-specific key
+    sim = ShardedSimulation(params, boundary="naive", engine="windowed",
+                            steps_per_call=4)
+    sim.make_species(shape)
+    assert sim.block_rows == best["block_rows"]
+
+
+def test_overlap_candidates_actually_engage(params):
+    """Review r5 #4: every generated overlap candidate pins a row tile
+    the engagement rule accepts — a 'measured overlap' record can never
+    be the serialized fallback in disguise."""
+    from grayscott_tpu.parallel import halo as ph
+
+    cands = autotune._sharded_candidates((512, 256), 8, "naive",
+                                         "float32")
+    overlaps = [x for x in cands if x.get("overlap")]
+    assert overlaps
+    for x in overlaps:
+        from grayscott_tpu.ops import pallas_stencil as ps
+
+        nc = x["mesh_cols"]
+        nr = 8 // nc
+        r_loc = -(-512 // nr)
+        h = ps.halo_for_steps(x["steps_per_call"])
+        assert ph.overlap_engages(r_loc, x["block_rows"], h,
+                                  chalo=h if nc > 1 else 0,
+                                  c_loc=-(-256 // nc))
+    # a shard too short for 3 tiles generates no overlap candidate
+    small = autotune._sharded_candidates((64, 256), 8, "naive", "float32")
+    assert not any(x.get("overlap") for x in small)
+
+
+def test_empty_pinned_candidates_raise_config_error(isolated_cache,
+                                                    params):
+    """Review r5 #5: an overlap pin no geometry can satisfy raises the
+    uniform UnsupportedConfigError, not a bare RuntimeError."""
+    import pytest
+
+    from grayscott_tpu.errors import UnsupportedConfigError
+
+    with pytest.raises(UnsupportedConfigError, match="overlap"):
+        autotune.sharded_autotune(params, (64, 128), "naive",
+                                  overlap=True)
+
+
+def test_resident_on_rejects_slice(params):
+    """Review r5 #3: resident='on' + naive_fix slice/store is a rejected
+    conflict, not a silently different kernel."""
+    import pytest
+
+    from grayscott_tpu.backends.pallas import PallasSimulation
+    from grayscott_tpu.errors import UnsupportedConfigError
+
+    for fix in ("slice", "store"):
+        with pytest.raises(UnsupportedConfigError, match="resident"):
+            PallasSimulation(params, boundary="naive", interpret=True,
+                             resident="on", naive_fix=fix)
