@@ -194,13 +194,14 @@ class PallasSimulation(Simulation):
         if self.resident == "on":
             if self.dtype != jnp.float32:
                 raise UnsupportedConfigError("resident='on' requires float32 storage")
-            if naive_fix != "select":
-                # the store/slice mechanisms run on the windowed/mega
-                # engines; silently running the resident select kernel
-                # would ignore the pinned fix mode (review r5 #3)
+            if naive_fix == "store":
+                # the store mechanism needs fix-up scratch refs the
+                # resident kernel does not carry; silently running the
+                # select kernel would ignore the pin (review r5 #3).
+                # slice IS plumbed into the resident kernel.
                 raise UnsupportedConfigError(
-                    f"resident='on' and naive_fix={naive_fix!r} "
-                    "conflict; pin at most one of them")
+                    "resident='on' and naive_fix='store' conflict; "
+                    "pin at most one of them")
             if isinstance(self.fold, int) and self.fold > 1:
                 raise UnsupportedConfigError(
                     "resident='on' and a pinned lane fold conflict; "
@@ -486,7 +487,7 @@ class PallasSimulation(Simulation):
             and self.engine == "auto"  # an engine pin names its kernel
             and not self.interpret  # keep CPU/test runs on the windowed path
             and not self.naive_fold  # the resident kernel has no fold mode
-            and self.naive_fix == "select"  # store/slice are windowed/mega
+            and self.naive_fix != "store"  # store is windowed/mega-only
             and self.dtype == jnp.float32
             and ps.resident_ok(shape)
             and self.block_rows is None
@@ -845,6 +846,7 @@ class PallasSimulation(Simulation):
                 u, v, jnp.int32(steps), reaction,
                 r=r, c=c, params=kernel_params, boundary=self.boundary,
                 interpret=self.interpret, dt_is_one=dt_is_one,
+                slice_taps=self.naive_fix == "slice",
                 vmem_limit_bytes=self.vmem_limit_bytes,
                 # amortize the in-kernel fori back-edge (compile-ceiling
                 # capped); interpreter keeps the small graph

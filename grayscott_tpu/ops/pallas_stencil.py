@@ -1311,7 +1311,8 @@ def run_blocks(
 
 def _resident_kernel(scal_ref, *refs, rp: int, cp: int, r: int, c: int,
                      params, boundary: str, runtime_params: bool,
-                     dt_is_one: bool, unroll: int = 1):
+                     dt_is_one: bool, unroll: int = 1,
+                     slice_taps: bool = False):
     if runtime_params:
         react_ref, u_ref, v_ref, uo_ref, vo_ref = refs
         reaction = unpack_reaction(react_ref, dt_is_one)
@@ -1322,6 +1323,7 @@ def _resident_kernel(scal_ref, *refs, rp: int, cp: int, r: int, c: int,
         params, boundary, cp, halo=0, chalo=0, dtype=jnp.float32,
         reaction=reaction, zero_fill_rows=True,
         mask_rows=(rp != r), mask_cols=(cp != c),
+        slice_taps=slice_taps,
     )
     giota = jax.lax.broadcasted_iota(jnp.int32, (rp, 1), 0)
     gcol = _col_iota(cp)
@@ -1404,7 +1406,7 @@ def resident_multistep_impl(
     u_res, v_res, n_steps, reaction=None,
     *, r: int, c: int, params: Parameters, boundary: str,
     interpret: bool = False, vmem_limit_bytes: int | None = None,
-    dt_is_one: bool = False, unroll: int = 1,
+    dt_is_one: bool = False, unroll: int = 1, slice_taps: bool = False,
 ):
     """Advance a VMEM-RESIDENT domain by ``n_steps`` (traced!) steps.
 
@@ -1427,7 +1429,7 @@ def resident_multistep_impl(
     kernel = functools.partial(
         _resident_kernel, rp=rp, cp=cp, r=r, c=c, params=params,
         boundary=boundary, runtime_params=reaction is not None,
-        dt_is_one=dt_is_one, unroll=unroll,
+        dt_is_one=dt_is_one, unroll=unroll, slice_taps=slice_taps,
     )
     zero_map = lambda: (0, 0)  # noqa: E731
     in_specs = [pl.BlockSpec((1, 1), zero_map, memory_space=pltpu.SMEM)]
@@ -1457,7 +1459,8 @@ def resident_multistep_impl(
 
 
 _RESIDENT_STATIC = ("r", "c", "params", "boundary", "interpret",
-                    "vmem_limit_bytes", "dt_is_one", "unroll")
+                    "vmem_limit_bytes", "dt_is_one", "unroll",
+                    "slice_taps")
 
 resident_multistep = jax.jit(
     resident_multistep_impl,

@@ -316,15 +316,15 @@ def test_empty_pinned_candidates_raise_config_error(isolated_cache,
                                   overlap=True)
 
 
-def test_resident_on_rejects_slice(params):
-    """Review r5 #3: resident='on' + naive_fix slice/store is a rejected
-    conflict, not a silently different kernel."""
+def test_resident_on_rejects_store(params):
+    """Review r5 #3: resident='on' + naive_fix='store' is a rejected
+    conflict, not a silently different kernel (slice IS plumbed into
+    the resident kernel, tests/test_slicetaps.py)."""
     import pytest
 
     from grayscott_tpu.backends.pallas import PallasSimulation
     from grayscott_tpu.errors import UnsupportedConfigError
 
-    for fix in ("slice", "store"):
-        with pytest.raises(UnsupportedConfigError, match="resident"):
-            PallasSimulation(params, boundary="naive", interpret=True,
-                             resident="on", naive_fix=fix)
+    with pytest.raises(UnsupportedConfigError, match="resident"):
+        PallasSimulation(params, boundary="naive", interpret=True,
+                         resident="on", naive_fix="store")

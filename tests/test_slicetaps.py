@@ -94,6 +94,16 @@ def test_slice_composes_with_naive_fold(rng, params):
     np.testing.assert_allclose(tv, fv, rtol=0, atol=3e-7)
 
 
+def test_slice_resident_ulp_close(rng, params):
+    """The VMEM-resident kernel carries slice too (the 1080p-class
+    small-domain engine): ulp-budget agreement with its select form."""
+    u, v = random_uv(rng, (24, 32))
+    su, sv = run(u, v, params, 9, resident="on")
+    tu, tv = run(u, v, params, 9, resident="on", naive_fix="slice")
+    np.testing.assert_allclose(tu, su, rtol=0, atol=3e-7)
+    np.testing.assert_allclose(tv, sv, rtol=0, atol=3e-7)
+
+
 def test_slice_rejected_off_naive():
     with pytest.raises(UnsupportedConfigError, match="naive"):
         PallasSimulation(Parameters(), boundary="zero", interpret=True,
@@ -112,9 +122,12 @@ def test_slice_never_auto_adopted(tmp_path, monkeypatch, rng, params):
             assert "naive_fix" not in dict(c)
 
 
-def test_slice_resident_auto_declines(rng, params):
-    """resident='auto' must not silently drop a pinned slice mode: the
-    windowed/mega engines carry it."""
+def test_slice_rides_resident_auto(rng, params):
+    """resident='auto' keeps the resident engine under a slice pin (the
+    kernel carries it); the store pin still forces windowed/mega."""
     sim = PallasSimulation(params, boundary="naive", interpret=False,
                            naive_fix="slice", tuned_lookup=False)
-    assert not sim._use_resident((32, 256))
+    assert sim._use_resident((32, 256))
+    sim2 = PallasSimulation(params, boundary="naive", interpret=False,
+                            naive_fix="store", tuned_lookup=False)
+    assert not sim2._use_resident((32, 256))
